@@ -1,0 +1,469 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Orc, Tables}
+import graft.functions.VectorFunctions
+
+/** Core relational operators (SURVEY.md §2.1–§2.3, §2.4 A1–A2, §2.6, §2.7)
+  * plus the nine headline bench queries whose shapes mirror BASELINE.md.
+  *
+  * Every query here is oracle-checked: deterministic total-order ORDER BY,
+  * doubles rounded to 4 decimals on both sides (SURVEY.md §5.3).
+  *
+  * Scale posture: joins against dims are broadcast explicitly; fact–fact
+  * joins shuffle on their join keys and rely on AQE for skew handling; all
+  * aggregates are partial-final hash aggregates planned by Catalyst. No
+  * driver-side collection anywhere.
+  */
+object Relational {
+  import Orc.r4
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- headline bench queries (shapes match BASELINE.md q1..q9) ----
+
+  /** A1: TPC-H Q1 shape — scan, filter, hash agg, ordered output. */
+  val q1ScanAgg: Q = (s, d) =>
+    lineitem(s, d)
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        r4(sum("l_quantity")).as("sum_qty"),
+        r4(sum("l_extendedprice")).as("sum_base_price"),
+        r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+        r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
+        r4(avg("l_quantity")).as("avg_qty"),
+        r4(avg("l_extendedprice")).as("avg_price"),
+        r4(avg("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** J2+J1: fact–fact shuffle join then broadcast-sized dim join, agg. */
+  val q2Join3: Q = (s, d) =>
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("c_mktsegment")
+
+  /** W1+W7: top-3 orders per customer by totalprice (windowed top-k). */
+  val q3WindowTopk: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** J5: anti join — customers without orders. */
+  val q4AntiJoin: Q = (s, d) =>
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_custs"))
+
+  /** A5: rollup over returnflag × linestatus. */
+  val q5Rollup: Q = (s, d) =>
+    lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(r4(sum("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** T1 batch + F8: 1-hour tumbling event window + JSON extraction. */
+  val q6EventWindowJson: Q = (s, d) =>
+    events(s, d)
+      .withColumn("bucket", date_trunc("hour", col("ts")))
+      .groupBy("bucket", "event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        r4(avg(get_json_object(col("props"), "$.k").cast("int"))).as("avg_k"))
+      .select(
+        unix_timestamp(col("bucket")).as("bucket_s"),
+        col("event_type"), col("n_events"), col("avg_k"))
+      .orderBy("bucket_s", "event_type")
+
+  /** O1+O2: global sort desc + limit (plans TakeOrderedAndProject). */
+  val q7SortLimit: Q = (s, d) =>
+    lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(100)
+
+  /** L1: exact dedup cardinality over documents. */
+  val q8Dedup: Q = (s, d) =>
+    documents(s, d)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct"))
+
+  /** L3: brute-force cosine self-join via the codegen kernel (was 67 s of
+    * the 79.5 s HOF baseline; the custom Expression keeps the whole pair
+    * loop inside whole-stage codegen). At scale this brute-force form is
+    * only for moderate n; LSH-bucketed variants handle large n (L5).
+    */
+  val q9CosineSelfjoin: Q = (s, d) => {
+    val e = embeddings(s, d)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    a.join(broadcast(b), col("a_id") < col("b_id"))
+      .withColumn("cos", VectorFunctions.cosineSim(col("a_emb"), col("b_emb")))
+      .where(col("cos") > 0.9)
+      .select(col("a_id"), col("b_id"), r4(col("cos")).as("cos4"))
+      .orderBy("a_id", "b_id")
+  }
+
+  // ---- sources (S2, S3, S5) ----
+
+  /** S2: CSV parsing with an explicit schema — serialize nation rows to CSV
+    * text and parse back with from_csv (schema-on-read, no inference). */
+  val s2CsvRoundtrip: Q = (s, d) => {
+    val schema = "n_nationkey INT, n_name STRING, n_regionkey INT"
+    nation(s, d)
+      .select(concat_ws(",", col("n_nationkey"), col("n_name"), col("n_regionkey")).as("line"))
+      .select(from_csv(col("line"), StructType.fromDDL(schema), Map.empty[String, String]).as("r"))
+      .select("r.n_nationkey", "r.n_name", "r.n_regionkey")
+      .orderBy("n_nationkey")
+  }
+
+  /** S3: JSON-lines parsing with explicit schema via to_json/from_json. */
+  val s3JsonRoundtrip: Q = (s, d) => {
+    val schema = "s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE"
+    supplier(s, d)
+      .select(to_json(struct(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))).as("j"))
+      .select(from_json(col("j"), StructType.fromDDL(schema)).as("r"))
+      .select(col("r.s_suppkey").as("s_suppkey"), col("r.s_name").as("s_name"),
+        col("r.s_nationkey").as("s_nationkey"), r4(col("r.s_acctbal")).as("acctbal4"))
+      .orderBy("s_suppkey")
+  }
+
+  /** S5: in-memory literal relation joined against a fixture table. */
+  val s5InmemoryValues: Q = (s, d) => {
+    val rows = Seq((0, "low"), (1, "mid"), (2, "high"), (3, "mid"), (4, "low"))
+    val prio = s.createDataFrame(rows).toDF("rk", "tier")
+    region(s, d)
+      .join(broadcast(prio), col("r_regionkey") === col("rk"))
+      .select(col("r_regionkey"), col("r_name"), col("tier"))
+      .orderBy("r_regionkey")
+  }
+
+  // ---- projection / filter (P1–P3) ----
+
+  /** P1: projection, alias, cast, arithmetic. */
+  val p1ProjectCast: Q = (s, d) =>
+    part(s, d)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_up"),
+        col("p_size").cast("double").as("size_d"),
+        r4(col("p_retailprice") * 1.1).as("price_bumped"),
+        col("p_brand"))
+      .orderBy("p_partkey")
+
+  /** P2: compound boolean filter (AND / OR / NOT). */
+  val p2FilterComplex: Q = (s, d) =>
+    lineitem(s, d)
+      .where((col("l_quantity") > 45 && col("l_discount") < 0.02) ||
+             (!(col("l_returnflag") === "N") && col("l_tax") > 0.07))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag", "l_tax")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** P3: IN, BETWEEN, LIKE, IS NULL, null-safe equality. */
+  val p3FilterInBetweenLike: Q = (s, d) =>
+    customer(s, d)
+      .withColumn("seg_or_null", when(col("c_acctbal") < 0, lit(null: String)).otherwise(col("c_mktsegment")))
+      .where(col("c_mktsegment").isin("BUILDING", "MACHINERY", "AUTOMOBILE") &&
+             col("c_acctbal").between(1000, 9000) &&
+             col("c_name").like("%1%"))
+      .where(col("seg_or_null").isNotNull && (col("seg_or_null") <=> col("c_mktsegment")))
+      .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+      .orderBy("c_custkey")
+
+  // ---- joins (J1–J4, J6, J7, J9; J5 = q4, J2 = q2) ----
+
+  /** J1: broadcast hash join with a small dim, agg by brand. */
+  val j1BroadcastAgg: Q = (s, d) =>
+    lineitem(s, d)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(r4(sum("l_extendedprice")).as("brand_rev"), count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+
+  /** J2: shuffled fact–fact equi-join, agg by order priority. */
+  val j2SortmergeAgg: Q = (s, d) =>
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(r4(sum("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+
+  /** J3: left outer join preserving order-less customers. */
+  val j3OuterJoin: Q = (s, d) =>
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        r4(sum(coalesce(col("o_totalprice"), lit(0.0)))).as("spend"))
+      .orderBy("c_custkey")
+
+  /** J4: left semi join — customers having at least one 'F' order. */
+  val j4SemiJoin: Q = (s, d) =>
+    customer(s, d)
+      .join(orders(s, d).where(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** J6: cross join (bounded dims). */
+  val j6CrossJoin: Q = (s, d) =>
+    region(s, d).select(col("r_name"))
+      .crossJoin(nation(s, d).select(col("n_name")))
+      .orderBy("r_name", "n_name")
+
+  /** J7: theta (non-equi) self-join — nation pairs within a region. */
+  val j7ThetaJoin: Q = (s, d) => {
+    val n1 = nation(s, d).select(col("n_nationkey").as("k1"), col("n_name").as("name1"), col("n_regionkey").as("rk1"))
+    val n2 = nation(s, d).select(col("n_nationkey").as("k2"), col("n_name").as("name2"), col("n_regionkey").as("rk2"))
+    n1.join(n2, col("k1") < col("k2") && col("rk1") === col("rk2"))
+      .select("k1", "k2", "name1", "name2")
+      .orderBy("k1", "k2")
+  }
+
+  /** J9: interval/band join — lineitems shipped within 90 days of order. */
+  val j9BandJoin: Q = (s, d) =>
+    lineitem(s, d)
+      .join(orders(s, d),
+        col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate").between(col("o_orderdate"), col("o_orderdate") + expr("INTERVAL 90 DAYS")))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_in_band"), r4(avg("l_quantity")).as("avg_qty"))
+      .orderBy("o_orderpriority")
+
+  // ---- aggregation (A2) ----
+
+  /** A2: exact count distinct per group. */
+  val a2CountDistinct: Q = (s, d) =>
+    orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        countDistinct(col("o_custkey")).as("n_custs"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  // ---- set operations (U1–U3) ----
+
+  /** U1: union all + union distinct over overlapping projections. */
+  val u1Union: Q = (s, d) => {
+    val lo = nation(s, d).where(col("n_nationkey") < 15).select("n_nationkey")
+    val hi = nation(s, d).where(col("n_nationkey") >= 10).select("n_nationkey")
+    val all = lo.unionAll(hi).groupBy("n_nationkey").agg(count(lit(1)).as("n_all"))
+    val dis = lo.union(hi).distinct().groupBy("n_nationkey").agg(count(lit(1)).as("n_dis"))
+    all.join(dis, Seq("n_nationkey")).orderBy("n_nationkey")
+  }
+
+  /** U2: intersect — rich customers ∩ BUILDING-segment customers. */
+  val u2Intersect: Q = (s, d) => {
+    val rich = customer(s, d).where(col("c_acctbal") > 5000).select("c_custkey")
+    val bld  = customer(s, d).where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    rich.intersect(bld).orderBy("c_custkey")
+  }
+
+  /** U3: except — customers with orders minus those with 'F' orders. */
+  val u3Except: Q = (s, d) => {
+    val withOrders = orders(s, d).select(col("o_custkey").as("c_custkey"))
+    val withF = orders(s, d).where(col("o_orderstatus") === "F").select(col("o_custkey").as("c_custkey"))
+    withOrders.distinct().except(withF).orderBy("c_custkey")
+  }
+
+  // ---- registry ----
+
+  val queries: Map[String, Q] = Map(
+    "q1_scan_agg" -> q1ScanAgg,
+    "q2_join3" -> q2Join3,
+    "q3_window_topk" -> q3WindowTopk,
+    "q4_anti_join" -> q4AntiJoin,
+    "q5_rollup" -> q5Rollup,
+    "q6_event_window_json" -> q6EventWindowJson,
+    "q7_sort_limit" -> q7SortLimit,
+    "q8_dedup" -> q8Dedup,
+    "q9_cosine_selfjoin" -> q9CosineSelfjoin,
+    "s2_csv_roundtrip" -> s2CsvRoundtrip,
+    "s3_json_roundtrip" -> s3JsonRoundtrip,
+    "s5_inmemory_values" -> s5InmemoryValues,
+    "p1_project_cast" -> p1ProjectCast,
+    "p2_filter_complex" -> p2FilterComplex,
+    "p3_filter_in_between_like" -> p3FilterInBetweenLike,
+    "j1_broadcast_agg" -> j1BroadcastAgg,
+    "j2_sortmerge_agg" -> j2SortmergeAgg,
+    "j3_outer_join" -> j3OuterJoin,
+    "j4_semi_join" -> j4SemiJoin,
+    "j6_cross_join" -> j6CrossJoin,
+    "j7_theta_join" -> j7ThetaJoin,
+    "j9_band_join" -> j9BandJoin,
+    "a2_count_distinct" -> a2CountDistinct,
+    "u1_union" -> u1Union,
+    "u2_intersect" -> u2Intersect,
+    "u3_except" -> u3Except,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_scan_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 4) AS sum_qty,
+        | round(sum(l_extendedprice), 4) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_extendedprice), 4) AS avg_price,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_join3" ->
+      """SELECT c_mktsegment,
+        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q3_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        | FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q4_anti_join" ->
+      """SELECT count(*) AS n_custs FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q5_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 4) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q6_event_window_json" ->
+      """SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS bucket_s,
+        | event_type, count(*) AS n_events,
+        | round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY bucket_s, event_type""".stripMargin,
+    "q7_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        |LIMIT 100""".stripMargin,
+    "q8_dedup" ->
+      """SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct
+        |FROM documents""".stripMargin,
+    "q9_cosine_selfjoin" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                              CAST(b.embedding AS DOUBLE[])), 4) AS cos4
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) > 0.9
+        |ORDER BY a_id, b_id""".stripMargin,
+    "s2_csv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "s3_json_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 4) AS acctbal4
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "s5_inmemory_values" ->
+      """SELECT r_regionkey, r_name, tier
+        |FROM region JOIN (VALUES (0,'low'),(1,'mid'),(2,'high'),(3,'mid'),(4,'low'))
+        |  AS t(rk, tier) ON r_regionkey = rk
+        |ORDER BY r_regionkey""".stripMargin,
+    "p1_project_cast" ->
+      """SELECT p_partkey, upper(p_name) AS name_up,
+        | CAST(p_size AS DOUBLE) AS size_d,
+        | round(p_retailprice * 1.1, 4) AS price_bumped, p_brand
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "p2_filter_complex" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag, l_tax
+        |FROM lineitem
+        |WHERE (l_quantity > 45 AND l_discount < 0.02)
+        |   OR (NOT (l_returnflag = 'N') AND l_tax > 0.07)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "p3_filter_in_between_like" ->
+      """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+        |FROM (SELECT *, CASE WHEN c_acctbal < 0 THEN NULL ELSE c_mktsegment END AS seg_or_null
+        |      FROM customer) t
+        |WHERE c_mktsegment IN ('BUILDING','MACHINERY','AUTOMOBILE')
+        |  AND c_acctbal BETWEEN 1000 AND 9000
+        |  AND c_name LIKE '%1%'
+        |  AND seg_or_null IS NOT NULL
+        |  AND seg_or_null IS NOT DISTINCT FROM c_mktsegment
+        |ORDER BY c_custkey""".stripMargin,
+    "j1_broadcast_agg" ->
+      """SELECT p_brand, round(sum(l_extendedprice), 4) AS brand_rev, count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "j2_sortmerge_agg" ->
+      """SELECT o_orderpriority, round(sum(l_quantity), 4) AS sum_qty, count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "j3_outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        | round(sum(coalesce(o_totalprice, 0)), 4) AS spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "j4_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "j6_cross_join" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+    "j7_theta_join" ->
+      """SELECT n1.n_nationkey AS k1, n2.n_nationkey AS k2,
+        | n1.n_name AS name1, n2.n_name AS name2
+        |FROM nation n1 JOIN nation n2
+        |  ON n1.n_nationkey < n2.n_nationkey AND n1.n_regionkey = n2.n_regionkey
+        |ORDER BY k1, k2""".stripMargin,
+    "j9_band_join" ->
+      """SELECT o_orderpriority, count(*) AS n_in_band, round(avg(l_quantity), 4) AS avg_qty
+        |FROM lineitem JOIN orders
+        |  ON l_orderkey = o_orderkey
+        | AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 90 DAY
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "a2_count_distinct" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs, count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "u1_union" ->
+      """WITH lo AS (SELECT n_nationkey FROM nation WHERE n_nationkey < 15),
+        |     hi AS (SELECT n_nationkey FROM nation WHERE n_nationkey >= 10),
+        |     uall AS (SELECT n_nationkey, count(*) AS n_all
+        |              FROM (SELECT * FROM lo UNION ALL SELECT * FROM hi) GROUP BY 1),
+        |     udis AS (SELECT n_nationkey, count(*) AS n_dis
+        |              FROM (SELECT * FROM lo UNION SELECT * FROM hi) GROUP BY 1)
+        |SELECT uall.n_nationkey, n_all, n_dis FROM uall JOIN udis USING (n_nationkey)
+        |ORDER BY n_nationkey""".stripMargin,
+    "u2_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey""".stripMargin,
+    "u3_except" ->
+      """SELECT DISTINCT o_custkey AS c_custkey FROM orders
+        |EXCEPT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY c_custkey""".stripMargin,
+  )
+}
