@@ -18,13 +18,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
-      graft.queries.WindowsFuncs.queries
+      graft.queries.WindowsFuncs.queries ++
+      graft.queries.TimeJson.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracleSql ++
-      graft.queries.WindowsFuncs.oracleSql
+      graft.queries.WindowsFuncs.oracleSql ++
+      graft.queries.TimeJson.oracleSql
 
   /** Headline bench subset — names and shapes match BASELINE.md. */
   def benchQueries: Seq[String] = Seq(
