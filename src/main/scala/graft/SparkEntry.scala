@@ -19,14 +19,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.WindowsFuncs.queries ++
-      graft.queries.TimeJson.queries
+      graft.queries.TimeJson.queries ++
+      graft.queries.LlmOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracleSql ++
       graft.queries.WindowsFuncs.oracleSql ++
-      graft.queries.TimeJson.oracleSql
+      graft.queries.TimeJson.oracleSql ++
+      graft.queries.LlmOps.oracleSql
 
   /** Headline bench subset — names and shapes match BASELINE.md. */
   def benchQueries: Seq[String] = Seq(

@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -32,7 +32,7 @@ object VectorKernels {
 
   /** cosine(a, b) = dot(a,b) / (|a| * |b|); 0.0 when either norm is 0. */
   case class CosineSimilarity(left: Expression, right: Expression)
-      extends BinaryExpression with ExpectsInputTypes {
+      extends BinaryExpression with ImplicitCastInputTypes {
     override def inputTypes: Seq[AbstractDataType] =
       Seq(ArrayType(FloatType), ArrayType(FloatType))
     override def dataType: DataType = DoubleType
@@ -72,7 +72,7 @@ object VectorKernels {
 
   /** dot(a, b) with double accumulation. */
   case class DotProduct(left: Expression, right: Expression)
-      extends BinaryExpression with ExpectsInputTypes {
+      extends BinaryExpression with ImplicitCastInputTypes {
     override def inputTypes: Seq[AbstractDataType] =
       Seq(ArrayType(FloatType), ArrayType(FloatType))
     override def dataType: DataType = DoubleType
@@ -106,7 +106,7 @@ object VectorKernels {
 
   /** |a| — Euclidean norm with double accumulation. */
   case class L2Norm(child: Expression)
-      extends UnaryExpression with ExpectsInputTypes {
+      extends UnaryExpression with ImplicitCastInputTypes {
     override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
     override def dataType: DataType = DoubleType
     override def prettyName: String = "l2_norm"

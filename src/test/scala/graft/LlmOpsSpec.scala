@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, Similarity, TextOps}
+
+class LlmOpsSpec extends SparkSpec {
+
+  test("every M4 query runs at sf0.001") {
+    graft.queries.LlmOps.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sfDir).count() >= 0, s"$name failed")
+    }
+  }
+
+  test("minHashCandidates always surfaces exact duplicates") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"), // dup of 1
+      (3L, "completely different words about spark shuffles and joins here"),
+      (4L, "the quick brown fox jumps over the lazy dog again and against"), // near-dup of 1
+      (5L, "unrelated text mentioning embeddings vectors and cosine maths"),
+    ).toDF("doc_id", "text")
+    val pairs = TextOps.minHashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"exact dup pair missing from $pairs")
+    assert(pairs.contains((1L, 4L)) && pairs.contains((2L, 4L)),
+      s"near-dup pair missing from $pairs")
+    assert(!pairs.contains((3L, 5L)), "unrelated docs should not collide")
+  }
+
+  test("simHash: identical texts agree; one-token edit stays within hamming 16") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+    ).toDF("doc_id", "text")
+    val sigs = TextOps.simHash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) <= 16)
+  }
+
+  test("annTopK achieves recall >= 0.8 vs brute force on clustered vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 8 well-separated centroids, 25 points each
+    val centroids = Array.fill(8)(Array.fill(16)(rnd.nextGaussian().toFloat * 10))
+    val vecs = (0 until 200).map { i =>
+      val c = centroids(i % 8)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.1).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(df, df, 5)
+      .select("q_id", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.annTopK(df, 5, bucketLength = 1.0, numHashTables = 5)
+      .select("q_id", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall too low")
+  }
+
+  test("mllib MinHashLSH join finds exact duplicate pair") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "eleven twelve thirteen fourteen fifteen sixteen"),
+    ).toDF("doc_id", "text")
+    val pairs = Similarity.minHashSimilarityJoin(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("multimodal decode: features match byte math; partition layout preserved") {
+    import spark.implicits._
+    val df = Seq((1L, "abc"), (2L, "zz")).toDF("id", "txt")
+      .withColumn("content", col("txt").cast("binary"))
+      .repartition(3)
+    val out = Multimodal.withMediaFeatures(df, "content")
+    assert(out.rdd.getNumPartitions == 3) // narrow dependency
+    val feats = out.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](r.length - 1)).toMap
+    assert(feats(1L) == Seq(3f, (97f + 98f + 99f) / 3f, 97f, 99f))
+    assert(feats(2L) == Seq(2f, 122f, 122f, 122f))
+  }
+
+  test("sampleBlocks extracts stride-spaced fixed-size blocks") {
+    import spark.implicits._
+    val df = Seq(("abcdefghijkl")).toDF("payload")
+      .withColumn("bin", col("payload").cast("binary"))
+    val blocks = Multimodal.sampleBlocks(df, "bin", blockSize = 2, stride = 3)
+      .select("sampled_blocks").head().getSeq[Array[Byte]](0)
+    assert(blocks.map(new String(_)) == Seq("ab", "gh"))
+  }
+}
