@@ -20,7 +20,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.WindowsFuncs.queries ++
       graft.queries.TimeJson.queries ++
-      graft.queries.LlmOps.queries
+      graft.queries.LlmOps.queries ++
+      graft.queries.MlQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,7 +29,8 @@ object SparkEntry {
     graft.queries.Relational.oracleSql ++
       graft.queries.WindowsFuncs.oracleSql ++
       graft.queries.TimeJson.oracleSql ++
-      graft.queries.LlmOps.oracleSql
+      graft.queries.LlmOps.oracleSql ++
+      graft.queries.MlQueries.oracleSql
 
   /** Headline bench subset — names and shapes match BASELINE.md. */
   def benchQueries: Seq[String] = Seq(

@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.ml.feature.{Bucketizer, StandardScaler, StringIndexer, VectorAssembler}
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Orc, Tables}
+import graft.ml.Pipelines
+
+/** MLlib pipeline operators as queries (SURVEY.md §2.11). Deterministic
+  * feature math (indexing, scaling, bucketing, metric formulas) carries
+  * DuckDB oracles; model training entries are rows-only and get metric
+  * bounds in MlSpec.
+  */
+object MlQueries {
+  import Orc.r4
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** M1: StringIndexer (frequencyDesc, ties by value) — mapping table. */
+  val m1StringIndexer: Q = (s, d) => {
+    val idx = new StringIndexer()
+      .setInputCol("c_mktsegment").setOutputCol("seg_idx")
+      .setStringOrderType("frequencyDesc")
+    val model = idx.fit(customer(s, d))
+    model.transform(customer(s, d))
+      .select(col("c_mktsegment"), col("seg_idx").cast("int").as("seg_idx"))
+      .distinct()
+      .orderBy("seg_idx")
+  }
+
+  /** M2: StandardScaler (withMean, withStd) on a 1-dim vector — the
+    * column form (x - μ) / σ_samp is the oracle. */
+  val m2StandardScale: Q = (s, d) => {
+    val df = customer(s, d).select(
+      col("c_custkey"),
+      org.apache.spark.ml.functions.array_to_vector(array(col("c_acctbal"))).as("v"))
+    val scaler = new StandardScaler().setInputCol("v").setOutputCol("scaled")
+      .setWithMean(true).setWithStd(true)
+    scaler.fit(df).transform(df)
+      .select(col("c_custkey"),
+        r4(element_at(vector_to_array(col("scaled")), 1)).as("bal_z"))
+      .orderBy("c_custkey")
+  }
+
+  /** M3: Bucketizer with fixed splits (CASE WHEN oracle). */
+  val m3Bucketizer: Q = (s, d) => {
+    val buck = new Bucketizer()
+      .setInputCol("c_acctbal").setOutputCol("bucket")
+      .setSplits(Array(Double.NegativeInfinity, 0.0, 2500.0, 5000.0, 7500.0,
+        Double.PositiveInfinity))
+    buck.transform(customer(s, d))
+      .select(col("c_custkey"), col("bucket").cast("int").as("bucket"))
+      .orderBy("c_custkey")
+  }
+
+  /** M8: evaluator math over a deterministic predictions table —
+    * accuracy (MulticlassClassificationEvaluator) and RMSE
+    * (RegressionEvaluator) must equal their SQL formulas. */
+  val m8EvalMetrics: Q = (s, d) => {
+    val preds = embeddings(s, d).select(
+      col("vec_id"),
+      col("label").cast("double").as("label"),
+      ((col("label") + when(col("vec_id") % 3 === 0, 1).otherwise(0)) % 10)
+        .cast("double").as("prediction"),
+      (col("label") * 1.5 + 2.0).as("reg_prediction"))
+    val acc = Pipelines.accuracy(preds)
+    val rmse = Pipelines.rmse(
+      preds.withColumnRenamed("prediction", "cls_prediction")
+        .withColumnRenamed("reg_prediction", "prediction"), "label")
+    preds.sparkSession.range(1).select(
+      r4(lit(acc)).as("accuracy"), r4(lit(rmse)).as("rmse"))
+  }
+
+  /** M4 (rows-only): multinomial logistic regression — confusion counts. */
+  val m4Logreg: Q = (s, d) => {
+    val model = Pipelines.fitLogistic(embeddings(s, d))
+    model.transform(Pipelines.embeddingFeatures(embeddings(s, d)))
+      .groupBy(col("label").cast("int").as("label"),
+        col("prediction").cast("int").as("prediction"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "prediction")
+  }
+
+  /** M5 (rows-only): full feature pipeline + linear regression; output
+    * per-priority mean absolute error of the fit. */
+  val m5Linreg: Q = (s, d) => {
+    val (model, df) = Pipelines.fitPricePipeline(orders(s, d))
+    model.transform(df)
+      .groupBy("o_orderpriority")
+      .agg(round(avg(abs(col("prediction") - col("o_totalprice"))), 2).as("mae"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** M6 (rows-only): k-means cluster occupancy. */
+  val m6Kmeans: Q = (s, d) => {
+    val (km, feats) = Pipelines.fitKMeans(embeddings(s, d))
+    km.fit(feats).transform(feats)
+      .groupBy(col("prediction").as("cluster"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("cluster")
+  }
+
+  /** M7 (rows-only): ALS top-3 recommendations per user (sample). */
+  val m7Als: Q = (s, d) => {
+    val ratings = Pipelines.alsRatings(lineitem(s, d), orders(s, d))
+    val model = Pipelines.fitAls(ratings)
+    model.recommendForAllUsers(3)
+      .select(col("user"), explode(col("recommendations.item")).as("item"))
+      .groupBy("user").agg(count(lit(1)).as("n_recs"))
+      .orderBy("user")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "m1_string_indexer" -> m1StringIndexer,
+    "m2_standard_scale" -> m2StandardScale,
+    "m3_bucketizer" -> m3Bucketizer,
+    "m8_eval_metrics" -> m8EvalMetrics,
+    "m4_logreg" -> m4Logreg,
+    "m5_linreg" -> m5Linreg,
+    "m6_kmeans" -> m6Kmeans,
+    "m7_als" -> m7Als,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "m1_string_indexer" ->
+      """SELECT c_mktsegment, CAST(dense_rank() OVER (ORDER BY cnt DESC, c_mktsegment ASC) - 1 AS INT) AS seg_idx
+        |FROM (SELECT c_mktsegment, count(*) AS cnt FROM customer GROUP BY 1) t
+        |ORDER BY seg_idx""".stripMargin,
+    "m2_standard_scale" ->
+      """SELECT c_custkey,
+        | round((c_acctbal - avg(c_acctbal) OVER ()) / stddev_samp(c_acctbal) OVER (), 4) AS bal_z
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "m3_bucketizer" ->
+      """SELECT c_custkey,
+        | CASE WHEN c_acctbal < 0 THEN 0
+        |      WHEN c_acctbal < 2500 THEN 1
+        |      WHEN c_acctbal < 5000 THEN 2
+        |      WHEN c_acctbal < 7500 THEN 3
+        |      ELSE 4 END AS bucket
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "m8_eval_metrics" ->
+      """WITH p AS (
+        | SELECT label,
+        |  CAST((label + CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0 END) % 10 AS DOUBLE) AS prediction,
+        |  label * 1.5 + 2.0 AS reg_prediction
+        | FROM embeddings)
+        |SELECT
+        | round(avg(CASE WHEN prediction = label THEN 1.0 ELSE 0.0 END), 4) AS accuracy,
+        | round(sqrt(avg((reg_prediction - label) * (reg_prediction - label))), 4) AS rmse
+        |FROM p""".stripMargin,
+  )
+}
