@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.WindowsFuncs.queries ++
       graft.queries.TimeJson.queries ++
       graft.queries.LlmOps.queries ++
-      graft.queries.MlQueries.queries
+      graft.queries.MlQueries.queries ++
+      graft.queries.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,7 +31,8 @@ object SparkEntry {
       graft.queries.WindowsFuncs.oracleSql ++
       graft.queries.TimeJson.oracleSql ++
       graft.queries.LlmOps.oracleSql ++
-      graft.queries.MlQueries.oracleSql
+      graft.queries.MlQueries.oracleSql ++
+      graft.queries.StreamingQueries.oracleSql
 
   /** Headline bench subset — names and shapes match BASELINE.md. */
   def benchQueries: Seq[String] = Seq(

@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.Tables
+import graft.streaming.StreamingOps
+
+/** Streaming operators exposed to the driver harness: each entry runs the
+  * real micro-batch engine (file source → transform → memory sink) to
+  * completion and returns the sink table. With the whole fixture arriving
+  * as one batch the results are deterministic, so most entries carry
+  * DuckDB oracles too — same expressions, batch semantics.
+  */
+object StreamingQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** T4: watermarked tumbling window (complete mode → full history). */
+  val t4StreamTumbling: Q = (s, d) =>
+    StreamingOps.runToMemory(
+      StreamingOps.tumblingCounts(StreamingOps.eventsStream(s, d)),
+      "t4_sink", OutputMode.Complete())
+      .orderBy("win_start_s", "event_type")
+
+  /** T5: streaming dedup by event_id then count per type. */
+  val t5StreamDedup: Q = (s, d) =>
+    StreamingOps.runToMemory(
+      StreamingOps.dedupCountsByType(StreamingOps.eventsStream(s, d)),
+      "t5_sink", OutputMode.Complete())
+      .orderBy("event_type")
+
+  /** T6: flatMapGroupsWithState running per-user counts (update mode;
+    * one batch → one row per user = final state). */
+  val t6StatefulCounts: Q = (s, d) =>
+    StreamingOps.runToMemory(
+      StreamingOps.runningUserCounts(StreamingOps.eventsStream(s, d)),
+      "t6_sink", OutputMode.Update())
+      .groupBy("user_id").agg(max("n_events").as("n_events"))
+      .orderBy("user_id")
+
+  /** T7: stream–static join against the customer dim. */
+  val t7StreamStaticJoin: Q = (s, d) =>
+    StreamingOps.runToMemory(
+      StreamingOps.enrichedSegmentCounts(
+        StreamingOps.eventsStream(s, d), Tables.customer(s, d)),
+      "t7_sink", OutputMode.Complete())
+      .orderBy("c_mktsegment")
+
+  /** T8: append-mode stateless pipe through a memory sink. */
+  val t8AppendSink: Q = (s, d) =>
+    StreamingOps.runToMemory(
+      StreamingOps.eventsStream(s, d)
+        .select(col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us")),
+      "t8_sink", OutputMode.Append())
+      .orderBy("event_id")
+
+  val queries: Map[String, Q] = Map(
+    "t4_stream_tumbling" -> t4StreamTumbling,
+    "t5_stream_dedup" -> t5StreamDedup,
+    "t6_stateful_counts" -> t6StatefulCounts,
+    "t7_stream_static_join" -> t7StreamStaticJoin,
+    "t8_append_sink" -> t8AppendSink,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "t4_stream_tumbling" ->
+      """SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS win_start_s,
+        | event_type, count(*) AS n_events
+        |FROM events GROUP BY 1, 2 ORDER BY win_start_s, event_type""".stripMargin,
+    "t5_stream_dedup" ->
+      """SELECT event_type, count(DISTINCT event_id) AS n_unique
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "t6_stateful_counts" ->
+      """SELECT user_id, count(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "t7_stream_static_join" ->
+      """SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "t8_append_sink" ->
+      """SELECT event_id, event_type, CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us
+        |FROM events ORDER BY event_id""".stripMargin,
+  )
+}

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators (SURVEY.md §2.9 T4–T8).
+  *
+  * Batch/stream parity is the design rule: the transformations here are
+  * the same Column expressions the batch queries use — `readStream`
+  * swaps the source, watermarks bound state, and the micro-batch engine
+  * handles increments. Tests drive multi-batch semantics (late-data
+  * drops, stateful accumulation) through MemoryStream; the query-registry
+  * entries run the file source to completion and return the sink table so
+  * the driver harness can treat them as batch results.
+  *
+  * Scale: stateful operators keep per-key state in the state store
+  * (RocksDB provider in production); watermarks are what bound that
+  * state — every stateful op here requires one.
+  */
+object StreamingOps {
+
+  /** Explicit schema: streaming sources never infer. `ts` arrives as
+    * INT64 nanos (see Tables.events) and is rebuilt to a timestamp. */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source streaming read of the events fixture. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // glob pattern (not a bare file path): FileStreamSource injects a
+    // file-valued basePath for non-glob paths, which the file index
+    // rejects with "Option 'basePath' must be a directory"
+    spark.readStream
+      .schema(eventsSchema)
+      .parquet(s"$dir/events.parquet*")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** T1/T4 streaming: watermarked tumbling-window counts. */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        unix_timestamp(col("window.start")).as("win_start_s"),
+        col("event_type"), col("n_events"))
+
+  /** T5: streaming dedup by key within the watermark horizon. */
+  def dedupCountsByType(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates("event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_unique"))
+
+  /** T6: arbitrary stateful processing — running per-user event count
+    * via flatMapGroupsWithState. */
+  def runningUserCounts(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").as[Long])
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          Iterator((user, n))
+      }
+      .toDF("user_id", "n_events")
+  }
+
+  /** T7: stream–static enrichment join + aggregation. */
+  def enrichedSegmentCounts(events: DataFrame, customer: DataFrame): DataFrame =
+    events
+      .join(customer, col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+
+  /** T8: run a streaming frame into a named memory sink until the source
+    * is exhausted, then return the sink table (batch DataFrame). */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    df.sparkSession.table(name)
+  }
+}
