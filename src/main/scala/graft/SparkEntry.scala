@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.TimeJson.queries ++
       graft.queries.LlmOps.queries ++
       graft.queries.MlQueries.queries ++
-      graft.queries.StreamingQueries.queries
+      graft.queries.StreamingQueries.queries ++
+      graft.queries.Hardening.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,7 +33,8 @@ object SparkEntry {
       graft.queries.TimeJson.oracleSql ++
       graft.queries.LlmOps.oracleSql ++
       graft.queries.MlQueries.oracleSql ++
-      graft.queries.StreamingQueries.oracleSql
+      graft.queries.StreamingQueries.oracleSql ++
+      graft.queries.Hardening.oracleSql
 
   /** Headline bench subset — names and shapes match BASELINE.md. */
   def benchQueries: Seq[String] = Seq(

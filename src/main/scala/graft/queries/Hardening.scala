@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Orc, Tables}
+
+/** Remaining inventory rows (SURVEY.md §2): approximate aggregates
+  * (A3/A9 — no-oracle by design, bounds-tested in specs), partition-local
+  * sort (O3), and an explicit parquet sink round-trip (S4).
+  */
+object Hardening {
+  import Orc.r4
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** A3 (rows-only): HLL approximate distinct vs exact, side by side.
+    * Different HLL implementations never hash-match across engines; the
+    * spec asserts the ±5% envelope instead. */
+  val a3ApproxDistinct: Q = (s, d) =>
+    orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        approx_count_distinct(col("o_custkey")).as("approx_custs"),
+        countDistinct(col("o_custkey")).as("exact_custs"))
+      .orderBy("o_orderpriority")
+
+  /** A9 (rows-only): approximate percentiles; spec asserts rank-error
+    * bounds against the exact percentile. */
+  val a9ApproxPercentile: Q = (s, d) =>
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        r4(expr("percentile_approx(l_extendedprice, 0.5, 1000)")).as("p50_approx"),
+        r4(expr("percentile(l_extendedprice, 0.5)")).as("p50_exact"))
+      .orderBy("l_returnflag")
+
+  /** O3: sortWithinPartitions (partition-local order is an execution
+    * detail — a global re-sort on top makes the result deterministic and
+    * oracle-checkable; the spec asserts the within-partition ordering). */
+  val o3SortWithinPartitions: Q = (s, d) =>
+    lineitem(s, d)
+      .repartition(4, col("l_returnflag"))
+      .sortWithinPartitions("l_extendedprice")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(50)
+
+  /** S4: explicit parquet sink round-trip — write an aggregate, read it
+    * back, return it (the oracle recomputes from the source table). */
+  val s4ParquetSink: Q = (s, d) => {
+    val out = new java.io.File("target/tmp/s4_sink").getAbsolutePath
+    nation(s, d)
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n_nations"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out).orderBy("n_regionkey")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "a3_approx_distinct" -> a3ApproxDistinct,
+    "a9_approx_percentile" -> a9ApproxPercentile,
+    "o3_sort_within_partitions" -> o3SortWithinPartitions,
+    "s4_parquet_sink" -> s4ParquetSink,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "o3_sort_within_partitions" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        |LIMIT 50""".stripMargin,
+    "s4_parquet_sink" ->
+      """SELECT n_regionkey, count(*) AS n_nations
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+  )
+}

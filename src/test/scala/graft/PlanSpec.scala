@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.Relational
+
+/** Physical-plan shape assertions (SURVEY.md §4.3): the properties that
+  * decide whether a plan survives a 100x scale-up — filter/projection
+  * pushdown to the parquet scan, broadcast vs shuffle join selection,
+  * whole-stage codegen coverage, top-k fusion.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1: shipdate filter and column pruning reach the parquet scan") {
+    val plan = planOf(Relational.q1ScanAgg(spark, sfDir))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$plan")
+    // pruned read schema: no orderkey/partkey/suppkey columns
+    assert(plan.contains("ReadSchema") && !plan.contains("l_partkey"),
+      s"columns not pruned:\n$plan")
+  }
+
+  test("q2: dim join broadcasts, fact-fact join shuffles") {
+    val plan = planOf(Relational.q2Join3(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
+  test("q7: sort+limit fuses into TakeOrderedAndProject (no global sort)") {
+    val plan = planOf(Relational.q7SortLimit(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k fusion:\n$plan")
+  }
+
+  test("q9: cosine filter fuses into the join condition (no pair materialisation)") {
+    val plan = planOf(Relational.q9CosineSelfjoin(spark, sfDir))
+    // the selective cosine predicate must sit INSIDE the nested-loop join
+    // condition — evaluated via generated predicate code per pair — so the
+    // 4M-pair cross product is never materialised into a row buffer
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"no BNLJ:\n$plan")
+    val joinLine = plan.linesIterator.find(_.contains("BroadcastNestedLoopJoin")).get
+    assert(joinLine.contains("cosine_sim"), s"kernel not in join condition:\n$plan")
+    // doGenCode correctness itself is covered by VectorKernelsSpec's
+    // interpreted-vs-codegen parity test
+  }
+
+  test("aggregates are two-phase (partial + final HashAggregate)") {
+    val plan = planOf(Relational.q1ScanAgg(spark, sfDir))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial aggregation:\n$plan")
+  }
+
+  test("semi/anti joins plan as join operators, not subquery re-scans") {
+    val anti = planOf(Relational.q4AntiJoin(spark, sfDir))
+    assert(anti.contains("LeftAnti"), s"no anti join:\n$anti")
+    val semi = planOf(Relational.j4SemiJoin(spark, sfDir))
+    assert(semi.contains("LeftSemi"), s"no semi join:\n$semi")
+  }
+}

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.VectorFunctions
+
+/** ScalaCheck property layer (SURVEY.md §5.1): algebraic laws that must
+  * hold for any data, checked on generated inputs. Sampling is driven
+  * directly off Gen (scalatestplus is not on the offline classpath).
+  */
+class PropertySpec extends SparkSpec {
+
+  private def forAll[A](g: Gen[A], n: Int = 10)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i)).foreach(f)
+    }
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb))(t => f(t._1, t._2))
+
+  private def forAll[A, B, C](ga: Gen[A], gb: Gen[B], gc: Gen[C])(f: (A, B, C) => Unit): Unit =
+    forAll(Gen.zip(ga, gb, gc))(t => f(t._1, t._2, t._3))
+
+  private val smallInts = Gen.listOfN(30, Gen.choose(0, 9))
+
+  test("join algebra: semi = inner-project-distinct; anti = complement") {
+    import spark.implicits._
+    forAll(smallInts, smallInts) { (ls: List[Int], rs: List[Int]) =>
+      val l = ls.zipWithIndex.toDF("k", "lv")
+      val r = rs.zipWithIndex.toDF("k", "rv")
+      val semi = l.join(r, Seq("k"), "left_semi").select("k", "lv")
+      val viaInner = l.join(r.select("k").distinct(), Seq("k")).select("k", "lv")
+      assert(semi.exceptAll(viaInner).count() == 0)
+      assert(viaInner.exceptAll(semi).count() == 0)
+      val anti = l.join(r, Seq("k"), "left_anti").select("k", "lv")
+      assert(anti.count() + semi.count() == l.count())
+      assert(anti.intersect(semi).count() == 0)
+    }
+  }
+
+  test("union/except cardinality laws") {
+    import spark.implicits._
+    forAll(smallInts, smallInts) { (ls: List[Int], rs: List[Int]) =>
+      val l = ls.toDF("k")
+      val r = rs.toDF("k")
+      assert(l.unionAll(r).count() == ls.size + rs.size)
+      assert(l.exceptAll(r).count() + l.intersectAll(r).count() == ls.size)
+    }
+  }
+
+  test("window top-k equals groupwise sorted take") {
+    import spark.implicits._
+    forAll(Gen.listOfN(40, Gen.zip(Gen.choose(0, 4), Gen.choose(0, 1000)))) {
+      pairs: List[(Int, Int)] =>
+        val df = pairs.zipWithIndex.map { case ((g, v), i) => (g, v, i) }
+          .toDF("g", "v", "id")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy(col("v").desc, col("id").asc)
+        val topk = df.withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 3).select("g", "v", "id")
+          .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+        val expected = pairs.zipWithIndex
+          .map { case ((g, v), i) => (g, v, i) }
+          .groupBy(_._1).values
+          .flatMap(_.sortBy(t => (-t._2, t._3)).take(3)).toSet
+        assert(topk == expected)
+    }
+  }
+
+  test("dedup idempotence: distinct of distinct is distinct") {
+    import spark.implicits._
+    forAll(smallInts) { ls: List[Int] =>
+      val df = ls.toDF("k")
+      assert(df.distinct().count() == ls.distinct.size)
+      assert(df.distinct().distinct().count() == ls.distinct.size)
+    }
+  }
+
+  test("cosine: self-similarity 1, symmetry, scale invariance") {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(8, Gen.choose(-100, 100).map(_.toFloat))
+      .suchThat(v => v.exists(_ != 0f))
+    forAll(vecGen, vecGen, Gen.choose(1, 50)) {
+      (a: List[Float], b: List[Float], s: Int) =>
+        val df = Seq((a.toArray, b.toArray, a.map(_ * s).toArray))
+          .toDF("a", "b", "a_scaled")
+        val r = df.select(
+          VectorFunctions.cosineSim(col("a"), col("a")),
+          VectorFunctions.cosineSim(col("a"), col("b")),
+          VectorFunctions.cosineSim(col("b"), col("a")),
+          VectorFunctions.cosineSim(col("a_scaled"), col("b"))).head()
+        assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
+        assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-12)
+        assert(math.abs(r.getDouble(1) - r.getDouble(3)) < 1e-6)
+    }
+  }
+
+  test("approx_count_distinct within 5% of exact on fixture") {
+    val r = graft.queries.Hardening.a3ApproxDistinct(spark, sfDir).collect()
+    r.foreach { row =>
+      val (approx, exact) = (row.getLong(1), row.getLong(2))
+      // default rsd is 5% (a standard deviation, not a bound) — 10% envelope
+      assert(math.abs(approx - exact) <= math.max(2, exact * 0.10), row.toString)
+    }
+  }
+
+  test("percentile_approx within 2% of exact on fixture") {
+    val r = graft.queries.Hardening.a9ApproxPercentile(spark, sfDir).collect()
+    r.foreach { row =>
+      val (approx, exact) = (row.getDouble(1), row.getDouble(2))
+      assert(math.abs(approx - exact) / exact < 0.02, row.toString)
+    }
+  }
+
+  test("sortWithinPartitions orders every partition locally") {
+    val sorted = Tables.lineitem(spark, sfDir)
+      .repartition(4, col("l_returnflag"))
+      .sortWithinPartitions("l_extendedprice")
+      .select("l_extendedprice")
+    val violations = sorted.mapPartitions { it =>
+      var prev = Double.MinValue
+      var bad = 0
+      it.foreach { r =>
+        val v = r.getDouble(0)
+        if (v < prev) bad += 1
+        prev = v
+      }
+      Iterator(bad)
+    }(org.apache.spark.sql.Encoders.scalaInt).collect().sum
+    assert(violations == 0)
+  }
+}
