@@ -79,6 +79,60 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cos"), col("rn"))
   }
 
+  /** L5 scale path #2 — IVF (inverted-file) ANN: a KMeans coarse
+    * quantizer partitions the corpus into `nlist` cells; each query
+    * probes only its `nprobe` nearest cells, so the pair count is
+    * ~ n²·(nprobe/nlist) instead of n². The cell assignment is one
+    * KMeans fit + transform; probing is a broadcast join against the
+    * (tiny) centroid table. This is the standard IVF-flat layout used by
+    * vector stores, expressed in DataFrame ops.
+    */
+  def ivfTopK(
+      df: DataFrame,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    val feats = df.select(
+      col(idCol).as("id"), col(embCol).as("emb"),
+      array_to_vector(col(embCol)).as("features"))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nlist).setSeed(seed).setFeaturesCol("features")
+    val model = km.fit(feats)
+    val assigned = model.transform(feats)
+      .select(col("id"), col("emb"), col("prediction").as("cell"))
+
+    // tiny centroid table: nlist rows, broadcast everywhere
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq
+      .toDF("cell", "centroid")
+
+    // nprobe nearest cells per query vector
+    val wProbe = Window.partitionBy("id").orderBy(col("cdist").asc, col("cell").asc)
+    val probes = assigned.select(col("id"), col("emb"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdist", -dotProduct(col("emb"), col("centroid")) * 2 +
+        dotProduct(col("centroid"), col("centroid")))
+      .withColumn("pr", row_number().over(wProbe))
+      .where(col("pr") <= nprobe)
+      .select(col("id").as("q_id"), col("emb").as("q_emb"), col("cell"))
+
+    // compare only within probed cells
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id").asc)
+    probes
+      .join(assigned.select(col("id").as("c_id"), col("emb").as("c_emb"), col("cell")),
+        Seq("cell"))
+      .where(col("q_id") =!= col("c_id"))
+      .withColumn("cos", cosineSim(col("q_emb"), col("c_emb")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"), col("rn"))
+  }
+
   /** MLlib MinHashLSH near-dup join over token sets (the library route;
     * TextOps.minHashCandidates is the from-scratch route). */
   def minHashSimilarityJoin(

@@ -59,11 +59,22 @@ object Hardening {
     s.read.parquet(out).orderBy("n_regionkey")
   }
 
+  /** Salted skew join — semantics must equal the plain equi-join, so the
+    * oracle is the unsalted SQL join. */
+  val x4SaltedJoin: Q = (s, d) =>
+    graft.operators.SkewJoin.saltedJoin(
+      lineitem(s, d), orders(s, d),
+      "l_orderkey", "o_orderkey", "l_linenumber", saltFactor = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), r4(sum("l_quantity")).as("sum_qty"))
+      .orderBy("o_orderpriority")
+
   val queries: Map[String, Q] = Map(
     "a3_approx_distinct" -> a3ApproxDistinct,
     "a9_approx_percentile" -> a9ApproxPercentile,
     "o3_sort_within_partitions" -> o3SortWithinPartitions,
     "s4_parquet_sink" -> s4ParquetSink,
+    "x4_salted_join" -> x4SaltedJoin,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -75,5 +86,9 @@ object Hardening {
     "s4_parquet_sink" ->
       """SELECT n_regionkey, count(*) AS n_nations
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "x4_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items, round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 }

@@ -170,6 +170,11 @@ object LlmOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** IVF ANN (rows-only): KMeans coarse quantizer + nprobe cell search. */
+  val liIvfAnn: Q = (s, d) =>
+    Similarity.ivfTopK(embeddings(s, d), 3, nlist = 8, nprobe = 3)
+      .orderBy("q_id", "rn")
+
   /** SimHash signatures (no-oracle: xxhash64 seeds are engine-specific). */
   val lsSimhash: Q = (s, d) =>
     TextOps.simHash(documents(s, d), "doc_id", "text")
@@ -196,6 +201,7 @@ object LlmOps {
     "l3_cosine_pairs" -> l3CosinePairs,
     "l4_topk_neighbors" -> l4TopkNeighbors,
     "l5_ann_lsh" -> l5AnnLsh,
+    "li_ivf_ann" -> liIvfAnn,
     "l6_tokenize" -> l6Tokenize,
     "l7_wordcount" -> l7Wordcount,
     "l8_ngrams" -> l8Ngrams,

@@ -1,0 +1,48 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions injector: exposes the vector kernels to SQL.
+  *
+  * Activate with
+  * `.config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")`
+  * on a fresh session (or `GraftExtensions.register(spark)` on a live
+  * one); afterwards `SELECT cosine_sim(a.embedding, b.embedding) ...`
+  * parses and plans like a built-in — the same codegen Expressions as the
+  * Column API (`graft.functions.VectorFunctions`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(VectorKernels.getClass.getName, null,
+      name, usage, "", "", "", "", "", "", "built-in")
+
+  /** (identifier, info, builder) triples — one source of truth for both
+    * the injector and live-session registration. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays"),
+      (children: Seq[Expression]) =>
+        VectorKernels.CosineSimilarity(children(0), children(1))),
+    (FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - dot product of two float arrays"),
+      (children: Seq[Expression]) =>
+        VectorKernels.DotProduct(children(0), children(1))),
+    (FunctionIdentifier("l2_norm"),
+      info("l2_norm", "l2_norm(a) - Euclidean norm of a float array"),
+      (children: Seq[Expression]) =>
+        VectorKernels.L2Norm(children.head)))
+
+  /** Register the kernel functions on an already-running session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftExtensions
+
+import graft.operators.{Similarity, SkewJoin}
+
+class ExtensionsSpec extends SparkSpec {
+
+  test("kernels registered via extensions are callable from plain SQL") {
+    GraftExtensions.register(spark)
+    Tables.embeddings(spark, sfDir).limit(20).createOrReplaceTempView("emb_ext")
+    val rows = spark.sql(
+      """SELECT a.vec_id, cosine_sim(a.embedding, a.embedding) AS self_cos,
+        |       l2_norm(a.embedding) AS nrm,
+        |       dot_product(a.embedding, a.embedding) AS sq
+        |FROM emb_ext a""".stripMargin).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-9)
+      assert(math.abs(r.getDouble(2) * r.getDouble(2) - r.getDouble(3)) < 1e-6)
+    }
+  }
+
+  test("injector class wires all functions into SparkSessionExtensions") {
+    val ext = new SparkSessionExtensions
+    new org.apache.spark.sql.graft.GraftExtensions()(ext)
+    // registration is observable through the live-session path above;
+    // here we only assert the injector accepts the extension point
+    assert(GraftExtensions.functions.map(_._1.funcName).sorted ==
+      Seq("cosine_sim", "dot_product", "l2_norm"))
+  }
+
+  test("saltedJoin returns exactly the plain join result") {
+    val plain = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").count()
+    val salted = SkewJoin.saltedJoin(
+      Tables.lineitem(spark, sfDir), Tables.orders(spark, sfDir),
+      "l_orderkey", "o_orderkey", "l_linenumber", saltFactor = 5)
+      .groupBy("o_orderpriority").count()
+    assert(plain.exceptAll(salted).count() == 0)
+    assert(salted.exceptAll(plain).count() == 0)
+  }
+
+  test("ivfTopK recall >= 0.8 vs brute force on clustered vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val centroids = Array.fill(6)(Array.fill(16)(rnd.nextGaussian().toFloat * 10))
+    val vecs = (0 until 180).map { i =>
+      val c = centroids(i % 6)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.1).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(df, df, 5)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(df, 5, nlist = 6, nprobe = 2)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+}
