@@ -145,6 +145,49 @@ object Relational {
       .orderBy("s_suppkey")
   }
 
+  /** S2b: file-based CSV round-trip — write nation as real CSV files,
+    * read back with an explicit schema (no inference). */
+  val s2bCsvFile: Q = (s, d) => {
+    val out = new java.io.File("target/tmp/s2b_csv").getAbsolutePath
+    nation(s, d).write.mode("overwrite").option("header", "true").csv(out)
+    s.read
+      .schema(StructType.fromDDL("n_nationkey INT, n_name STRING, n_regionkey INT"))
+      .option("header", "true")
+      .csv(out)
+      .orderBy("n_nationkey")
+  }
+
+  /** S3b: file-based JSON-lines round-trip with explicit schema. */
+  val s3bJsonFile: Q = (s, d) => {
+    val out = new java.io.File("target/tmp/s3b_json").getAbsolutePath
+    region(s, d).write.mode("overwrite").json(out)
+    s.read
+      .schema(StructType.fromDDL("r_regionkey INT, r_name STRING"))
+      .json(out)
+      .orderBy("r_regionkey")
+  }
+
+  /** SQL front door: TPC-H Q5 shape (5-way join, region-filtered revenue
+    * by nation) through spark.sql over temp views — exercises the parser/
+    * analyzer path end to end. */
+  val q10SqlJoin5: Q = (s, d) => {
+    Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+      .foreach(name => Tables.t(s, d, name).createOrReplaceTempView(s"graft_$name"))
+    s.sql(
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        | count(*) AS n_items
+        |FROM graft_customer
+        |JOIN graft_orders   ON c_custkey = o_custkey
+        |JOIN graft_lineitem ON l_orderkey = o_orderkey
+        |JOIN graft_supplier ON l_suppkey = s_suppkey
+        |JOIN graft_nation   ON s_nationkey = n_nationkey
+        |JOIN graft_region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'AFRICA' AND c_nationkey = s_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin)
+  }
+
   /** S5: in-memory literal relation joined against a fixture table. */
   val s5InmemoryValues: Q = (s, d) => {
     val rows = Seq((0, "low"), (1, "mid"), (2, "high"), (3, "mid"), (4, "low"))
@@ -297,7 +340,10 @@ object Relational {
     "q8_dedup" -> q8Dedup,
     "q9_cosine_selfjoin" -> q9CosineSelfjoin,
     "s2_csv_roundtrip" -> s2CsvRoundtrip,
+    "s2b_csv_file" -> s2bCsvFile,
     "s3_json_roundtrip" -> s3JsonRoundtrip,
+    "s3b_json_file" -> s3bJsonFile,
+    "q10_sql_join5" -> q10SqlJoin5,
     "s5_inmemory_values" -> s5InmemoryValues,
     "p1_project_cast" -> p1ProjectCast,
     "p2_filter_complex" -> p2FilterComplex,
@@ -381,6 +427,23 @@ object Relational {
         |ORDER BY a_id, b_id""".stripMargin,
     "s2_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "s2b_csv_file" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "s3b_json_file" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q10_sql_join5" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        | count(*) AS n_items
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'AFRICA' AND c_nationkey = s_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
     "s3_json_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 4) AS acctbal4
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
