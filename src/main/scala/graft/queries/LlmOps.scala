@@ -170,6 +170,30 @@ object LlmOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** Embedding-cosine near-dup dedup: vectors with a near-duplicate at
+    * cos >= threshold keep only the lowest id as representative. */
+  val ldEmbeddingDedup: Q = (s, d) => {
+    val e = embeddings(s, d)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val dropped = a.join(broadcast(b), col("a_id") < col("b_id"))
+      .where(VectorFunctions.cosineSim(col("a_emb"), col("b_emb")) >= 0.95)
+      .select(col("b_id").as("vec_id")).distinct()
+    e.join(dropped, Seq("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("n_kept"))
+  }
+
+  /** Heavy-hitter vocabulary via the Misra-Gries TypedImperativeAggregate
+    * (X4). With capacity far above the distinct-token count the sketch is
+    * exact, so the oracle is plain top-k word count. */
+  val lhHeavyHitters: Q = (s, d) =>
+    documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(org.apache.spark.sql.graft.HeavyHitters.topK(col("tok"), 4096, 10).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.term").as("term"), col("e.min_count").as("n"))
+      .orderBy("term")
+
   /** IVF ANN (rows-only): KMeans coarse quantizer + nprobe cell search. */
   val liIvfAnn: Q = (s, d) =>
     Similarity.ivfTopK(embeddings(s, d), 3, nlist = 8, nprobe = 3)
@@ -202,6 +226,8 @@ object LlmOps {
     "l4_topk_neighbors" -> l4TopkNeighbors,
     "l5_ann_lsh" -> l5AnnLsh,
     "li_ivf_ann" -> liIvfAnn,
+    "ld_embedding_dedup" -> ldEmbeddingDedup,
+    "lh_heavy_hitters" -> lhHeavyHitters,
     "l6_tokenize" -> l6Tokenize,
     "l7_wordcount" -> l7Wordcount,
     "l8_ngrams" -> l8Ngrams,
@@ -222,6 +248,20 @@ object LlmOps {
       """SELECT sha256(text) AS content_sha256, min(doc_id) AS keep_id,
         | count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY content_sha256""".stripMargin,
+    "ld_embedding_dedup" ->
+      """SELECT count(*) AS n_kept FROM embeddings
+        |WHERE vec_id NOT IN (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])) >= 0.95)""".stripMargin,
+    "lh_heavy_hitters" ->
+      """SELECT tok AS term, CAST(n AS BIGINT) AS n FROM (
+        | SELECT tok, count(*) AS n,
+        |  row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS rn
+        | FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+        | GROUP BY tok) s
+        |WHERE rn <= 10 ORDER BY term""".stripMargin,
     "l3_cosine_pairs" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -94,4 +94,23 @@ class LlmOpsSpec extends SparkSpec {
       .select("sampled_blocks").head().getSeq[Array[Byte]](0)
     assert(blocks.map(new String(_)) == Seq("ab", "gh"))
   }
+
+  test("heavy hitters sketch finds the dominant term even under eviction pressure") {
+    import spark.implicits._
+    // 500 copies of "hot", 1 each of 2000 cold terms; capacity 64 << 2001
+    val rows = Seq.fill(500)("hot") ++ (0 until 2000).map(i => s"cold_$i")
+    val df = scala.util.Random.shuffle(rows).toDF("tok").repartition(8)
+    val hh = df.agg(
+      org.apache.spark.sql.graft.HeavyHitters.topK(
+        org.apache.spark.sql.functions.col("tok"), 64, 3).as("hh"))
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.col("hh")).as("e"))
+      .select("e.term", "e.min_count")
+      .collect()
+    // Misra-Gries guarantee: any term with freq > n/capacity (2500/64 = 39)
+    // must survive with min_count >= freq - n/capacity
+    val hot = hh.find(_.getString(0) == "hot")
+    assert(hot.isDefined, s"hot term evicted: ${hh.map(_.getString(0)).toSeq}")
+    assert(hot.get.getLong(1) >= 500 - 2500 / 64)
+  }
 }
