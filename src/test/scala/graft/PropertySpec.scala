@@ -131,4 +131,34 @@ class PropertySpec extends SparkSpec {
     }(org.apache.spark.sql.Encoders.scalaInt).collect().sum
     assert(violations == 0)
   }
+
+  test("session_window matches hand-computed gaps-and-islands on random data") {
+    import spark.implicits._
+    val gapSec = 600
+    forAll(Gen.listOfN(60, Gen.zip(Gen.choose(1, 3), Gen.choose(0L, 86400L))), 5) {
+      events: List[(Int, Long)] =>
+        val df = events.map { case (u, s) =>
+          (u.toLong, new java.sql.Timestamp(1704067200000L + s * 1000))
+        }.toDF("user_id", "ts")
+        val spark_ = df
+          .groupBy(session_window(col("ts"), s"$gapSec seconds"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("user_id"), unix_timestamp(col("session_window.start")).as("start_s"), col("n"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val expected = events
+          .map { case (u, s) => (u.toLong, 1704067200L + s) }
+          .groupBy(_._1).flatMap { case (u, rows) =>
+            val ts = rows.map(_._2).sorted
+            val sessions = ts.foldLeft(List.empty[List[Long]]) { (acc, t) =>
+              acc match {
+                case (cur @ (last :: _)) :: rest if t - last < gapSec =>
+                  (t :: cur) :: rest
+                case _ => List(t) :: acc
+              }
+            }
+            sessions.map(sess => (u, sess.min, sess.size.toLong))
+          }.toSet
+        assert(spark_ == expected, s"spark=$spark_ expected=$expected")
+    }
+  }
 }
