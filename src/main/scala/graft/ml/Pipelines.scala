@@ -103,6 +103,39 @@ object Pipelines {
     (best.getRegParam, model.avgMetrics.max)
   }
 
+  /** M4 (ensemble): seeded random forest on the embeddings table. */
+  def fitRandomForest(embeddings: DataFrame, trees: Int = 20, seed: Long = 42L): PipelineModel = {
+    val rf = new org.apache.spark.ml.classification.RandomForestClassifier()
+      .setNumTrees(trees).setMaxDepth(8).setSeed(seed)
+      .setFeaturesCol("features").setLabelCol("label")
+    new Pipeline().setStages(Array(rf)).fit(embeddingFeatures(embeddings))
+  }
+
+  /** M4 (generative): Gaussian naive Bayes — the only NB modelType that
+    * accepts the negative-valued embedding features. */
+  def fitNaiveBayes(embeddings: DataFrame): PipelineModel = {
+    val nb = new org.apache.spark.ml.classification.NaiveBayes()
+      .setModelType("gaussian").setFeaturesCol("features").setLabelCol("label")
+    new Pipeline().setStages(Array(nb)).fit(embeddingFeatures(embeddings))
+  }
+
+  /** M10: fit a deterministic feature-only pipeline, save it, load it
+    * back, and return the LOADED model — callers transform with it, so
+    * persistence is exercised on the oracle-checked path. */
+  def saveLoadFeaturePipeline(customer: DataFrame): PipelineModel = {
+    val idx = new StringIndexer()
+      .setInputCol("c_mktsegment").setOutputCol("seg_idx")
+      .setStringOrderType("frequencyDesc")
+    val buck = new Bucketizer()
+      .setInputCol("c_acctbal").setOutputCol("bucket")
+      .setSplits(Array(Double.NegativeInfinity, 0.0, 2500.0, 5000.0, 7500.0,
+        Double.PositiveInfinity))
+    val model = new Pipeline().setStages(Array(idx, buck)).fit(customer)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pipeline_").toString
+    model.write.overwrite().save(dir)
+    PipelineModel.load(dir)
+  }
+
   def accuracy(preds: DataFrame, labelCol: String = "label"): Double =
     new MulticlassClassificationEvaluator()
       .setLabelCol(labelCol).setPredictionCol("prediction")

@@ -31,7 +31,10 @@ object Bucketing {
       leftKey: String,
       rightKey: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    spark.table(leftTable)
-      .join(spark.table(rightTable), col(leftKey) === col(rightKey))
+    // Qualify both sides: in the typical fact⋈fact case the bucket key
+    // has the SAME name on both tables, and an unqualified
+    // col(k) === col(k) raises AMBIGUOUS_REFERENCE.
+    spark.table(leftTable).as("l")
+      .join(spark.table(rightTable).as("r"), col(s"l.$leftKey") === col(s"r.$rightKey"))
   }
 }

@@ -113,6 +113,93 @@ object MlQueries {
       .orderBy("user")
   }
 
+  /** M1b: OneHotEncoder over the StringIndexer output (dropLast default)
+    * rendered as indicator columns — fully deterministic, oracle-able. */
+  val m9Onehot: Q = (s, d) => {
+    val idx = new StringIndexer()
+      .setInputCol("c_mktsegment").setOutputCol("seg_idx")
+      .setStringOrderType("frequencyDesc")
+    val ohe = new org.apache.spark.ml.feature.OneHotEncoder()
+      .setInputCol("seg_idx").setOutputCol("seg_vec")
+    val base = customer(s, d)
+    val fitted = new org.apache.spark.ml.Pipeline()
+      .setStages(Array(idx, ohe)).fit(base)
+    val oh = vector_to_array(col("seg_vec"))
+    fitted.transform(base).select(
+      col("c_custkey"),
+      element_at(oh, 1).cast("int").as("oh0"),
+      element_at(oh, 2).cast("int").as("oh1"),
+      element_at(oh, 3).cast("int").as("oh2"),
+      element_at(oh, 4).cast("int").as("oh3"))
+      .orderBy("c_custkey")
+  }
+
+  /** M2b: MinMaxScaler — column form (x - min) / (max - min). */
+  val m10MinmaxScale: Q = (s, d) => {
+    val df = customer(s, d).select(
+      col("c_custkey"),
+      org.apache.spark.ml.functions.array_to_vector(array(col("c_acctbal"))).as("v"))
+    val scaler = new org.apache.spark.ml.feature.MinMaxScaler()
+      .setInputCol("v").setOutputCol("scaled")
+    scaler.fit(df).transform(df)
+      .select(col("c_custkey"),
+        r4(element_at(vector_to_array(col("scaled")), 1)).as("bal_01"))
+      .orderBy("c_custkey")
+  }
+
+  /** M3b (rows-only): QuantileDiscretizer — approx-quantile splits make
+    * the exact assignment engine-specific; spec asserts near-equal
+    * occupancy instead. */
+  val m11QuantileDisc: Q = (s, d) => {
+    val qd = new org.apache.spark.ml.feature.QuantileDiscretizer()
+      .setInputCol("c_acctbal").setOutputCol("qbucket")
+      .setNumBuckets(4).setRelativeError(0.0)
+    qd.fit(customer(s, d)).transform(customer(s, d))
+      .groupBy(col("qbucket").cast("int").as("qbucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("qbucket")
+  }
+
+  /** M4b (rows-only): seeded random forest — confusion counts. */
+  val m12RandomForest: Q = (s, d) => {
+    val model = Pipelines.fitRandomForest(embeddings(s, d))
+    model.transform(Pipelines.embeddingFeatures(embeddings(s, d)))
+      .groupBy(col("label").cast("int").as("label"),
+        col("prediction").cast("int").as("prediction"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "prediction")
+  }
+
+  /** M4c (rows-only): gaussian naive Bayes — per-class prediction counts. */
+  val m13NaiveBayes: Q = (s, d) => {
+    val model = Pipelines.fitNaiveBayes(embeddings(s, d))
+    model.transform(Pipelines.embeddingFeatures(embeddings(s, d)))
+      .groupBy(col("prediction").cast("int").as("prediction"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("prediction")
+  }
+
+  /** M9 (rows-only): CrossValidator model selection — the chosen
+    * hyper-parameter on a seeded 2-fold grid. */
+  val m14Crossval: Q = (s, d) => {
+    val (bestReg, _) =
+      Pipelines.crossValidateLogistic(Pipelines.embeddingFeatures(embeddings(s, d)))
+    s.range(1).select(r4(lit(bestReg)).as("best_reg_param"))
+  }
+
+  /** M10: pipeline persistence — save + load a deterministic feature
+    * pipeline, transform with the LOADED model; oracle-checked, so a
+    * broken round-trip fails the hash compare. */
+  val m15PipelinePersist: Q = (s, d) => {
+    val base = customer(s, d)
+    val loaded = Pipelines.saveLoadFeaturePipeline(base)
+    loaded.transform(base)
+      .select(col("c_custkey"),
+        col("seg_idx").cast("int").as("seg_idx"),
+        col("bucket").cast("int").as("bucket"))
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "m1_string_indexer" -> m1StringIndexer,
     "m2_standard_scale" -> m2StandardScale,
@@ -122,6 +209,13 @@ object MlQueries {
     "m5_linreg" -> m5Linreg,
     "m6_kmeans" -> m6Kmeans,
     "m7_als" -> m7Als,
+    "m9_onehot" -> m9Onehot,
+    "m10_minmax_scale" -> m10MinmaxScale,
+    "m11_quantile_disc" -> m11QuantileDisc,
+    "m12_random_forest" -> m12RandomForest,
+    "m13_naive_bayes" -> m13NaiveBayes,
+    "m14_crossval" -> m14Crossval,
+    "m15_pipeline_persist" -> m15PipelinePersist,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -151,5 +245,35 @@ object MlQueries {
         | round(avg(CASE WHEN prediction = label THEN 1.0 ELSE 0.0 END), 4) AS accuracy,
         | round(sqrt(avg((reg_prediction - label) * (reg_prediction - label))), 4) AS rmse
         |FROM p""".stripMargin,
+    "m9_onehot" ->
+      """WITH m AS (
+        | SELECT c_mktsegment,
+        |        dense_rank() OVER (ORDER BY cnt DESC, c_mktsegment ASC) - 1 AS idx
+        | FROM (SELECT c_mktsegment, count(*) AS cnt FROM customer GROUP BY 1) t)
+        |SELECT c.c_custkey,
+        | CAST(CASE WHEN m.idx = 0 THEN 1 ELSE 0 END AS INT) AS oh0,
+        | CAST(CASE WHEN m.idx = 1 THEN 1 ELSE 0 END AS INT) AS oh1,
+        | CAST(CASE WHEN m.idx = 2 THEN 1 ELSE 0 END AS INT) AS oh2,
+        | CAST(CASE WHEN m.idx = 3 THEN 1 ELSE 0 END AS INT) AS oh3
+        |FROM customer c JOIN m USING (c_mktsegment)
+        |ORDER BY c_custkey""".stripMargin,
+    "m10_minmax_scale" ->
+      """SELECT c_custkey,
+        | round((c_acctbal - min(c_acctbal) OVER ()) /
+        |       (max(c_acctbal) OVER () - min(c_acctbal) OVER ()), 4) AS bal_01
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "m15_pipeline_persist" ->
+      """WITH m AS (
+        | SELECT c_mktsegment,
+        |        CAST(dense_rank() OVER (ORDER BY cnt DESC, c_mktsegment ASC) - 1 AS INT) AS seg_idx
+        | FROM (SELECT c_mktsegment, count(*) AS cnt FROM customer GROUP BY 1) t)
+        |SELECT c.c_custkey, m.seg_idx,
+        | CASE WHEN c_acctbal < 0 THEN 0
+        |      WHEN c_acctbal < 2500 THEN 1
+        |      WHEN c_acctbal < 5000 THEN 2
+        |      WHEN c_acctbal < 7500 THEN 3
+        |      ELSE 4 END AS bucket
+        |FROM customer c JOIN m USING (c_mktsegment)
+        |ORDER BY c_custkey""".stripMargin,
   )
 }

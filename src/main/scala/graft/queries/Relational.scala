@@ -217,7 +217,9 @@ object Relational {
       .where((col("l_quantity") > 45 && col("l_discount") < 0.02) ||
              (!(col("l_returnflag") === "N") && col("l_tax") > 0.07))
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag", "l_tax")
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is NOT unique in the fixtures — order
+      // by every output column so tie order can't differ cross-engine.
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag", "l_tax")
 
   /** P3: IN, BETWEEN, LIKE, IS NULL, null-safe equality. */
   val p3FilterInBetweenLike: Q = (s, d) =>
@@ -462,7 +464,7 @@ object Relational {
         |FROM lineitem
         |WHERE (l_quantity > 45 AND l_discount < 0.02)
         |   OR (NOT (l_returnflag = 'N') AND l_tax > 0.07)
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag, l_tax""".stripMargin,
     "p3_filter_in_between_like" ->
       """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
         |FROM (SELECT *, CASE WHEN c_acctbal < 0 THEN NULL ELSE c_mktsegment END AS seg_or_null

@@ -94,18 +94,20 @@ object TimeJson {
         |GROUP BY 1, 2
         |ORDER BY win_start_s, user_id""".stripMargin,
     "t2_sliding_window" ->
-      """WITH starts AS (
-        |  SELECT unnest(generate_series(
-        |    TIMESTAMP '2023-12-31 23:15:00', TIMESTAMP '2024-01-31 00:00:00',
-        |    INTERVAL 15 MINUTE)) AS s),
+      """WITH b AS (
+        |  SELECT CAST(floor(epoch(min(CAST(ts AS TIMESTAMP))) / 900) AS BIGINT) * 900 - 2700 AS lo_s,
+        |         CAST(floor(epoch(max(CAST(ts AS TIMESTAMP))) / 900) AS BIGINT) * 900 AS hi_s
+        |  FROM events),
+        |starts AS (
+        |  SELECT unnest(generate_series(lo_s, hi_s, 900)) AS s_s FROM b),
         |win AS (
-        |  SELECT s, count(*) AS n_events,
+        |  SELECT s_s, count(*) AS n_events,
         |   min(e.value) AS min_value, max(e.value) AS max_value
         |  FROM starts JOIN events e
-        |    ON CAST(e.ts AS TIMESTAMP) >= s
-        |   AND CAST(e.ts AS TIMESTAMP) < s + INTERVAL 1 HOUR
-        |  GROUP BY s)
-        |SELECT CAST(epoch(s) AS BIGINT) AS win_start_s, n_events, min_value, max_value
+        |    ON epoch(CAST(e.ts AS TIMESTAMP)) >= s_s
+        |   AND epoch(CAST(e.ts AS TIMESTAMP)) < s_s + 3600
+        |  GROUP BY s_s)
+        |SELECT s_s AS win_start_s, n_events, min_value, max_value
         |FROM win ORDER BY win_start_s""".stripMargin,
     "t3_session_window" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

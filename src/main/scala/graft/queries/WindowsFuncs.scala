@@ -194,7 +194,12 @@ object WindowsFuncs {
     lineitem(s, d)
       .select(
         col("l_orderkey"), col("l_linenumber"),
-        r4(round(col("l_extendedprice"), 1)).as("price_r1"),
+        // round-to-1-decimal via explicit IEEE ops (mul, add, floor, div)
+        // so both engines compute bit-identical doubles; Spark's
+        // round(double, 1) goes through BigDecimal HALF_UP on the
+        // shortest decimal repr, which diverges from DuckDB at
+        // representation-boundary values (ADVICE r01).
+        (floor(col("l_extendedprice") * 10 + 0.5) / 10).as("price_r1"),
         floor(col("l_quantity")).as("qty_floor"),
         ceil(col("l_discount") * 100).as("disc_pct_ceil"),
         abs(col("l_quantity") - 25).as("qty_dev"),
@@ -203,7 +208,10 @@ object WindowsFuncs {
         r4(log(col("l_extendedprice"))).as("price_ln"),
         r4(log10(col("l_extendedprice"))).as("price_log10"),
         pmod(col("l_orderkey"), lit(7)).as("key_mod7"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is NOT unique in the fixtures — break
+      // ties on the deterministic derived columns for a total order.
+      .orderBy("l_orderkey", "l_linenumber", "price_r1", "qty_floor",
+        "qty_dev", "disc_pct_ceil", "tax_sq")
 
   /** F5: conditional expressions. */
   val f5Conditional: Q = (s, d) =>
@@ -417,7 +425,7 @@ object WindowsFuncs {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "f4_math" ->
       """SELECT l_orderkey, l_linenumber,
-        | round(round(l_extendedprice, 1), 4) AS price_r1,
+        | floor(l_extendedprice * 10 + 0.5) / 10 AS price_r1,
         | floor(l_quantity) AS qty_floor,
         | ceil(l_discount * 100) AS disc_pct_ceil,
         | abs(l_quantity - 25) AS qty_dev,
@@ -426,7 +434,9 @@ object WindowsFuncs {
         | round(ln(l_extendedprice), 4) AS price_ln,
         | round(log10(l_extendedprice), 4) AS price_log10,
         | l_orderkey % 7 AS key_mod7
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, price_r1, qty_floor, qty_dev,
+        |         disc_pct_ceil, tax_sq""".stripMargin,
     "f5_conditional" ->
       """SELECT c_custkey,
         | CASE WHEN c_acctbal > 5000 THEN 'high'

@@ -54,11 +54,15 @@ object StreamingOps {
         unix_timestamp(col("window.start")).as("win_start_s"),
         col("event_type"), col("n_events"))
 
-  /** T5: streaming dedup by key within the watermark horizon. */
+  /** T5: streaming dedup by key within the watermark horizon.
+    * `dropDuplicatesWithinWatermark` (not plain `dropDuplicates`) so the
+    * per-key dedup state is evicted once the watermark passes — plain
+    * dropDuplicates on a non-event-time key keeps state forever and
+    * OOMs on an unbounded stream. */
   def dedupCountsByType(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_unique"))
 

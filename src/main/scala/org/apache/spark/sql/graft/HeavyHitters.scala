@@ -41,17 +41,23 @@ case class HeavyHitters(
     mutable.HashMap.empty
 
   private def offer(buf: mutable.HashMap[String, Long], term: String, by: Long): Unit = {
-    buf.get(term) match {
-      case Some(c) => buf.update(term, c + by)
-      case None if buf.size < capacity => buf.update(term, by)
-      case None =>
-        // Misra–Gries decrement step: charge every counter, evict zeros
-        val dec = by
-        val dead = mutable.ArrayBuffer.empty[String]
-        buf.foreach { case (t, c) =>
-          if (c <= dec) dead += t else buf.update(t, c - dec)
-        }
-        dead.foreach(buf.remove)
+    // Mergeable-summaries MG (Agarwal et al., PODS'12): always credit the
+    // incoming term first, then if over capacity subtract the minimum
+    // counter (the (capacity+1)-th largest, since we grow by one at a
+    // time) from every counter and evict the non-positive ones. Each
+    // decrement event destroys ≥ (capacity+1)·dec total weight, so any
+    // term's undercount stays ≤ n/(capacity+1) — a heavy term offered
+    // with a large weight (e.g. from a partial sketch of clustered
+    // input) survives with its residual count instead of being dropped.
+    buf.update(term, buf.getOrElse(term, 0L) + by)
+    if (buf.size > capacity) {
+      var dec = Long.MaxValue
+      buf.foreach { case (_, c) => if (c < dec) dec = c }
+      val dead = mutable.ArrayBuffer.empty[String]
+      buf.foreach { case (t, c) =>
+        if (c <= dec) dead += t else buf.update(t, c - dec)
+      }
+      dead.foreach(buf.remove)
     }
   }
 

@@ -52,18 +52,28 @@ object VectorKernels {
       if (denom == 0.0) 0.0 else dot / denom
     }
 
-    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      // Every local MUST be ctx.freshName'd: two instances of this
+      // expression can be fused into ONE codegen function (e.g. the join
+      // condition and the projection), and fixed names then redefine,
+      // janino rejects the class, and the whole stage silently falls
+      // back to the interpreter (observed in r01 verify logs).
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny"); val x = ctx.freshName("x")
+      val y = ctx.freshName("y"); val denom = ctx.freshName("denom")
       nullSafeCodeGen(ctx, ev, (a, b) => s"""
-        |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-        |double dot = 0.0, nx = 0.0, ny = 0.0;
-        |for (int i = 0; i < n; i++) {
-        |  double x = (double) $a.getFloat(i);
-        |  double y = (double) $b.getFloat(i);
-        |  dot += x * y; nx += x * x; ny += y * y;
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  double $x = (double) $a.getFloat($i);
+        |  double $y = (double) $b.getFloat($i);
+        |  $dot += $x * $y; $nx += $x * $x; $ny += $y * $y;
         |}
-        |double denom = java.lang.Math.sqrt(nx) * java.lang.Math.sqrt(ny);
-        |${ev.value} = (denom == 0.0) ? 0.0 : dot / denom;
+        |double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+        |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
         """.stripMargin)
+    }
 
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
@@ -89,15 +99,18 @@ object VectorKernels {
       dot
     }
 
-    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
       nullSafeCodeGen(ctx, ev, (a, b) => s"""
-        |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-        |double dot = 0.0;
-        |for (int i = 0; i < n; i++) {
-        |  dot += ((double) $a.getFloat(i)) * ((double) $b.getFloat(i));
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double $dot = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  $dot += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
         |}
-        |${ev.value} = dot;
+        |${ev.value} = $dot;
         """.stripMargin)
+    }
 
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
@@ -120,14 +133,17 @@ object VectorKernels {
       math.sqrt(s)
     }
 
-    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val s = ctx.freshName("s"); val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
       nullSafeCodeGen(ctx, ev, a => s"""
-        |double s = 0.0;
-        |for (int i = 0; i < $a.numElements(); i++) {
-        |  double x = (double) $a.getFloat(i); s += x * x;
+        |double $s = 0.0;
+        |for (int $i = 0; $i < $a.numElements(); $i++) {
+        |  double $x = (double) $a.getFloat($i); $s += $x * $x;
         |}
-        |${ev.value} = java.lang.Math.sqrt(s);
+        |${ev.value} = java.lang.Math.sqrt($s);
         """.stripMargin)
+    }
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)

@@ -34,4 +34,26 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS ord_bucketed")
     }
   }
+
+  test("bucketedJoin handles the same-named key on both sides (fact-fact case)") {
+    Bucketing.writeBucketed(
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("okey"), col("l_quantity")),
+      "lq_bucketed", "okey", buckets = 4)
+    Bucketing.writeBucketed(
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey").as("okey"), col("o_orderpriority")),
+      "op_bucketed", "okey", buckets = 4)
+    try {
+      val joined = Bucketing.bucketedJoin(
+        spark, "lq_bucketed", "op_bucketed", "okey", "okey")
+      val expected = Tables.lineitem(spark, sfDir)
+        .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+        .count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS lq_bucketed")
+      spark.sql("DROP TABLE IF EXISTS op_bucketed")
+    }
+  }
 }

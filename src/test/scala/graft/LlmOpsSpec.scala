@@ -113,4 +113,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(hot.isDefined, s"hot term evicted: ${hh.map(_.getString(0)).toSeq}")
     assert(hot.get.getLong(1) >= 500 - 2500 / 64)
   }
+
+  test("heavy hitters merge keeps a term heavy in one partition of clustered input") {
+    import spark.implicits._
+    // Adversarial layout (ADVICE r01): one partition is ONLY cold terms,
+    // another is ONLY the hot term — the merge path must credit the
+    // incoming sketch's counts before any decrement, or hot is dropped.
+    val sc = spark.sparkContext
+    val cold = sc.parallelize((0 until 2000).map(i => s"cold_$i"), 1)
+    val hotp = sc.parallelize(Seq.fill(500)("hot"), 1)
+    val df = spark.createDataset(cold.union(hotp)).toDF("tok")
+    val hh = df.agg(
+      org.apache.spark.sql.graft.HeavyHitters.topK(
+        org.apache.spark.sql.functions.col("tok"), 64, 3).as("hh"))
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.col("hh")).as("e"))
+      .select("e.term", "e.min_count")
+      .collect()
+    val hot = hh.find(_.getString(0) == "hot")
+    assert(hot.isDefined, s"hot term evicted after merge: ${hh.map(_.getString(0)).toSeq}")
+    // freq 500 > n/(capacity+1) = 2500/65 ≈ 38.5 → must survive with
+    // residual ≥ freq - n/(capacity+1)
+    assert(hot.get.getLong(1) >= 500 - 2500 / 65)
+  }
 }

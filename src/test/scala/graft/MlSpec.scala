@@ -93,6 +93,41 @@ class MlSpec extends SparkSpec {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
+  test("M4b: random forest separates gaussian blobs (acc > 0.95)") {
+    val df = blobs()
+    val rf = new org.apache.spark.ml.classification.RandomForestClassifier()
+      .setNumTrees(10).setSeed(42).setFeaturesCol("features").setLabelCol("label")
+    val preds = rf.fit(df).transform(df)
+    assert(Pipelines.accuracy(preds) > 0.95)
+  }
+
+  test("M4c: gaussian naive Bayes separates gaussian blobs (acc > 0.95)") {
+    val df = blobs()
+    val nb = new org.apache.spark.ml.classification.NaiveBayes()
+      .setModelType("gaussian").setFeaturesCol("features").setLabelCol("label")
+    val preds = nb.fit(df).transform(df)
+    assert(Pipelines.accuracy(preds) > 0.95)
+  }
+
+  test("M3b: exact quantile discretizer gives near-equal bucket occupancy") {
+    val counts = graft.queries.MlQueries.m11QuantileDisc(spark, sfDir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set(0, 1, 2, 3), s"buckets: ${counts.keySet}")
+    val n = counts.values.sum.toDouble
+    counts.values.foreach(c => assert(math.abs(c / n - 0.25) < 0.05, counts.toString))
+  }
+
+  test("M10: loaded feature pipeline equals the in-memory fit") {
+    val base = Tables.customer(spark, sfDir)
+    val loaded = Pipelines.saveLoadFeaturePipeline(base)
+    val out = loaded.transform(base).select("c_custkey", "seg_idx", "bucket")
+    // spot-check against direct computation
+    val direct = graft.queries.MlQueries.m15PipelinePersist(spark, sfDir)
+    assert(out.exceptAll(
+      direct.select(col("c_custkey"), col("seg_idx").cast("double"),
+        col("bucket").cast("double"))).count() == 0)
+  }
+
   test("M8: evaluator metrics equal their SQL formulas") {
     val row = graft.queries.MlQueries.m8EvalMetrics(spark, sfDir).head()
     val e = Tables.embeddings(spark, sfDir)

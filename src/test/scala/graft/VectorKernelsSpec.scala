@@ -57,4 +57,30 @@ class VectorKernelsSpec extends SparkSpec {
       .where(col("c") < 0.9999999999).count()
     assert(selfs == 0)
   }
+
+  test("multiple kernel instances fuse into one codegen stage without fallback") {
+    // Regression (r01): fixed local names in doGenCode made janino reject
+    // the fused class ("Redefinition of local variable i") and the stage
+    // silently ran interpreted. factoryMode=CODEGEN_ONLY turns that
+    // silent fallback into a hard failure.
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val r = df.where(col("id") === 3).select(
+        cosineSim(col("a"), col("b")).as("c1"),
+        cosineSim(col("b"), col("a")).as("c2"),
+        dotProduct(col("a"), col("b")).as("d1"),
+        dotProduct(col("b"), col("a")).as("d2"),
+        l2Norm(col("a")).as("n1"),
+        l2Norm(col("b")).as("n2"))
+        .head()
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+      assert(r.getDouble(0) == r.getDouble(1))
+      assert(r.getDouble(2) == 18.0 && r.getDouble(3) == 18.0)
+      assert(r.getDouble(4) == 3.0 && r.getDouble(5) == 6.0)
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+    }
+  }
 }
