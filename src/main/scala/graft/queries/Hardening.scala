@@ -59,6 +59,36 @@ object Hardening {
     s.read.parquet(out).orderBy("n_regionkey")
   }
 
+  /** O1: explicit global multi-key sort with mixed direction and
+    * NULLS FIRST / NULLS LAST (the one O-row q7 doesn't exercise).
+    * A derived nullable column makes the null ordering observable. */
+  val o1SortNulls: Q = (s, d) =>
+    customer(s, d)
+      .withColumn("bal_pos",
+        when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")))
+      .select("c_custkey", "c_mktsegment", "bal_pos")
+      .orderBy(
+        asc("c_mktsegment"),
+        desc_nulls_first("bal_pos"),
+        asc("c_custkey"))
+
+  /** S6: partitioned parquet sink + pruned readback — at 100 TB this is
+    * THE layout decision (a predicate on the partition column prunes
+    * whole directories before any IO). PlanSpec asserts the read shows
+    * PartitionFilters; here the oracle checks result equality. */
+  val s6PartitionedSink: Q = (s, d) => {
+    val out = new java.io.File("target/tmp/s6_sink").getAbsolutePath
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    s.read.parquet(out)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), r4(sum("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Salted skew join — semantics must equal the plain equi-join, so the
     * oracle is the unsalted SQL join. */
   val x4SaltedJoin: Q = (s, d) =>
@@ -75,6 +105,8 @@ object Hardening {
     "o3_sort_within_partitions" -> o3SortWithinPartitions,
     "s4_parquet_sink" -> s4ParquetSink,
     "x4_salted_join" -> x4SaltedJoin,
+    "o1_sort_nulls" -> o1SortNulls,
+    "s6_partitioned_sink" -> s6PartitionedSink,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -89,6 +121,16 @@ object Hardening {
     "x4_salted_join" ->
       """SELECT o_orderpriority, count(*) AS n_items, round(sum(l_quantity), 4) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "o1_sort_nulls" ->
+      """SELECT c_custkey, c_mktsegment,
+        | CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_pos
+        |FROM customer
+        |ORDER BY c_mktsegment ASC, bal_pos DESC NULLS FIRST, c_custkey ASC""".stripMargin,
+    "s6_partitioned_sink" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        | round(sum(o_totalprice), 4) AS sum_price
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 }

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming operators (SURVEY.md §2.9 T4–T8).
@@ -80,6 +80,33 @@ object StreamingOps {
           state.update(n)
           Iterator((user, n))
       }
+      .toDF("user_id", "n_events")
+  }
+
+  /** T6b: the same running per-user count via the Spark 4.x
+    * `transformWithState` StatefulProcessor API — typed named state with
+    * optional TTL, RocksDB-backed (the state-store provider must be
+    * RocksDBStateStoreProvider; HDFS-backed stores reject this operator).
+    * At scale this is the preferred stateful primitive: state lives off
+    * the JVM heap and TTL bounds it without watermark gymnastics. */
+  class RunningCountProcessor extends StatefulProcessor[Long, Long, (Long, Long)] {
+    @transient private var countState: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      countState = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long, rows: Iterator[Long], timerValues: TimerValues): Iterator[(Long, Long)] = {
+      val n = (if (countState.exists()) countState.get() else 0L) + rows.size
+      countState.update(n)
+      Iterator((key, n))
+    }
+  }
+
+  def runningUserCountsTWS(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").as[Long])
+      .groupByKey(identity)
+      .transformWithState(new RunningCountProcessor, TimeMode.None(), OutputMode.Update())
       .toDF("user_id", "n_events")
   }
 

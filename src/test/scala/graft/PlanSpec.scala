@@ -58,4 +58,18 @@ class PlanSpec extends SparkSpec {
     val semi = planOf(Relational.j4SemiJoin(spark, sfDir))
     assert(semi.contains("LeftSemi"), s"no semi join:\n$semi")
   }
+
+  test("s6: partition-column predicate prunes directories (PartitionFilters, no data filter)") {
+    // write the partitioned layout, then check the pruned readback plan
+    graft.queries.Hardening.s6PartitionedSink(spark, sfDir).count()
+    val out = new java.io.File("target/tmp/s6_sink").getAbsolutePath
+    val pruned = spark.read.parquet(out)
+      .where(col("o_orderpriority") === "1-URGENT")
+    val plan = planOf(pruned)
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderpriority"),
+      s"partition filter not applied at scan:\n$plan")
+    // the predicate must NOT degrade into a post-scan row filter
+    assert(!plan.contains("PushedFilters: [IsNotNull(o_orderpriority)"),
+      s"partition predicate leaked into data filters:\n$plan")
+  }
 }

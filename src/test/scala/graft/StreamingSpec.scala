@@ -42,6 +42,37 @@ class StreamingSpec extends SparkSpec {
     assert(!rows.exists(_._2 == "late"), s"late row leaked: ${rows.toSeq}")
   }
 
+  test("T6b: transformWithState accumulates per-key counts (RocksDB state store)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val source = MemoryStream[Long]
+    val counted = StreamingOps.runningUserCountsTWS(
+      source.toDF().toDF("user_id"))
+    val q = counted.writeStream.format("memory")
+      .queryName("t6b_test_sink").outputMode(OutputMode.Update()).start()
+    try {
+      source.addData(1L, 1L, 2L)
+      q.processAllAvailable()
+      source.addData(1L, 2L, 2L)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    // Update-mode sink keeps one row per (key, batch); the LAST row per
+    // key carries the running total.
+    val last = spark.table("t6b_test_sink").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).max }
+    assert(last == Map(1L -> 3L, 2L -> 3L), s"got $last")
+  }
+
   test("T5: dropDuplicatesWithinWatermark dedups repeated keys across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
