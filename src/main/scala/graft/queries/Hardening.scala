@@ -59,6 +59,20 @@ object Hardening {
     s.read.parquet(out).orderBy("n_regionkey")
   }
 
+  /** S7: ORC sink + source round-trip (Spark ships native ORC support;
+    * the oracle recomputes from the parquet fixture, so a lossy
+    * round-trip — types, nulls, ordering — fails the compare). */
+  val s7OrcRoundtrip: Q = (s, d) => {
+    val out = new java.io.File("target/tmp/s7_orc").getAbsolutePath
+    supplier(s, d)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+      .write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_sups"), r4(sum("s_acctbal")).as("sum_bal"))
+      .orderBy("s_nationkey")
+  }
+
   /** O1: explicit global multi-key sort with mixed direction and
     * NULLS FIRST / NULLS LAST (the one O-row q7 doesn't exercise).
     * A derived nullable column makes the null ordering observable. */
@@ -107,6 +121,7 @@ object Hardening {
     "x4_salted_join" -> x4SaltedJoin,
     "o1_sort_nulls" -> o1SortNulls,
     "s6_partitioned_sink" -> s6PartitionedSink,
+    "s7_orc_roundtrip" -> s7OrcRoundtrip,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -132,5 +147,8 @@ object Hardening {
         | round(sum(o_totalprice), 4) AS sum_price
         |FROM orders WHERE o_orderpriority = '1-URGENT'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "s7_orc_roundtrip" ->
+      """SELECT s_nationkey, count(*) AS n_sups, round(sum(s_acctbal), 4) AS sum_bal
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
   )
 }

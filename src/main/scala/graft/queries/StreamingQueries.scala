@@ -57,7 +57,17 @@ object StreamingQueries {
       "t8_sink", OutputMode.Append())
       .orderBy("event_id")
 
+  /** T9: watermarked stream–stream self-join (clicks → purchases within
+    * 1 hour); inner-join matches emit per micro-batch, so the single-batch
+    * run is batch-equivalent and oracle-checkable. */
+  val t9StreamStreamJoin: Q = (s, d) =>
+    StreamingOps.runToMemory(
+      StreamingOps.clickToPurchaseJoin(StreamingOps.eventsStream(s, d)),
+      "t9_sink", OutputMode.Append())
+      .orderBy("click_id", "purchase_id")
+
   val queries: Map[String, Q] = Map(
+    "t9_stream_stream_join" -> t9StreamStreamJoin,
     "t4_stream_tumbling" -> t4StreamTumbling,
     "t5_stream_dedup" -> t5StreamDedup,
     "t6_stateful_counts" -> t6StatefulCounts,
@@ -83,5 +93,16 @@ object StreamingQueries {
     "t8_append_sink" ->
       """SELECT event_id, event_type, CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us
         |FROM events ORDER BY event_id""".stripMargin,
+    "t9_stream_stream_join" ->
+      """SELECT c.user_id, c.click_id, p.purchase_id,
+        | CAST(epoch_us(c.cts) AS BIGINT) AS click_ts_us,
+        | CAST(epoch_us(p.pts) AS BIGINT) AS purchase_ts_us
+        |FROM (SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS cts
+        |      FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS pts
+        |      FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 1 HOUR
+        |ORDER BY click_id, purchase_id""".stripMargin,
   )
 }

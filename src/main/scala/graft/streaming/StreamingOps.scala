@@ -117,6 +117,32 @@ object StreamingOps {
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
 
+  /** T9: stream–stream inner join — purchases matched to the clicks they
+    * follow within `horizon`, both sides watermarked so the engine can
+    * discard buffered state once the event-time bound passes. The time
+    * range in the join condition is MANDATORY for state cleanup; an
+    * unconstrained stream–stream join buffers both streams forever. */
+  def clickToPurchaseJoin(events: DataFrame, horizon: String = "1 hour"): DataFrame = {
+    val clicks = events
+      .where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", horizon)
+    val purchases = events
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("purchase_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", horizon)
+    clicks.join(
+      purchases,
+      col("click_user") === col("purchase_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("click_user").as("user_id"), col("click_id"), col("purchase_id"),
+        unix_micros(col("click_ts")).as("click_ts_us"),
+        unix_micros(col("purchase_ts")).as("purchase_ts_us"))
+  }
+
   /** T8: run a streaming frame into a named memory sink until the source
     * is exhausted, then return the sink table (batch DataFrame). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {

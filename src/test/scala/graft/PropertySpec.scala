@@ -161,4 +161,32 @@ class PropertySpec extends SparkSpec {
         assert(spark_ == expected, s"spark=$spark_ expected=$expected")
     }
   }
+
+  test("Misra-Gries: every term with freq > n/(capacity+1) survives any partitioning") {
+    import org.scalacheck.Gen
+    import spark.implicits._
+    val gen = for {
+      nTerms <- Gen.choose(5, 40)
+      weights <- Gen.listOfN(nTerms, Gen.choose(1, 120))
+      parts <- Gen.choose(1, 8)
+    } yield (weights, parts)
+    forAll(gen) { case (weights, parts) =>
+      val capacity = 8
+      val rows = weights.zipWithIndex.flatMap { case (w, i) => Seq.fill(w)(s"t$i") }
+      val n = rows.size
+      val df = spark.createDataset(
+        spark.sparkContext.parallelize(rows, parts)).toDF("tok")
+      val kept = df.agg(
+        org.apache.spark.sql.graft.HeavyHitters.topK(col("tok"), capacity, capacity).as("hh"))
+        .select(explode(col("hh")).as("e")).select("e.term").as[String]
+        .collect().toSet
+      val mustSurvive = weights.zipWithIndex.collect {
+        case (w, i) if w > n.toDouble / (capacity + 1) => s"t$i"
+      }
+      mustSurvive.foreach { t =>
+        assert(kept.contains(t),
+          s"$t (freq ${weights(t.drop(1).toInt)}, n=$n, cap=$capacity, parts=$parts) evicted; kept=$kept")
+      }
+    }
+  }
 }
