@@ -32,6 +32,29 @@ class ExtensionsSpec extends SparkSpec {
       Seq("cosine_sim", "dot_product", "l2_norm"))
   }
 
+  test("CosineNormRewrite hoists norms below the join and preserves results exactly") {
+    val q9 = graft.queries.Relational.q9CosineSelfjoin(spark, sfDir)
+    val optimized = q9.queryExecution.optimizedPlan.toString
+    // norms projected once per row, not once per pair
+    assert(optimized.contains("_graft_norm"), s"rewrite did not fire:\n$optimized")
+    assert(optimized.contains("dot_product"), s"no dot_product in plan:\n$optimized")
+    val joinCondLine = optimized.linesIterator.find(_.contains("Join Inner")).getOrElse("")
+    assert(!joinCondLine.contains("cosine_sim"),
+      s"cosine_sim still evaluated per pair in join condition:\n$optimized")
+
+    // exact parity with the un-rewritten plan
+    val withRule = q9.collect()
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.graft.CosineNormRewrite")
+    try {
+      val q9Plain = graft.queries.Relational.q9CosineSelfjoin(spark, sfDir)
+      assert(!q9Plain.queryExecution.optimizedPlan.toString.contains("_graft_norm"))
+      val withoutRule = q9Plain.collect()
+      assert(withRule.toSeq == withoutRule.toSeq,
+        s"rewrite changed results: ${withRule.length} vs ${withoutRule.length} rows")
+    } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+  }
+
   test("saltedJoin returns exactly the plain join result") {
     val plain = Tables.lineitem(spark, sfDir)
       .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))

@@ -41,7 +41,12 @@ class PlanSpec extends SparkSpec {
     // 4M-pair cross product is never materialised into a row buffer
     assert(plan.contains("BroadcastNestedLoopJoin"), s"no BNLJ:\n$plan")
     val joinLine = plan.linesIterator.find(_.contains("BroadcastNestedLoopJoin")).get
-    assert(joinLine.contains("cosine_sim"), s"kernel not in join condition:\n$plan")
+    // CosineNormRewrite replaces cosine_sim in the condition with
+    // dot_product over pre-projected per-row norms — the similarity
+    // predicate must still sit INSIDE the join condition either way
+    assert(joinLine.contains("dot_product") || joinLine.contains("cosine_sim"),
+      s"kernel not in join condition:\n$plan")
+    assert(plan.contains("_graft_norm"), s"norms not hoisted below the join:\n$plan")
     // doGenCode correctness itself is covered by VectorKernelsSpec's
     // interpreted-vs-codegen parity test
   }
