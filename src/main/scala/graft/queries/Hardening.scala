@@ -103,6 +103,23 @@ object Hardening {
       .orderBy("o_orderpriority")
   }
 
+  /** W7b/X4: windowless per-key top-k via the bounded-heap aggregate —
+    * identical semantics to q3's row_number route, but the shuffle
+    * carries at most k entries per key per map task instead of every
+    * row (the 100 TB version of "top 3 orders per customer"). */
+  val x5TopkAgg: Q = (s, d) =>
+    orders(s, d)
+      .groupBy("o_custkey")
+      .agg(org.apache.spark.sql.graft.TopKByScore.topK(
+        col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(
+        col("o_custkey"),
+        col("e.tie").as("o_orderkey"),
+        col("e.score").as("o_totalprice"),
+        (col("pos") + 1).as("rn"))
+      .orderBy("o_custkey", "rn")
+
   /** Salted skew join — semantics must equal the plain equi-join, so the
     * oracle is the unsalted SQL join. */
   val x4SaltedJoin: Q = (s, d) =>
@@ -122,6 +139,7 @@ object Hardening {
     "o1_sort_nulls" -> o1SortNulls,
     "s6_partitioned_sink" -> s6PartitionedSink,
     "s7_orc_roundtrip" -> s7OrcRoundtrip,
+    "x5_topk_agg" -> x5TopkAgg,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -150,5 +168,12 @@ object Hardening {
     "s7_orc_roundtrip" ->
       """SELECT s_nationkey, count(*) AS n_sups, round(sum(s_acctbal), 4) AS sum_bal
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "x5_topk_agg" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
   )
 }

@@ -64,6 +64,17 @@ class PlanSpec extends SparkSpec {
     assert(semi.contains("LeftSemi"), s"no semi join:\n$semi")
   }
 
+  test("x5: top-k aggregate is two-phase — partial heaps before the shuffle") {
+    val plan = planOf(graft.queries.Hardening.x5TopkAgg(spark, sfDir))
+    // TypedImperativeAggregate plans as ObjectHashAggregate; a partial +
+    // final pair proves each map task ships at most k entries per key
+    // instead of every row (the point of the operator at scale)
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial top-k aggregation:\n$plan")
+    assert(plan.contains("partial_top_k_by_score"),
+      s"partial phase missing:\n$plan")
+  }
+
   test("s6: partition-column predicate prunes directories (PartitionFilters, no data filter)") {
     // write the partitioned layout, then check the pruned readback plan
     graft.queries.Hardening.s6PartitionedSink(spark, sfDir).count()

@@ -162,6 +162,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("topKByScore aggregate equals the window row_number route on random data") {
+    import org.scalacheck.Gen
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val gen = for {
+      n <- Gen.choose(1, 200)
+      rows <- Gen.listOfN(n, for {
+        key <- Gen.choose(0, 8)
+        score <- Gen.choose(0, 50).map(_.toDouble) // collisions likely → ties exercised
+      } yield (key.toLong, score))
+      k <- Gen.choose(1, 5)
+      parts <- Gen.choose(1, 6)
+    } yield (rows.zipWithIndex.map { case ((key, s), i) => (key, s, i.toLong) }, k, parts)
+    forAll(gen) { case (rows, k, parts) =>
+      val df = spark.createDataset(
+        spark.sparkContext.parallelize(rows, parts)).toDF("key", "score", "id")
+      val viaAgg = df.groupBy("key")
+        .agg(org.apache.spark.sql.graft.TopKByScore.topK(col("score"), col("id"), k).as("top"))
+        .select(col("key"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("key"), col("e.tie").as("id"), col("e.score").as("score"),
+          (col("pos") + 1).as("rn"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val w = Window.partitionBy("key").orderBy(col("score").desc, col("id").asc)
+      val viaWindow = df.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(1), r.getInt(3))).toSet
+      assert(viaAgg == viaWindow, s"agg=$viaAgg window=$viaWindow")
+    }
+  }
+
   test("Misra-Gries: every term with freq > n/(capacity+1) survives any partitioning") {
     import org.scalacheck.Gen
     import spark.implicits._
