@@ -40,7 +40,20 @@ object GraftExtensions {
     (FunctionIdentifier("l2_norm"),
       info("l2_norm", "l2_norm(a) - Euclidean norm of a float array"),
       (children: Seq[Expression]) =>
-        VectorKernels.L2Norm(children.head)))
+        VectorKernels.L2Norm(children.head)),
+    (FunctionIdentifier("heavy_hitters"),
+      info("heavy_hitters",
+        "heavy_hitters(col, capacity, k) - Misra-Gries approximate top-k terms"),
+      (children: Seq[Expression]) =>
+        HeavyHitters(children(0),
+          children(1).eval().asInstanceOf[Number].intValue(),
+          children(2).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("top_k_by_score"),
+      info("top_k_by_score",
+        "top_k_by_score(score, tie, k) - map-side bounded-heap top-k per group"),
+      (children: Seq[Expression]) =>
+        TopKByScore(children(0), children(1),
+          children(2).eval().asInstanceOf[Number].intValue())))
 
   /** Register the kernel functions on an already-running session. */
   def register(spark: SparkSession): Unit =

@@ -29,7 +29,21 @@ class ExtensionsSpec extends SparkSpec {
     // registration is observable through the live-session path above;
     // here we only assert the injector accepts the extension point
     assert(GraftExtensions.functions.map(_._1.funcName).sorted ==
-      Seq("cosine_sim", "dot_product", "l2_norm"))
+      Seq("cosine_sim", "dot_product", "heavy_hitters", "l2_norm", "top_k_by_score"))
+  }
+
+  test("custom aggregates are callable from plain SQL") {
+    GraftExtensions.register(spark)
+    Tables.orders(spark, sfDir).createOrReplaceTempView("ord_ext")
+    val top = spark.sql(
+      """SELECT o_custkey, top_k_by_score(o_totalprice, o_orderkey, 2) AS top
+        |FROM ord_ext GROUP BY o_custkey ORDER BY o_custkey LIMIT 1""".stripMargin)
+      .selectExpr("o_custkey", "inline(top)").collect()
+    assert(top.length >= 1 && top.length <= 2)
+    val hh = spark.sql(
+      """SELECT heavy_hitters(o_orderpriority, 16, 3) AS hh FROM ord_ext""")
+      .selectExpr("inline(hh)").collect()
+    assert(hh.length == 3)
   }
 
   test("CosineNormRewrite hoists norms below the join and preserves results exactly") {
