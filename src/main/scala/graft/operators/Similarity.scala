@@ -37,6 +37,29 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cos"), col("rn"))
   }
 
+  /** L4 at scale: same top-k semantics as [[bruteForceTopK]] but through
+    * the map-side bounded-heap aggregate instead of a window sort — the
+    * shuffle after the pair scan carries at most k entries per query
+    * vector rather than every scored pair. This is the verification
+    * shape for LSH/IVF candidate sets at 100 TB. */
+  def bruteForceTopKAgg(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
+    val c = corpus.select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
+    q.join(broadcast(c), col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        cosineSim(col("q_emb"), col("c_emb")).as("cos"))
+      .groupBy("q_id")
+      .agg(org.apache.spark.sql.graft.TopKByScore.topK(col("cos"), col("c_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("q_id"), col("e.tie").as("c_id"), col("e.score").as("cos"),
+        (col("pos") + 1).as("rn"))
+  }
+
   /** L5: approximate nearest neighbours via random-projection LSH
     * (MLlib). Normalised vectors make Euclidean distance monotone in
     * cosine: d² = 2 - 2·cos, so the Euclidean LSH family serves cosine

@@ -54,6 +54,15 @@ object LlmOps {
       .orderBy("q_id", "rn")
   }
 
+  /** L4b: identical top-k semantics through the bounded-heap aggregate —
+    * shuffle carries k entries per query vector, not every scored pair. */
+  val l4bTopkAgg: Q = (s, d) => {
+    val e = embeddings(s, d)
+    Similarity.bruteForceTopKAgg(e.where(col("vec_id") < 100), e, 3)
+      .select(col("q_id"), col("c_id"), r4(col("cos")).as("cos4"), col("rn"))
+      .orderBy("q_id", "rn")
+  }
+
   /** L5 (no-oracle): LSH ANN top-3; recall is property-tested. */
   val l5AnnLsh: Q = (s, d) =>
     Similarity.annTopK(embeddings(s, d).where(col("vec_id") < 50), 3)
@@ -224,6 +233,7 @@ object LlmOps {
     "l2_minhash_candidates" -> l2MinhashCandidates,
     "l3_cosine_pairs" -> l3CosinePairs,
     "l4_topk_neighbors" -> l4TopkNeighbors,
+    "l4b_topk_agg" -> l4bTopkAgg,
     "l5_ann_lsh" -> l5AnnLsh,
     "li_ivf_ann" -> liIvfAnn,
     "ld_embedding_dedup" -> ldEmbeddingDedup,
@@ -272,6 +282,18 @@ object LlmOps {
         |                             CAST(b.embedding AS DOUBLE[])) > 0.2
         |ORDER BY a_id, b_id""".stripMargin,
     "l4_topk_neighbors" ->
+      """SELECT q_id, c_id, round(cos, 4) AS cos4, rn FROM (
+        | SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+        |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                         CAST(b.embedding AS DOUBLE[])) AS cos,
+        |  row_number() OVER (PARTITION BY a.vec_id
+        |    ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                    CAST(b.embedding AS DOUBLE[])) DESC,
+        |             b.vec_id ASC) AS rn
+        | FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+        | WHERE a.vec_id < 100) t
+        |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+    "l4b_topk_agg" ->
       """SELECT q_id, c_id, round(cos, 4) AS cos4, rn FROM (
         | SELECT a.vec_id AS q_id, b.vec_id AS c_id,
         |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
