@@ -180,6 +180,12 @@ object AsOfJoinNative {
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column $name not found"))
     val spark = left.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    // self-register on sessions built without the GraftExtensions config
+    // (idempotent; extraStrategies run before the built-in ones)
+    val em = spark.sessionState.experimentalMethods
+    if (!em.extraStrategies.contains(AsOfJoinStrategy)) {
+      em.extraStrategies = AsOfJoinStrategy +: em.extraStrategies
+    }
     Dataset.ofRows(spark,
       AsOfJoinPlan(lPlan, rPlan,
         keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),

@@ -42,6 +42,32 @@ class StreamingSpec extends SparkSpec {
     assert(!rows.exists(_._2 == "late"), s"late row leaked: ${rows.toSeq}")
   }
 
+  test("T3 streaming: session_window closes sessions as the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Timestamp, Long)]
+    val sessions = source.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("n"))
+    val q = sessions.writeStream.format("memory")
+      .queryName("t3s_test_sink").outputMode(OutputMode.Append()).start()
+    try {
+      // two events 2 min apart -> one session for user 7
+      source.addData((ts("2024-01-01 10:00:00"), 7L), (ts("2024-01-01 10:02:00"), 7L))
+      q.processAllAvailable()
+      // advance the watermark far past session end + gap -> session emits
+      source.addData((ts("2024-01-01 11:00:00"), 8L))
+      q.processAllAvailable()
+      source.addData((ts("2024-01-01 12:00:00"), 8L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("t3s_test_sink").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.contains((7L, 2L)), s"user 7's closed session missing: ${rows.toSeq}")
+  }
+
   test("T6b: transformWithState accumulates per-key counts (RocksDB state store)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
