@@ -213,6 +213,45 @@ object WindowsFuncs {
       .orderBy("l_orderkey", "l_linenumber", "price_r1", "qty_floor",
         "qty_dev", "disc_pct_ceil", "tax_sq")
 
+  /** F10: map functions — construction, element access, keys/values
+    * (rendered as strings for engine-portable comparison). */
+  val f10Map: Q = (s, d) =>
+    nation(s, d)
+      .withColumn("m", map_from_arrays(
+        array(lit("key"), lit("region")),
+        array(col("n_nationkey"), col("n_regionkey"))))
+      .select(
+        col("n_nationkey"),
+        element_at(col("m"), "region").as("region_v"),
+        size(col("m")).as("m_size"),
+        array_join(map_keys(col("m")), ",").as("m_keys"),
+        array_join(transform(map_values(col("m")), v => v.cast("string")), ",").as("m_vals"))
+      .orderBy("n_nationkey")
+
+  /** F11: to_json over a struct (Spark and DuckDB both emit compact
+    * `{"k":v}` with insertion-ordered keys; stick to BIGINT + STRING
+    * fields — double rendering differs between engines). */
+  val f11ToJson: Q = (s, d) =>
+    nation(s, d)
+      .select(
+        col("n_nationkey"),
+        to_json(struct(
+          col("n_nationkey").as("k"),
+          col("n_name").as("s"))).as("j"))
+      .orderBy("n_nationkey")
+
+  /** F12: bitwise functions. */
+  val f12Bits: Q = (s, d) =>
+    part(s, d)
+      .select(
+        col("p_partkey"),
+        (col("p_partkey").bitwiseAND(col("p_size"))).as("band"),
+        (col("p_partkey").bitwiseOR(col("p_size"))).as("bor"),
+        (col("p_partkey").bitwiseXOR(col("p_size"))).as("bxor"),
+        shiftleft(col("p_size"), 2).as("shl"),
+        shiftright(col("p_partkey"), 1).as("shr"))
+      .orderBy("p_partkey")
+
   /** F5: conditional expressions. */
   val f5Conditional: Q = (s, d) =>
     customer(s, d)
@@ -316,6 +355,9 @@ object WindowsFuncs {
     "f2_regex" -> f2Regex,
     "f3_datetime" -> f3Datetime,
     "f4_math" -> f4Math,
+    "f10_map" -> f10Map,
+    "f11_to_json" -> f11ToJson,
+    "f12_bits" -> f12Bits,
     "f5_conditional" -> f5Conditional,
     "f6_array" -> f6Array,
     "f7_higher_order" -> f7HigherOrder,
@@ -437,6 +479,28 @@ object WindowsFuncs {
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, price_r1, qty_floor, qty_dev,
         |         disc_pct_ceil, tax_sq""".stripMargin,
+    "f10_map" ->
+      """SELECT n_nationkey,
+        | m['region'][1] AS region_v,
+        | CAST(cardinality(m) AS INT) AS m_size,
+        | array_to_string(map_keys(m), ',') AS m_keys,
+        | array_to_string(list_transform(map_values(m), v -> CAST(v AS VARCHAR)), ',') AS m_vals
+        |FROM (SELECT n_nationkey,
+        |        map(['key','region'], [n_nationkey, n_regionkey]) AS m
+        |      FROM nation) t
+        |ORDER BY n_nationkey""".stripMargin,
+    "f11_to_json" ->
+      """SELECT n_nationkey,
+        | to_json(struct_pack(k := n_nationkey, s := n_name)) AS j
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "f12_bits" ->
+      """SELECT p_partkey,
+        | p_partkey & p_size AS band,
+        | p_partkey | p_size AS bor,
+        | xor(p_partkey, p_size) AS bxor,
+        | p_size << 2 AS shl,
+        | p_partkey >> 1 AS shr
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "f5_conditional" ->
       """SELECT c_custkey,
         | CASE WHEN c_acctbal > 5000 THEN 'high'
