@@ -329,9 +329,51 @@ object Relational {
     withOrders.distinct().except(withF).orderBy("c_custkey")
   }
 
+  /** A11: pivot — explicit value list keeps the column set and order
+    * deterministic (inferred pivot values would depend on scan order). */
+  val a11Pivot: Q = (s, d) =>
+    orders(s, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("o_orderpriority")
+
+  /** A12: unpivot (melt) back to long form. */
+  val a12Unpivot: Q = (s, d) =>
+    orders(s, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .unpivot(Array(col("o_orderpriority")),
+        Array(col("F"), col("O"), col("P")), "status", "n")
+      .orderBy("o_orderpriority", "status")
+
+  /** Q11: correlated scalar subquery + EXISTS / IN subqueries through the
+    * SQL front door — exercises Catalyst's decorrelation rewrites
+    * (RewriteCorrelatedScalarSubquery, RewritePredicateSubquery). */
+  val q11Subqueries: Q = (s, d) => {
+    customer(s, d).createOrReplaceTempView("graft_sq_cust")
+    orders(s, d).createOrReplaceTempView("graft_sq_ord")
+    s.sql(
+      """SELECT c_custkey,
+        |  (SELECT round(max(o_totalprice), 4) FROM graft_sq_ord o
+        |   WHERE o.o_custkey = c.c_custkey) AS max_price
+        |FROM graft_sq_cust c
+        |WHERE EXISTS (SELECT 1 FROM graft_sq_ord o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderstatus = 'O')
+        |  AND c_custkey IN (SELECT o_custkey FROM graft_sq_ord)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   // ---- registry ----
 
   val queries: Map[String, Q] = Map(
+    "a11_pivot" -> a11Pivot,
+    "a12_unpivot" -> a12Unpivot,
+    "q11_subqueries" -> q11Subqueries,
     "q1_scan_agg" -> q1ScanAgg,
     "q2_join3" -> q2Join3,
     "q3_window_topk" -> q3WindowTopk,
@@ -433,6 +475,33 @@ object Relational {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "s3b_json_file" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "a11_pivot" ->
+      """SELECT o_orderpriority,
+        | count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+        | count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+        | count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "a12_unpivot" ->
+      """WITH p AS (
+        | SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+        | FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, status, n
+        |FROM p UNPIVOT (n FOR status IN (F, O, P))
+        |ORDER BY o_orderpriority, status""".stripMargin,
+    "q11_subqueries" ->
+      """SELECT c_custkey,
+        | (SELECT round(max(o_totalprice), 4) FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey) AS max_price
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderstatus = 'O')
+        |  AND c_custkey IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
     "q10_sql_join5" ->
       """SELECT n_name,
         | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
