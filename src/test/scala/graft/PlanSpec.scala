@@ -64,6 +64,31 @@ class PlanSpec extends SparkSpec {
     assert(semi.contains("LeftSemi"), s"no semi join:\n$semi")
   }
 
+  test("join hints steer the physical strategy (SHUFFLE_HASH vs MERGE)") {
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    val shj = li.hint("shuffle_hash")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+    assert(planOf(shj).contains("ShuffledHashJoin"),
+      s"SHUFFLE_HASH hint ignored:\n${planOf(shj)}")
+    val smj = li.hint("merge")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+    assert(planOf(smj).contains("SortMergeJoin"),
+      s"MERGE hint ignored:\n${planOf(smj)}")
+  }
+
+  test("cached frame re-reads from InMemoryRelation, not the file scan") {
+    val agg = Tables.orders(spark, sfDir)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    agg.cache()
+    try {
+      agg.count() // materialise
+      val second = agg.where(col("n") > 0)
+      assert(planOf(second).contains("InMemoryTableScan"),
+        s"cache not used:\n${planOf(second)}")
+    } finally agg.unpersist()
+  }
+
   test("x5: top-k aggregate is two-phase — partial heaps before the shuffle") {
     val plan = planOf(graft.queries.Hardening.x5TopkAgg(spark, sfDir))
     // TypedImperativeAggregate plans as ObjectHashAggregate; a partial +
