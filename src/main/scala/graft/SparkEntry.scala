@@ -26,15 +26,19 @@ object SparkEntry {
       graft.queries.Hardening.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * Every `round(E, 4)` is mechanically rewritten to the floor-based
+    * IEEE op sequence `Orc.r4` emits on the Spark side (SURVEY §5.3:
+    * "enforced mechanically, not by convention"). */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracleSql ++
+    (graft.queries.Relational.oracleSql ++
       graft.queries.WindowsFuncs.oracleSql ++
       graft.queries.TimeJson.oracleSql ++
       graft.queries.LlmOps.oracleSql ++
       graft.queries.MlQueries.oracleSql ++
       graft.queries.StreamingQueries.oracleSql ++
-      graft.queries.Hardening.oracleSql
+      graft.queries.Hardening.oracleSql)
+      .map { case (k, v) => k -> Orc.round4Sql(v) }
 
   /** Headline bench subset — names and shapes match BASELINE.md. */
   def benchQueries: Seq[String] = Seq(

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Orc
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -128,7 +129,7 @@ object TextOps {
     val tokScore = when(meanTokLen.between(3.0, 10.0), 1.0).otherwise(0.5)
     val stopRatio = langIdHits(toks, "en").cast("double") / nToks
     val stopScore = least(stopRatio * 10.0, lit(1.0))
-    round((lenScore * 0.4) + (tokScore * 0.3) + (stopScore * 0.3), 4)
+    Orc.r4((lenScore * 0.4) + (tokScore * 0.3) + (stopScore * 0.3))
   }
 
   /** Token counts: whitespace tokens and a BPE-ish regex segmentation

@@ -222,7 +222,7 @@ object LlmOps {
       .select(
         col("doc_id"),
         element_at(col("media_features"), 1).cast("long").as("n_bytes"),
-        round(element_at(col("media_features"), 2).cast("double"), 2).as("mean_byte"),
+        Orc.rN(element_at(col("media_features"), 2).cast("double"), 2).as("mean_byte"),
         element_at(col("media_features"), 3).cast("int").as("min_byte"),
         element_at(col("media_features"), 4).cast("int").as("max_byte"))
       .orderBy("doc_id")

@@ -90,7 +90,7 @@ object MlQueries {
     val (model, df) = Pipelines.fitPricePipeline(orders(s, d))
     model.transform(df)
       .groupBy("o_orderpriority")
-      .agg(round(avg(abs(col("prediction") - col("o_totalprice"))), 2).as("mae"))
+      .agg(Orc.rN(avg(abs(col("prediction") - col("o_totalprice"))), 2).as("mae"))
       .orderBy("o_orderpriority")
   }
 

@@ -208,10 +208,12 @@ object WindowsFuncs {
         r4(log(col("l_extendedprice"))).as("price_ln"),
         r4(log10(col("l_extendedprice"))).as("price_log10"),
         pmod(col("l_orderkey"), lit(7)).as("key_mod7"))
-      // (l_orderkey, l_linenumber) is NOT unique in the fixtures — break
-      // ties on the deterministic derived columns for a total order.
+      // (l_orderkey, l_linenumber) is NOT unique in the fixtures — a total
+      // order needs EVERY output column as a sort key (rows tied on a
+      // 1-decimal price_r1 can still differ in price_ln; r02 ADVICE).
       .orderBy("l_orderkey", "l_linenumber", "price_r1", "qty_floor",
-        "qty_dev", "disc_pct_ceil", "tax_sq")
+        "qty_dev", "disc_pct_ceil", "tax_sq", "qty_sqrt", "price_ln",
+        "price_log10", "key_mod7")
 
   /** F10: map functions — construction, element access, keys/values
     * (rendered as strings for engine-portable comparison). */
@@ -478,7 +480,8 @@ object WindowsFuncs {
         | l_orderkey % 7 AS key_mod7
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, price_r1, qty_floor, qty_dev,
-        |         disc_pct_ceil, tax_sq""".stripMargin,
+        |         disc_pct_ceil, tax_sq, qty_sqrt, price_ln, price_log10,
+        |         key_mod7""".stripMargin,
     "f10_map" ->
       """SELECT n_nationkey,
         | m['region'][1] AS region_v,

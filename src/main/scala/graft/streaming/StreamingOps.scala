@@ -115,7 +115,7 @@ object StreamingOps {
     events
       .join(customer, col("user_id") === col("c_custkey"))
       .groupBy("c_mktsegment")
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), graft.Orc.r4(sum("value")).as("sum_value"))
 
   /** T9: stream–stream inner join — purchases matched to the clicks they
     * follow within `horizon`, both sides watermarked so the engine can
