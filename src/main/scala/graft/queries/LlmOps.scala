@@ -180,13 +180,14 @@ object LlmOps {
   }
 
   /** Embedding-cosine near-dup dedup: vectors with a near-duplicate at
-    * cos >= threshold keep only the lowest id as representative. */
+    * cos >= threshold keep only the lowest id as representative.
+    * Candidates come from the bucketed IVF-multiprobe route (recall 1.0
+    * by triangle inequality — see Similarity.exactNearDupPairs), then the
+    * exact codegen cosine verifies on the original vectors, so the result
+    * is identical to all-pairs without an O(n²) broadcast nested-loop. */
   val ldEmbeddingDedup: Q = (s, d) => {
     val e = embeddings(s, d)
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
-    val dropped = a.join(broadcast(b), col("a_id") < col("b_id"))
-      .where(VectorFunctions.cosineSim(col("a_emb"), col("b_emb")) >= 0.95)
+    val dropped = Similarity.exactNearDupPairs(e, threshold = 0.95, nlist = 8)
       .select(col("b_id").as("vec_id")).distinct()
     e.join(dropped, Seq("vec_id"), "left_anti")
       .agg(count(lit(1)).as("n_kept"))

@@ -121,6 +121,21 @@ object Relational {
       .orderBy("a_id", "b_id")
   }
 
+  /** q9b: the same kernel at a value-bearing threshold — 0.9 matches
+    * nothing at small SF (q9 verifies vacuously there), 0.38 yields
+    * O(100) pairs over the FULL fixture, so the codegen cosine numerics
+    * are hash-checked end to end with no vec_id cap (r02 VERDICT #4). */
+  val q9bCosineSelfjoinT038: Q = (s, d) => {
+    val e = embeddings(s, d)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    a.join(broadcast(b), col("a_id") < col("b_id"))
+      .withColumn("cos", VectorFunctions.cosineSim(col("a_emb"), col("b_emb")))
+      .where(col("cos") > 0.38)
+      .select(col("a_id"), col("b_id"), r4(col("cos")).as("cos4"))
+      .orderBy("a_id", "b_id")
+  }
+
   // ---- sources (S2, S3, S5) ----
 
   /** S2: CSV parsing with an explicit schema — serialize nation rows to CSV
@@ -383,6 +398,7 @@ object Relational {
     "q7_sort_limit" -> q7SortLimit,
     "q8_dedup" -> q8Dedup,
     "q9_cosine_selfjoin" -> q9CosineSelfjoin,
+    "q9b_cosine_selfjoin_t038" -> q9bCosineSelfjoinT038,
     "s2_csv_roundtrip" -> s2CsvRoundtrip,
     "s2b_csv_file" -> s2bCsvFile,
     "s3_json_roundtrip" -> s3JsonRoundtrip,
@@ -468,6 +484,14 @@ object Relational {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) > 0.9
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q9b_cosine_selfjoin_t038" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                              CAST(b.embedding AS DOUBLE[])), 4) AS cos4
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) > 0.38
         |ORDER BY a_id, b_id""".stripMargin,
     "s2_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",

@@ -164,7 +164,15 @@ object AsOfJoinNative {
 
   /** Column-level API mirroring `graft.operators.AsOfJoin.backward`:
     * left columns + prefixed right payload columns (right time included,
-    * keys excluded), null payload when no right row precedes. */
+    * keys excluded), null payload when no right row precedes.
+    *
+    * Side effect: if the session was built WITHOUT the GraftExtensions
+    * config, this installs [[AsOfJoinStrategy]] session-wide via
+    * `experimentalMethods.extraStrategies` so the plan below can be
+    * executed. The check-then-set is synchronized on the
+    * ExperimentalMethods instance — concurrent query builders on one
+    * session must not race into a lost update or a duplicate entry
+    * (r02 ADVICE). */
   def backward(
       left: DataFrame,
       right: DataFrame,
@@ -183,8 +191,10 @@ object AsOfJoinNative {
     // self-register on sessions built without the GraftExtensions config
     // (idempotent; extraStrategies run before the built-in ones)
     val em = spark.sessionState.experimentalMethods
-    if (!em.extraStrategies.contains(AsOfJoinStrategy)) {
-      em.extraStrategies = AsOfJoinStrategy +: em.extraStrategies
+    em.synchronized {
+      if (!em.extraStrategies.contains(AsOfJoinStrategy)) {
+        em.extraStrategies = AsOfJoinStrategy +: em.extraStrategies
+      }
     }
     Dataset.ofRows(spark,
       AsOfJoinPlan(lPlan, rPlan,

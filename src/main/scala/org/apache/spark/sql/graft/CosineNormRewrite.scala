@@ -17,12 +17,17 @@ import VectorKernels.{CosineSimilarity, DotProduct, L2Norm}
   * child and `l2_norm(b)` under the right (O(|L|+|R|) total) and
   * rewrites the condition to one `dot_product` pass per pair:
   *
-  *   cosine_sim(a, b)  ⇒  if (nl·nr = 0) 0.0 else dot_product(a, b) / (nl·nr)
+  *   cosine_sim(a, b)  ⇒  if (size(a) != size(b)) null
+  *                        else if (nl·nr = 0) 0.0
+  *                        else dot_product(a, b) / (nl·nr)
   *
   * Bit-identical by construction: `L2Norm` computes sqrt of the same
   * double accumulation `CosineSimilarity` uses internally, and the
   * divide/multiply order is unchanged — so oracle-checked results do not
-  * move. A `Project` on top restores the original join schema. At 100 TB
+  * move. The size guard matters because the hoisted `L2Norm` spans each
+  * FULL array while `CosineSimilarity` returns NULL on mismatched
+  * lengths (r02 ADVICE): without it, a zero-norm row paired with a
+  * different-length row would flip NULL to 0.0 under the rewrite. A `Project` on top restores the original join schema. At 100 TB
   * this is the difference between 3·n² and n² + 2n array traversals in
   * every brute-force or LSH-bucket verification join.
   *
@@ -65,8 +70,10 @@ object CosineNormRewrite extends Rule[LogicalPlan] {
       case c @ CosineSimilarity(a, b)
           if sideOf(j, a).isDefined && sideOf(j, b).isDefined =>
         val denom = Multiply(normFor(a), normFor(b))
-        If(EqualTo(denom, Literal(0.0)), Literal(0.0),
-          Divide(DotProduct(a, b), denom))
+        If(Not(EqualTo(Size(a), Size(b))),
+          Literal(null, org.apache.spark.sql.types.DoubleType),
+          If(EqualTo(denom, Literal(0.0)), Literal(0.0),
+            Divide(DotProduct(a, b), denom)))
     }
     val newLeft = Project(j.left.output ++ leftNorms.values, j.left)
     val newRight = Project(j.right.output ++ rightNorms.values, j.right)

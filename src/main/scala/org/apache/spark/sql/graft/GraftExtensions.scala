@@ -3,6 +3,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** SparkSessionExtensions injector: exposes the vector kernels to SQL.
   *
@@ -27,6 +28,24 @@ object GraftExtensions {
     new ExpressionInfo(VectorKernels.getClass.getName, null,
       name, usage, "", "", "", "", "", "", "built-in")
 
+  /** SQL builders receive UNRESOLVED expressions — eval() on a column or
+    * subquery argument would throw an opaque runtime error (or evaluate
+    * against no input). Require a foldable integer literal and fail
+    * analysis with the function name otherwise (r02 ADVICE). */
+  private def intLit(fn: String, arg: String, e: Expression): Int = {
+    val ok = e.foldable && (e.dataType match {
+      case _: IntegerType | _: LongType | _: ShortType | _: ByteType => true
+      case _ => false
+    })
+    if (!ok) {
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "USER_RAISED_EXCEPTION",
+        messageParameters = Map("errorMessage" ->
+          s"$fn: argument '$arg' must be an integer literal, got ${e.sql}"))
+    }
+    e.eval().asInstanceOf[Number].intValue()
+  }
+
   /** (identifier, info, builder) triples — one source of truth for both
     * the injector and live-session registration. */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -47,14 +66,14 @@ object GraftExtensions {
         "heavy_hitters(col, capacity, k) - Misra-Gries approximate top-k terms"),
       (children: Seq[Expression]) =>
         HeavyHitters(children(0),
-          children(1).eval().asInstanceOf[Number].intValue(),
-          children(2).eval().asInstanceOf[Number].intValue())),
+          intLit("heavy_hitters", "capacity", children(1)),
+          intLit("heavy_hitters", "k", children(2)))),
     (FunctionIdentifier("top_k_by_score"),
       info("top_k_by_score",
         "top_k_by_score(score, tie, k) - map-side bounded-heap top-k per group"),
       (children: Seq[Expression]) =>
         TopKByScore(children(0), children(1),
-          children(2).eval().asInstanceOf[Number].intValue())))
+          intLit("top_k_by_score", "k", children(2)))))
 
   /** Register the kernel functions on an already-running session. */
   def register(spark: SparkSession): Unit =

@@ -30,18 +30,24 @@ import org.apache.spark.sql.types._
   */
 object VectorKernels {
 
-  /** cosine(a, b) = dot(a,b) / (|a| * |b|); 0.0 when either norm is 0. */
+  /** cosine(a, b) = dot(a,b) / (|a| * |b|); 0.0 when either norm is 0;
+    * NULL when the lengths differ (a silent min-length result would let
+    * an always-on optimizer rewrite change answers — see
+    * CosineNormRewrite; r02 ADVICE). */
   case class CosineSimilarity(left: Expression, right: Expression)
       extends BinaryExpression with ImplicitCastInputTypes {
     override def inputTypes: Seq[AbstractDataType] =
       Seq(ArrayType(FloatType), ArrayType(FloatType))
     override def dataType: DataType = DoubleType
+    // NULL on length mismatch even with non-null inputs
+    override def nullable: Boolean = true
     override def prettyName: String = "cosine_sim"
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      if (x.numElements() != y.numElements()) return null
+      val n = x.numElements()
       var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
       while (i < n) {
         val xi = x.getFloat(i).toDouble
@@ -63,15 +69,19 @@ object VectorKernels {
       val ny = ctx.freshName("ny"); val x = ctx.freshName("x")
       val y = ctx.freshName("y"); val denom = ctx.freshName("denom")
       nullSafeCodeGen(ctx, ev, (a, b) => s"""
-        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
-        |for (int $i = 0; $i < $n; $i++) {
-        |  double $x = (double) $a.getFloat($i);
-        |  double $y = (double) $b.getFloat($i);
-        |  $dot += $x * $y; $nx += $x * $x; $ny += $y * $y;
+        |if ($a.numElements() != $b.numElements()) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  int $n = $a.numElements();
+        |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    double $x = (double) $a.getFloat($i);
+        |    double $y = (double) $b.getFloat($i);
+        |    $dot += $x * $y; $nx += $x * $x; $ny += $y * $y;
+        |  }
+        |  double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+        |  ${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
         |}
-        |double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
-        |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
         """.stripMargin)
     }
 
@@ -80,18 +90,22 @@ object VectorKernels {
       copy(left = newLeft, right = newRight)
   }
 
-  /** dot(a, b) with double accumulation. */
+  /** dot(a, b) with double accumulation; NULL when the lengths differ
+    * (same contract as [[CosineSimilarity]] so the norm-hoist rewrite
+    * stays result-identical). */
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression with ImplicitCastInputTypes {
     override def inputTypes: Seq[AbstractDataType] =
       Seq(ArrayType(FloatType), ArrayType(FloatType))
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override def prettyName: String = "dot_product"
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      if (x.numElements() != y.numElements()) return null
+      val n = x.numElements()
       var dot = 0.0; var i = 0
       while (i < n) {
         dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1
@@ -103,12 +117,16 @@ object VectorKernels {
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
       nullSafeCodeGen(ctx, ev, (a, b) => s"""
-        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        |double $dot = 0.0;
-        |for (int $i = 0; $i < $n; $i++) {
-        |  $dot += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+        |if ($a.numElements() != $b.numElements()) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  int $n = $a.numElements();
+        |  double $dot = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    $dot += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+        |  }
+        |  ${ev.value} = $dot;
         |}
-        |${ev.value} = $dot;
         """.stripMargin)
     }
 

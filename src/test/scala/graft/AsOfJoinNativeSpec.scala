@@ -58,6 +58,67 @@ class AsOfJoinNativeSpec extends SparkSpec {
       s"k=1 t=1 precedes all right rows: ${rows(2)}")
   }
 
+  test("AQE coalescing cannot misalign the merge-scan sides (asymmetric sizes, skew)") {
+    // The exec pairs children with zipPartitions under ClusteredDistribution.
+    // EnsureRequirements co-partitions multi-child ClusteredDistribution
+    // operators via the ShuffleSpec compatibility machinery, and AQE's
+    // CoalesceShufflePartitions coalesces all shuffles that feed one stage
+    // with a SINGLE shared spec list — this test pins both behaviors with
+    // the adversarial shape: a left side big enough to coalesce into many
+    // partitions, a right side tiny enough to coalesce into one if the
+    // sides were (wrongly) decided independently, plus a 90%-hot key.
+    import spark.implicits._
+    val conf = spark.conf
+    val touched = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    val saved = touched.map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16kb")
+      conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1kb")
+      val l = (0 until 20000).map { i =>
+        (i.toLong, if (i % 10 < 9) 0L else (i % 97).toLong, (i % 1000).toLong)
+      }.toDF("id", "k", "t")
+      val r = (0 until 40).map { i =>
+        ((i % 5).toLong, (i * 20).toLong, i.toDouble)
+      }.toDF("k", "t", "v")
+      val cols = Seq("id", "k", "t", "asof_t", "asof_v")
+      val native = AsOfJoinNative.backward(l, r, Seq("k"), "t", "t")
+        .select(cols.head, cols.tail: _*)
+      val window = AsOfJoin.backward(l, r, Seq("k"), "t", "t")
+        .select(cols.head, cols.tail: _*)
+      assert(native.count() == 20000L)
+      assert(native.exceptAll(window).count() == 0 &&
+        window.exceptAll(native).count() == 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
+  test("pre-partitioned children with mismatched partition counts still align") {
+    // Both children individually satisfy ClusteredDistribution(k) at 13
+    // and 4 partitions — a naive zipPartitions would throw or misalign;
+    // EnsureRequirements must re-shuffle to a common partitioning.
+    import spark.implicits._
+    val l = (0 until 500).map(i => (i.toLong, (i % 7).toLong, (i % 50).toLong))
+      .toDF("id", "k", "t").repartition(13, col("k"))
+    val r = (0 until 100).map(i => ((i % 9).toLong, (i % 40).toLong, i.toDouble))
+      .toDF("k", "t", "v").repartition(4, col("k"))
+    val cols = Seq("id", "k", "t", "asof_t", "asof_v")
+    val native = AsOfJoinNative.backward(l, r, Seq("k"), "t", "t")
+      .select(cols.head, cols.tail: _*)
+    val window = AsOfJoin.backward(l, r, Seq("k"), "t", "t")
+      .select(cols.head, cols.tail: _*)
+    assert(native.count() == 500L)
+    assert(native.exceptAll(window).count() == 0 &&
+      window.exceptAll(native).count() == 0)
+  }
+
   test("native as-of join equals the window route on random data (with ties and misses)") {
     import spark.implicits._
     val gen = for {

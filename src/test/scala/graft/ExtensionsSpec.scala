@@ -46,6 +46,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(hh.length == 3)
   }
 
+  test("non-literal capacity/k arguments fail analysis with a clear error") {
+    GraftExtensions.register(spark)
+    Tables.orders(spark, sfDir).createOrReplaceTempView("ord_ext2")
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        """SELECT heavy_hitters(o_orderpriority, o_custkey, 3) FROM ord_ext2""")
+        .collect()
+    }
+    assert(e1.getMessage.contains("heavy_hitters") &&
+      e1.getMessage.contains("capacity"), e1.getMessage)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        """SELECT o_custkey, top_k_by_score(o_totalprice, o_orderkey, o_custkey)
+          |FROM ord_ext2 GROUP BY o_custkey""".stripMargin).collect()
+    }
+    assert(e2.getMessage.contains("top_k_by_score"), e2.getMessage)
+  }
+
   test("CosineNormRewrite hoists norms below the join and preserves results exactly") {
     val q9 = graft.queries.Relational.q9CosineSelfjoin(spark, sfDir)
     val optimized = q9.queryExecution.optimizedPlan.toString

@@ -61,6 +61,61 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall too low")
   }
 
+  test("exactNearDupPairs == brute-force pairs (recall 1.0) on planted near-dups") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val rnd = new scala.util.Random(11)
+    // clustered base + planted near-duplicates (tiny perturbations) +
+    // a zero vector, which must never pair
+    val centroids = Array.fill(6)(Array.fill(16)(rnd.nextGaussian().toFloat * 5))
+    val base = (0 until 150).map { i =>
+      val c = centroids(i % 6)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian().toFloat * 0.5f)))
+    }
+    val dups = (0 until 20).map { i =>
+      val (srcId, v) = base(rnd.nextInt(150))
+      (1000L + i, v.map(x => x + rnd.nextGaussian().toFloat * 0.001f))
+    }
+    val all = base ++ dups :+ (2000L, Array.fill(16)(0.0f))
+    val df = all.toDF("vec_id", "embedding")
+
+    def pairSet(p: org.apache.spark.sql.DataFrame) =
+      p.select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val a = df.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = df.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val brute = pairSet(a.join(broadcast(b), col("a_id") < col("b_id"))
+      .where(graft.functions.VectorFunctions
+        .cosineSim(col("a_emb"), col("b_emb")) >= 0.95))
+    val bucketed = Similarity.exactNearDupPairs(df, 0.95, nlist = 6)
+    assert(brute.nonEmpty, "fixture must plant near-dup pairs")
+    assert(pairSet(bucketed) == brute,
+      s"bucketed pair set must be EXACTLY the brute-force set")
+  }
+
+  test("exactNearDupPairs plan has no BroadcastNestedLoopJoin") {
+    val df = graft.Tables.embeddings(spark, sfDir)
+    val plan = Similarity.exactNearDupPairs(df, 0.95, nlist = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("ld_embedding_dedup query matches all-pairs count on fixture") {
+    import org.apache.spark.sql.functions.{broadcast, col, countDistinct}
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val nDropped = a.join(broadcast(b), col("a_id") < col("b_id"))
+      .where(graft.functions.VectorFunctions
+        .cosineSim(col("a_emb"), col("b_emb")) >= 0.95)
+      .agg(countDistinct(col("b_id"))).collect()(0).getLong(0)
+    val total = e.count()
+    val kept = graft.queries.LlmOps.queries("ld_embedding_dedup")(spark, sfDir)
+      .collect()(0).getLong(0)
+    assert(kept == total - nDropped)
+  }
+
   test("mllib MinHashLSH join finds exact duplicate pair") {
     import spark.implicits._
     val docs = Seq(

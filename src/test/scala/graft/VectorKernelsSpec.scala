@@ -25,6 +25,46 @@ class VectorKernelsSpec extends SparkSpec {
     assert(math.abs(rows(5L) + 1.0) < 1e-12)
   }
 
+  test("length mismatch yields NULL in both codegen and interpreted eval") {
+    import spark.implicits._
+    // min-length silent results would let the norm-hoist optimizer rule
+    // change answers (r02 ADVICE) — mismatches must be NULL everywhere
+    val m = Seq(
+      (1L, Array(1f, 2f), Array(1f, 2f, 3f)),
+      (2L, Array(0f, 0f), Array(0f, 0f, 0f)), // zero norm AND mismatch
+      (3L, Array(1f, 2f, 3f), Array(1f, 2f, 3f)),
+    ).toDF("id", "a", "b")
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try {
+        val rows = m.select(col("id"),
+          cosineSim(col("a"), col("b")).as("c"),
+          dotProduct(col("a"), col("b")).as("d"))
+          .orderBy("id").collect()
+        assert(rows(0).isNullAt(1) && rows(0).isNullAt(2), s"$mode: ${rows(0)}")
+        assert(rows(1).isNullAt(1) && rows(1).isNullAt(2), s"$mode: ${rows(1)}")
+        assert(!rows(2).isNullAt(1) && rows(2).getDouble(2) == 14.0)
+      } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("norm-hoist join rewrite agrees with the kernel on mismatched lengths") {
+    import spark.implicits._
+    val l = Seq((1L, Array(1f, 2f)), (2L, Array(0f, 0f)), (3L, Array(1f, 0f, 0f)))
+      .toDF("a_id", "a_emb")
+    val r = Seq((10L, Array(1f, 2f, 3f)), (11L, Array(2f, 0f, 0f)))
+      .toDF("b_id", "b_emb")
+    // join condition triggers CosineNormRewrite; a projection of the same
+    // call does not — both must produce the same surviving pair set
+    val viaJoin = l.join(r, cosineSim(col("a_emb"), col("b_emb")) > 0.5)
+      .select("a_id", "b_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val viaFilter = l.crossJoin(r)
+      .where(cosineSim(col("a_emb"), col("b_emb")) > 0.5)
+      .select("a_id", "b_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(viaJoin == viaFilter)
+    assert(viaJoin == Set((3L, 11L))) // only the equal-length parallel pair
+  }
+
   test("dotProduct and l2Norm match hand math") {
     val r = df.where(col("id") === 3)
       .select(dotProduct(col("a"), col("b")), l2Norm(col("a")), l2Norm(col("b")))
