@@ -21,6 +21,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val headline = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
+    // Untimed warm-up: the first query otherwise pays JVM/codegen/session
+    // init for the whole run (r02: q1 showed 5.5 s of which ~1 s was real
+    // work), making per-query deltas incomparable round over round.
+    headline.headOption.foreach { name =>
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case _: Throwable => () }
+    }
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

@@ -161,6 +161,12 @@ object Hardening {
   val s8SqlTableLifecycle: Q = (s, d) => {
     nation(s, d).createOrReplaceTempView("graft_s8_nation_src")
     s.sql("DROP TABLE IF EXISTS graft_s8_nation")
+    // a previous JVM's warehouse dir survives while the in-memory catalog
+    // does not — DROP alone can't see it, CTAS then hits
+    // LOCATION_ALREADY_EXISTS; remove the physical location too
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), "graft_s8_nation")
+    loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
     s.sql(
       """CREATE TABLE graft_s8_nation USING PARQUET AS
         |SELECT n_nationkey, n_name, n_regionkey

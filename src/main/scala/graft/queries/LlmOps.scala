@@ -98,6 +98,19 @@ object LlmOps {
       .where(col("n") >= 5)
       .orderBy("bigram")
 
+  /** X3 full-custom tier: the same bigram counts as L8 but through the
+    * custom Catalyst Generator `explode_ngrams` (a real UDTF, not a
+    * composition of transform+explode) — the oracle is identical to
+    * l8_ngrams, so the Generate mechanism itself is hash-checked. */
+  val lxExplodeNgrams: Q = (s, d) => {
+    org.apache.spark.sql.graft.GraftExtensions.register(s)
+    documents(s, d).createOrReplaceTempView("graft_docs_ngram")
+    s.sql(
+      """SELECT ngram AS bigram, count(*) AS n
+        |FROM (SELECT explode_ngrams(text, 2) AS ngram FROM graft_docs_ngram) t
+        |GROUP BY ngram HAVING count(*) >= 5 ORDER BY bigram""".stripMargin)
+  }
+
   /** L9: TF-IDF with the explicit (oracle-checkable) formula
     * tfidf = tf * (ln((N + 1) / (df + 1)) + 1). */
   val l9TfidfSql: Q = (s, d) => {
@@ -242,6 +255,7 @@ object LlmOps {
     "l6_tokenize" -> l6Tokenize,
     "l7_wordcount" -> l7Wordcount,
     "l8_ngrams" -> l8Ngrams,
+    "lx_explode_ngrams" -> lxExplodeNgrams,
     "l9_tfidf_sql" -> l9TfidfSql,
     "l10_text_stats" -> l10TextStats,
     "l11_multimodal_join" -> l11MultimodalJoin,
@@ -316,6 +330,13 @@ object LlmOps {
         | SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
         |GROUP BY tok HAVING count(*) >= 20 ORDER BY tok""".stripMargin,
     "l8_ngrams" ->
+      """SELECT bigram, count(*) AS n FROM (
+        | SELECT unnest(list_transform(range(len(string_split(text, ' ')) - 1),
+        |   i -> string_split(text, ' ')[CAST(i + 1 AS INT)] || ' ' ||
+        |        string_split(text, ' ')[CAST(i + 2 AS INT)])) AS bigram
+        | FROM documents) t
+        |GROUP BY bigram HAVING count(*) >= 5 ORDER BY bigram""".stripMargin,
+    "lx_explode_ngrams" ->
       """SELECT bigram, count(*) AS n FROM (
         | SELECT unnest(list_transform(range(len(string_split(text, ' ')) - 1),
         |   i -> string_split(text, ' ')[CAST(i + 1 AS INT)] || ' ' ||

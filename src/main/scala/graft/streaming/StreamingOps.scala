@@ -54,6 +54,21 @@ object StreamingOps {
         unix_timestamp(col("window.start")).as("win_start_s"),
         col("event_type"), col("n_events"))
 
+  /** T2 streaming: watermarked SLIDING-window counts — each event lands
+    * in window/slide overlapping windows; state for a window is evicted
+    * once the watermark passes its end, exactly as in the tumbling case
+    * (the overlap multiplies state size by window/slide, not by stream
+    * length, so it stays bounded). */
+  def slidingCounts(events: DataFrame, windowDur: String = "10 minutes",
+      slide: String = "5 minutes", watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        unix_timestamp(col("window.start")).as("win_start_s"),
+        col("event_type"), col("n_events"))
+
   /** T5: streaming dedup by key within the watermark horizon.
     * `dropDuplicatesWithinWatermark` (not plain `dropDuplicates`) so the
     * per-key dedup state is evicted once the watermark passes — plain

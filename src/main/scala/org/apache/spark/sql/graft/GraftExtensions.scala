@@ -73,7 +73,12 @@ object GraftExtensions {
         "top_k_by_score(score, tie, k) - map-side bounded-heap top-k per group"),
       (children: Seq[Expression]) =>
         TopKByScore(children(0), children(1),
-          intLit("top_k_by_score", "k", children(2)))))
+          intLit("top_k_by_score", "k", children(2)))),
+    (FunctionIdentifier("explode_ngrams"),
+      info("explode_ngrams",
+        "explode_ngrams(text, n) - one row per word n-gram (custom Generator)"),
+      (children: Seq[Expression]) =>
+        ExplodeNgrams(children(0), children(1))))
 
   /** Register the kernel functions on an already-running session. */
   def register(spark: SparkSession): Unit =

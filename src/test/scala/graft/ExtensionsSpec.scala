@@ -29,7 +29,8 @@ class ExtensionsSpec extends SparkSpec {
     // registration is observable through the live-session path above;
     // here we only assert the injector accepts the extension point
     assert(GraftExtensions.functions.map(_._1.funcName).sorted ==
-      Seq("cosine_sim", "dot_product", "heavy_hitters", "l2_norm", "top_k_by_score"))
+      Seq("cosine_sim", "dot_product", "explode_ngrams", "heavy_hitters",
+        "l2_norm", "top_k_by_score"))
   }
 
   test("custom aggregates are callable from plain SQL") {
@@ -62,6 +63,34 @@ class ExtensionsSpec extends SparkSpec {
           |FROM ord_ext2 GROUP BY o_custkey""".stripMargin).collect()
     }
     assert(e2.getMessage.contains("top_k_by_score"), e2.getMessage)
+  }
+
+  test("explode_ngrams Generator: plan shows custom Generate, matches L8 route") {
+    GraftExtensions.register(spark)
+    val viaGen = graft.queries.LlmOps.queries("lx_explode_ngrams")(spark, sfDir)
+    assert(viaGen.queryExecution.executedPlan.toString.contains("explode_ngrams"),
+      "custom Generate not in plan")
+    val viaL8 = graft.queries.LlmOps.queries("l8_ngrams")(spark, sfDir)
+    val a = viaGen.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val b = viaL8.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(a == b, s"generator route diverges from L8: ${a.diff(b).take(3)}")
+  }
+
+  test("explode_ngrams edge cases: null text, short text, n<=0, trigram") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    Seq(Some("a b c d"), Some("a"), Some(""), None)
+      .toDF("text").createOrReplaceTempView("ngram_edge")
+    val tri = spark.sql(
+      "SELECT explode_ngrams(text, 3) AS g FROM ngram_edge")
+      .collect().map(_.getString(0))
+    assert(tri.toSeq == Seq("a b c", "b c d")) // only the 4-token row emits
+    val zero = spark.sql("SELECT explode_ngrams(text, 0) AS g FROM ngram_edge")
+    assert(zero.count() == 0)
+    val bad = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT explode_ngrams(text, length(text)) FROM ngram_edge").collect()
+    }
+    assert(bad.getMessage.toLowerCase.contains("literal"), bad.getMessage)
   }
 
   test("CosineNormRewrite hoists norms below the join and preserves results exactly") {

@@ -42,6 +42,38 @@ class StreamingSpec extends SparkSpec {
     assert(!rows.exists(_._2 == "late"), s"late row leaked: ${rows.toSeq}")
   }
 
+  test("T2 streaming: sliding windows overlap correctly and drop late data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Timestamp, String)]
+    val windowed = StreamingOps.slidingCounts(
+      source.toDF().toDF("ts", "event_type"),
+      windowDur = "10 minutes", slide = "5 minutes", watermark = "10 minutes")
+    val q = windowed.writeStream.format("memory")
+      .queryName("t2_test_sink").outputMode(OutputMode.Append()).start()
+    try {
+      // 10:01 → windows [09:55,10:05) and [10:00,10:10)
+      // 10:07 → windows [10:00,10:10) and [10:05,10:15)
+      source.addData((ts("2024-01-01 10:01:00"), "a"), (ts("2024-01-01 10:07:00"), "a"))
+      q.processAllAvailable()
+      // advance the watermark far past all three windows
+      source.addData((ts("2024-01-01 11:00:00"), "a"))
+      q.processAllAvailable()
+      // a late event for the long-closed [10:00,10:10) + a flusher
+      source.addData((ts("2024-01-01 10:06:00"), "late"), (ts("2024-01-01 12:00:00"), "a"))
+      q.processAllAvailable()
+      source.addData((ts("2024-01-01 13:00:00"), "a"))
+      q.processAllAvailable()
+    } finally q.stop()
+    def epoch(s: String) = ts(s).getTime / 1000
+    val rows = spark.table("t2_test_sink")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows.contains((epoch("2024-01-01 09:55:00"), "a", 1L)), rows.toString)
+    assert(rows.contains((epoch("2024-01-01 10:00:00"), "a", 2L)), rows.toString)
+    assert(rows.contains((epoch("2024-01-01 10:05:00"), "a", 1L)), rows.toString)
+    assert(!rows.exists(_._2 == "late"), s"late row leaked: $rows")
+  }
+
   test("T3 streaming: session_window closes sessions as the watermark passes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
