@@ -181,8 +181,26 @@ object Hardening {
         |FROM graft_s8_nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
   }
 
+  /** S9: catalog VIEW lifecycle — CREATE OR REPLACE VIEW over a joined
+    * shape, then query through the view name. */
+  val s9SqlView: Q = (s, d) => {
+    nation(s, d).createOrReplaceTempView("graft_s9_nation_src")
+    region(s, d).createOrReplaceTempView("graft_s9_region_src")
+    // TEMPORARY: a persistent view may not reference temp-view sources
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW graft_s9_region_nations AS
+        |SELECT r.r_name, n.n_name, n.n_nationkey
+        |FROM graft_s9_nation_src n
+        |JOIN graft_s9_region_src r ON n.n_regionkey = r.r_regionkey""".stripMargin)
+    s.sql(
+      """SELECT r_name, count(*) AS n_nations, min(n_name) AS first_name
+        |FROM graft_s9_region_nations
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "d1_decimal_agg" -> d1DecimalAgg,
+    "s9_sql_view" -> s9SqlView,
     "s8_sql_table_lifecycle" -> s8SqlTableLifecycle,
     "a3_approx_distinct" -> a3ApproxDistinct,
     "a9_approx_percentile" -> a9ApproxPercentile,
@@ -210,6 +228,10 @@ object Hardening {
     "s8_sql_table_lifecycle" ->
       """SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "s9_sql_view" ->
+      """SELECT r_name, count(*) AS n_nations, min(n_name) AS first_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "o3_sort_within_partitions" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice
         |FROM lineitem

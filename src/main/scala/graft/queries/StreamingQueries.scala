@@ -24,6 +24,16 @@ object StreamingQueries {
       "t4_sink", OutputMode.Complete())
       .orderBy("win_start_s", "event_type")
 
+  /** T2 streaming: sliding-window counts (30 min window, 15 min slide —
+    * each event lands in exactly two windows, which the batch oracle
+    * reproduces with an explicit two-element unnest on the slide grid). */
+  val t2bStreamSliding: Q = (s, d) =>
+    StreamingOps.runToMemory(
+      StreamingOps.slidingCounts(StreamingOps.eventsStream(s, d),
+        windowDur = "30 minutes", slide = "15 minutes", watermark = "1 hour"),
+      "t2b_sink", OutputMode.Complete())
+      .orderBy("win_start_s", "event_type")
+
   /** T5: streaming dedup by event_id then count per type. */
   val t5StreamDedup: Q = (s, d) =>
     StreamingOps.runToMemory(
@@ -69,6 +79,7 @@ object StreamingQueries {
   val queries: Map[String, Q] = Map(
     "t9_stream_stream_join" -> t9StreamStreamJoin,
     "t4_stream_tumbling" -> t4StreamTumbling,
+    "t2b_stream_sliding" -> t2bStreamSliding,
     "t5_stream_dedup" -> t5StreamDedup,
     "t6_stateful_counts" -> t6StatefulCounts,
     "t7_stream_static_join" -> t7StreamStaticJoin,
@@ -80,6 +91,15 @@ object StreamingQueries {
       """SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS win_start_s,
         | event_type, count(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY win_start_s, event_type""".stripMargin,
+    "t2b_stream_sliding" ->
+      """SELECT win_start_s, event_type, count(*) AS n_events FROM (
+        | SELECT event_type,
+        |  unnest([CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 900) AS BIGINT) * 900,
+        |          CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 900) AS BIGINT) * 900 - 900])
+        |    AS win_start_s
+        | FROM events) t
+        |GROUP BY win_start_s, event_type
+        |ORDER BY win_start_s, event_type""".stripMargin,
     "t5_stream_dedup" ->
       """SELECT event_type, count(DISTINCT event_id) AS n_unique
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -37,6 +37,19 @@ object WindowsFuncs {
       .orderBy("o_orderpriority", "rn")
   }
 
+  /** W8: distribution functions — percent_rank / cume_dist. Value-based,
+    * so ties in o_totalprice produce identical results on both engines;
+    * doubles go through the house floor-rounding. */
+  val w8DistFuncs: Q = (s, d) => {
+    val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice").asc)
+    orders(s, d)
+      .select(
+        col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        r4(percent_rank().over(w)).as("pr"),
+        r4(cume_dist().over(w)).as("cd"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
   /** W2: lag / lead across a customer's order history. */
   val w2LagLead: Q = (s, d) => {
     val w = Window.partitionBy("o_custkey")
@@ -352,6 +365,7 @@ object WindowsFuncs {
     "a6_cube" -> a6Cube,
     "a7_stats" -> a7Stats,
     "a8_percentile" -> a8Percentile,
+    "w8_dist_funcs" -> w8DistFuncs,
     "a10_collect_list" -> a10CollectList,
     "f1_string_funcs" -> f1StringFuncs,
     "f2_regex" -> f2Regex,
@@ -436,6 +450,13 @@ object WindowsFuncs {
         | round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
         | round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "w8_dist_funcs" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        | round(percent_rank() OVER w, 4) AS pr,
+        | round(cume_dist() OVER w, 4) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
     "a8_percentile" ->
       """SELECT l_returnflag,
         | round(quantile_cont(l_quantity, 0.5), 4) AS p50,
