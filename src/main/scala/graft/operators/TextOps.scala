@@ -138,4 +138,25 @@ object TextOps {
     df.withColumn("n_ws_tokens", size(split(col(textCol), "\\s+")))
       .withColumn("n_bpe_tokens",
         size(expr(s"regexp_extract_all($textCol, '\\\\w+|[^\\\\w\\\\s]', 0)")))
+
+  /** Deterministic hash-based train/val/test assignment — the training-
+    * pipeline split primitive. Membership depends ONLY on the id (and
+    * seed), never on partitioning, row order, or which subset of the
+    * corpus is present — so incremental ingestion can never move a
+    * document across splits (the property random `df.sample` lacks).
+    * Fractions are percentage points of the 100-bucket hash space. */
+  def hashSplit(
+      df: DataFrame,
+      idCol: String,
+      trainPct: Int = 80,
+      valPct: Int = 10,
+      seed: Long = 42L): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split: train=$trainPct val=$valPct")
+    val bucket = pmod(xxhash64(col(idCol), lit(seed)), lit(100))
+    df.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
 }

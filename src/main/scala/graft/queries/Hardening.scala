@@ -181,6 +181,19 @@ object Hardening {
         |FROM graft_s8_nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
   }
 
+  /** A13: conditional aggregation — count_if / filtered sum / filtered
+    * avg, the standard OLAP "metrics by flag" shape. */
+  val a13ConditionalAgg: Q = (s, d) =>
+    orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        count_if(col("o_orderstatus") === "F").as("n_f"),
+        r4(sum(when(col("o_orderstatus") === "F", col("o_totalprice"))
+          .otherwise(0.0))).as("sum_f"),
+        r4(avg(when(col("o_orderstatus") === "O", col("o_totalprice"))))
+          .as("avg_o"))
+      .orderBy("o_orderpriority")
+
   /** S9: catalog VIEW lifecycle — CREATE OR REPLACE VIEW over a joined
     * shape, then query through the view name. */
   val s9SqlView: Q = (s, d) => {
@@ -201,6 +214,7 @@ object Hardening {
   val queries: Map[String, Q] = Map(
     "d1_decimal_agg" -> d1DecimalAgg,
     "s9_sql_view" -> s9SqlView,
+    "a13_conditional_agg" -> a13ConditionalAgg,
     "s8_sql_table_lifecycle" -> s8SqlTableLifecycle,
     "a3_approx_distinct" -> a3ApproxDistinct,
     "a9_approx_percentile" -> a9ApproxPercentile,
@@ -232,6 +246,12 @@ object Hardening {
       """SELECT r_name, count(*) AS n_nations, min(n_name) AS first_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "a13_conditional_agg" ->
+      """SELECT o_orderpriority,
+        | count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        | round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END), 4) AS sum_f,
+        | round(avg(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS avg_o
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "o3_sort_within_partitions" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice
         |FROM lineitem

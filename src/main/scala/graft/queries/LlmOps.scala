@@ -206,6 +206,14 @@ object LlmOps {
       .agg(count(lit(1)).as("n_kept"))
   }
 
+  /** Deterministic hash split counts (rows-only: xxhash64 is engine-
+    * specific so DuckDB can't recompute membership; the stability and
+    * disjointness laws live in LlmOpsSpec). */
+  val lpHashSplit: Q = (s, d) =>
+    TextOps.hashSplit(documents(s, d), "doc_id")
+      .groupBy("split").agg(count(lit(1)).as("n_docs"))
+      .orderBy("split")
+
   /** Heavy-hitter vocabulary via the Misra-Gries TypedImperativeAggregate
     * (X4). With capacity far above the distinct-token count the sketch is
     * exact, so the oracle is plain top-k word count. */
@@ -265,6 +273,7 @@ object LlmOps {
     "lf_fingerprint" -> lfFingerprint,
     "lj_ngram_jaccard" -> ljNgramJaccard,
     "ls_simhash" -> lsSimhash,
+    "lp_hash_split" -> lpHashSplit,
     "lm_multimodal_features" -> lmMultimodalFeatures,
   )
 

@@ -116,6 +116,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(kept == total - nDropped)
   }
 
+  test("hashSplit: subset-stable, disjoint-exhaustive, near target fractions") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, sfDir)
+    val full = TextOps.hashSplit(docs, "doc_id")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every doc gets exactly one split (by construction) and fractions
+    // land near 80/10/10 — chi-squared-loose bounds at n=250
+    val n = full.size.toDouble
+    val frac = full.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.1, frac.toString)
+    assert(frac.getOrElse("val", 0.0) > 0.02 && frac.getOrElse("test", 0.0) > 0.02)
+    // THE load-bearing property: membership is a pure function of the id
+    // — recomputing on a filtered subset (incremental ingestion) and
+    // under different partitioning never moves a document across splits
+    val subset = TextOps.hashSplit(
+      docs.where(col("doc_id") % 3 === 0).repartition(7), "doc_id")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    subset.foreach { case (id, s) => assert(full(id) == s, s"doc $id moved") }
+    // different seed reshuffles membership
+    val reseeded = TextOps.hashSplit(docs, "doc_id", seed = 7L)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(full.exists { case (id, s) => reseeded(id) != s })
+  }
+
   test("mllib MinHashLSH join finds exact duplicate pair") {
     import spark.implicits._
     val docs = Seq(
