@@ -136,6 +136,29 @@ object Relational {
       .orderBy("a_id", "b_id")
   }
 
+  /** U4: union by NAME — columns matched by name, not position (the
+    * schema-evolution-safe union a long-lived pipeline needs). The right
+    * branch deliberately permutes the projection order. */
+  val u4UnionByName: Q = (s, d) => {
+    val a = nation(s, d).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val b = nation(s, d).select(col("n_regionkey"), col("n_name"), col("n_nationkey"))
+    a.unionByName(b)
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n"), sum("n_nationkey").as("key_sum"))
+      .orderBy("n_regionkey")
+  }
+
+  /** X3b: posexplode_outer — rows with empty arrays survive with null
+    * position/token (plain explode drops them; the outer variant is what
+    * keeps document counts stable through tokenization). */
+  val x3bPosexplodeOuter: Q = (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, array().cast("array<string>"))
+          .otherwise(split(col("text"), " ")).as("toks"))
+      .select(col("doc_id"), posexplode_outer(col("toks")).as(Seq("pos", "tok")))
+      .orderBy("doc_id", "pos")
+
   // ---- sources (S2, S3, S5) ----
 
   /** S2: CSV parsing with an explicit schema — serialize nation rows to CSV
@@ -417,6 +440,8 @@ object Relational {
     "j9_band_join" -> j9BandJoin,
     "a2_count_distinct" -> a2CountDistinct,
     "u1_union" -> u1Union,
+    "u4_union_by_name" -> u4UnionByName,
+    "x3b_posexplode_outer" -> x3bPosexplodeOuter,
     "u2_intersect" -> u2Intersect,
     "u3_except" -> u3Except,
   )
@@ -604,6 +629,22 @@ object Relational {
     "a2_count_distinct" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs, count(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "u4_union_by_name" ->
+      """SELECT n_regionkey, count(*) AS n, sum(n_nationkey) AS key_sum FROM (
+        | SELECT n_nationkey, n_name, n_regionkey FROM nation
+        | UNION ALL BY NAME
+        | SELECT n_regionkey, n_name, n_nationkey FROM nation) t
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "x3b_posexplode_outer" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN CAST([] AS VARCHAR[])
+        |       ELSE string_split(text, ' ') END AS toks
+        | FROM documents)
+        |SELECT t.doc_id, CAST(u.i - 1 AS INT) AS pos, t.toks[CAST(u.i AS INT)] AS tok
+        |FROM t LEFT JOIN LATERAL
+        |  (SELECT unnest(range(1, len(t.toks) + 1)) AS i) u ON true
+        |ORDER BY doc_id, pos""".stripMargin,
     "u1_union" ->
       """WITH lo AS (SELECT n_nationkey FROM nation WHERE n_nationkey < 15),
         |     hi AS (SELECT n_nationkey FROM nation WHERE n_nationkey >= 10),
