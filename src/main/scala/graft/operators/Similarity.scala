@@ -117,14 +117,19 @@ object Similarity {
       nprobe: Int = 4,
       idCol: String = "vec_id",
       embCol: String = "embedding",
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      fitSampleFraction: Double = 1.0): DataFrame = {
     val spark = df.sparkSession
     val feats = df.select(
       col(idCol).as("id"), col(embCol).as("emb"),
       array_to_vector(col(embCol)).as("features"))
+    // quantizer trains on a seeded sample at scale (recall depends on
+    // nprobe, not centroid optimality); assignment is one full pass
+    val fitInput = if (fitSampleFraction < 1.0)
+      feats.sample(withReplacement = false, fitSampleFraction, seed) else feats
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(nlist).setSeed(seed).setFeaturesCol("features")
-    val model = km.fit(feats)
+    val model = km.fit(fitInput)
     val assigned = model.transform(feats)
       .select(col("id"), col("emb"), col("prediction").as("cell"))
 
@@ -186,7 +191,8 @@ object Similarity {
       idCol: String = "vec_id",
       embCol: String = "embedding",
       seed: Long = 42L,
-      eps: Double = 1e-4): DataFrame = {
+      eps: Double = 1e-4,
+      fitSampleFraction: Double = 1.0): DataFrame = {
     val spark = df.sparkSession
     val r = math.sqrt(math.max(0.0, 2.0 - 2.0 * threshold))
 
@@ -199,9 +205,17 @@ object Similarity {
       .where(col("_norm") > 0)
       .withColumn("nemb", expr("transform(emb, x -> cast(x / _norm as float))"))
 
+    // The recall-1.0 guarantee holds for ANY centroid set (the probe
+    // bound is triangle-inequality, not quality-dependent) — centroid
+    // quality only affects PRUNING efficiency. So at scale the iterative
+    // KMeans fit runs on a seeded sample; assignment still spans the
+    // full data in one pass.
+    val fitInput = (if (fitSampleFraction < 1.0)
+      normed.sample(withReplacement = false, fitSampleFraction, seed)
+    else normed).select(array_to_vector(col("nemb")).as("features"))
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(nlist).setSeed(seed).setFeaturesCol("features")
-    val model = km.fit(normed.select(array_to_vector(col("nemb")).as("features")))
+    val model = km.fit(fitInput)
     val assigned = model
       .transform(normed.withColumn("features", array_to_vector(col("nemb"))))
       .select(col("id"), col("emb"), col("nemb"), col("prediction").as("cell"))

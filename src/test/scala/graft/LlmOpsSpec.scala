@@ -94,6 +94,33 @@ class LlmOpsSpec extends SparkSpec {
       s"bucketed pair set must be EXACTLY the brute-force set")
   }
 
+  test("exactNearDupPairs with sampled quantizer fit is still exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val rnd = new scala.util.Random(13)
+    val base = (0 until 120).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat * 3))
+    }
+    val dups = (0 until 15).map { i =>
+      val (_, v) = base(rnd.nextInt(120))
+      (500L + i, v.map(x => x + rnd.nextGaussian().toFloat * 0.001f))
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val a = df.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = df.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val brute = a.join(broadcast(b), col("a_id") < col("b_id"))
+      .where(graft.functions.VectorFunctions
+        .cosineSim(col("a_emb"), col("b_emb")) >= 0.95)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // quantizer trained on ~30% of the data: worse centroids, same pairs
+    val sampled = Similarity.exactNearDupPairs(
+      df, 0.95, nlist = 5, fitSampleFraction = 0.3)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty && sampled == brute)
+  }
+
   test("exactNearDupPairs plan has no BroadcastNestedLoopJoin") {
     val df = graft.Tables.embeddings(spark, sfDir)
     val plan = Similarity.exactNearDupPairs(df, 0.95, nlist = 4)
