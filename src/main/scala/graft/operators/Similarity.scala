@@ -183,7 +183,14 @@ object Similarity {
     * real-world embeddings prune hard; adversarially uniform vectors
     * degrade toward all-pairs but through a shuffled hash join, never
     * an O(n²) driver or broadcast loop. `eps` absorbs float-32
-    * normalisation error so pruning can never cost recall. */
+    * normalisation error so pruning can never cost recall.
+    *
+    * Sizing `nlist`: the join's parallelism and per-task pair volume are
+    * both cell-driven, so nlist must GROW with the corpus — the IVF rule
+    * of thumb nlist ≈ sqrt(n) keeps expected occupancy ≈ sqrt(n) and
+    * per-cell pair work ≈ n, i.e. linear total work when probes stay
+    * O(1); pair it with `fitSampleFraction` so the quantizer fit stays
+    * cheap. The fixture default 8 is for 500–2000-vector test data. */
   def exactNearDupPairs(
       df: DataFrame,
       threshold: Double,

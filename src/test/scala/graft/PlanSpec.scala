@@ -57,6 +57,21 @@ class PlanSpec extends SparkSpec {
       s"no partial aggregation:\n$plan")
   }
 
+  test("d1: decimal aggregation is two-phase with a 4-column pruned scan") {
+    val plan = planOf(graft.queries.Hardening.queries("d1_decimal_agg")(spark, sfDir))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"decimal agg not two-phase:\n$plan")
+    assert(plan.contains("ReadSchema") && !plan.contains("l_shipdate"),
+      s"columns not pruned:\n$plan")
+  }
+
+  test("w8: distribution functions plan one exchange + one window") {
+    val plan = planOf(graft.queries.WindowsFuncs.queries("w8_dist_funcs")(spark, sfDir))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected exactly one hash exchange:\n$plan")
+    assert("\\bWindow\\b".r.findAllIn(plan).size >= 1, s"no window operator:\n$plan")
+  }
+
   test("semi/anti joins plan as join operators, not subquery re-scans") {
     val anti = planOf(Relational.q4AntiJoin(spark, sfDir))
     assert(anti.contains("LeftAnti"), s"no anti join:\n$anti")
