@@ -214,6 +214,20 @@ object LlmOps {
       .groupBy("split").agg(count(lit(1)).as("n_docs"))
       .orderBy("split")
 
+  /** Stratified sample counts (rows-only: Bernoulli draws are engine-
+    * specific; the proportion and determinism laws live in LlmOpsSpec).
+    * sampleBy draws per-stratum Bernoulli — the class-rebalancing
+    * primitive; for split assignment that must survive reprocessing use
+    * TextOps.hashSplit instead. */
+  val lp2StratifiedSample: Q = (s, d) => {
+    val docs = documents(s, d)
+    val langs = Seq("en", "de", "fr", "es", "zh") // fixture strata
+    val fractions = langs.map(l => l -> 0.5).toMap
+    docs.stat.sampleBy("lang", fractions, 42L)
+      .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+      .orderBy("lang")
+  }
+
   /** Heavy-hitter vocabulary via the Misra-Gries TypedImperativeAggregate
     * (X4). With capacity far above the distinct-token count the sketch is
     * exact, so the oracle is plain top-k word count. */
@@ -274,6 +288,7 @@ object LlmOps {
     "lj_ngram_jaccard" -> ljNgramJaccard,
     "ls_simhash" -> lsSimhash,
     "lp_hash_split" -> lpHashSplit,
+    "lp2_stratified_sample" -> lp2StratifiedSample,
     "lm_multimodal_features" -> lmMultimodalFeatures,
   )
 

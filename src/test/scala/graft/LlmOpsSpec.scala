@@ -170,6 +170,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(full.exists { case (id, s) => reseeded(id) != s })
   }
 
+  test("stratified sample: deterministic under a seed, near target fractions") {
+    val q = graft.queries.LlmOps.queries("lp2_stratified_sample")
+    val once = q(spark, sfDir).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val again = q(spark, sfDir).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(once == again, "sampleBy must be deterministic for a fixed seed")
+    val totals = graft.Tables.documents(spark, sfDir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    once.foreach { case (lang, n) =>
+      val frac = n.toDouble / totals(lang)
+      assert(frac > 0.3 && frac < 0.7, s"$lang sampled $frac of stratum")
+    }
+  }
+
   test("mllib MinHashLSH join finds exact duplicate pair") {
     import spark.implicits._
     val docs = Seq(
