@@ -38,7 +38,34 @@ object AsOfJoin {
       keys: Seq[String],
       leftTime: String,
       rightTime: String,
-      prefix: String = "asof_"): DataFrame = {
+      prefix: String = "asof_"): DataFrame =
+    joinDirected(left, right, keys, leftTime, rightTime, prefix,
+      timeAscending = true)
+
+  /** Forward as-of join: for each left row, attach the single EARLIEST
+    * right row whose time is >= the left row's time, per key (DuckDB
+    * `ASOF ... ON l.t <= r.t`) — "next reading at or after this event".
+    * Same union+window machinery scanning time DESCENDING, so the last
+    * right payload seen at a left row is the smallest right time at or
+    * after it. */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      prefix: String = "asof_"): DataFrame =
+    joinDirected(left, right, keys, leftTime, rightTime, prefix,
+      timeAscending = false)
+
+  private def joinDirected(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      prefix: String,
+      timeAscending: Boolean): DataFrame = {
     val payloadCols = right.columns.filterNot(keys.contains).toSeq
     val l = left
       .withColumn("_t", col(leftTime))
@@ -50,9 +77,12 @@ object AsOfJoin {
       .select((keys ++ Seq("_t", "_is_left", "_rpayload")).map(col): _*)
 
     val unioned = l.unionByName(r, allowMissingColumns = true)
+    // right rows sort BEFORE left rows at equal timestamps in either
+    // direction, so the at-or-{before,after} equality case matches
     val w = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col("_t").asc, col("_is_left").asc)
+      .orderBy(if (timeAscending) col("_t").asc else col("_t").desc,
+        col("_is_left").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matched = unioned

@@ -79,6 +79,23 @@ object TimeJson {
       .orderBy("event_id")
   }
 
+  /** J8c: FORWARD as-of — each purchase matched to the EARLIEST click at
+    * or after it ("next interaction"), the mirror of j8. */
+  val j8cAsofForward: Q = (s, d) => {
+    val e = events(s, d)
+    val purchases = e.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = e.where(col("event_type") === "click")
+      .select("user_id", "ts", "value")
+    AsOfJoin.forward(purchases, clicks, Seq("user_id"), "ts", "ts", "click_")
+      .select(
+        col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        unix_micros(col("click_ts")).as("click_ts_us"),
+        col("click_value"))
+      .orderBy("event_id")
+  }
+
   /** J8b: the same as-of join through the native custom operator
     * (LogicalPlan + Strategy + merge-scan SparkPlan) — same DuckDB
     * ASOF JOIN oracle as j8. */
@@ -104,6 +121,7 @@ object TimeJson {
     "t3_session_window" -> t3SessionWindow,
     "j8_asof_join" -> j8AsofJoin,
     "j8b_asof_native" -> j8bAsofNative,
+    "j8c_asof_forward" -> j8cAsofForward,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -156,6 +174,17 @@ object TimeJson {
         |ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
         |                FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "j8c_asof_forward" ->
+      """SELECT p.event_id, p.user_id,
+        | CAST(epoch_us(p.ts) AS BIGINT) AS ts_us,
+        | CAST(epoch_us(c.ts) AS BIGINT) AS click_ts_us,
+        | c.value AS click_value
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |                FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts <= c.ts
         |ORDER BY p.event_id""".stripMargin,
     "j8b_asof_native" ->
       """SELECT p.event_id, p.user_id,
