@@ -321,7 +321,7 @@ object LlmOps {
         |                             CAST(b.embedding AS DOUBLE[])) > 0.2
         |ORDER BY a_id, b_id""".stripMargin,
     "l4_topk_neighbors" ->
-      """SELECT q_id, c_id, round(cos, 4) AS cos4, rn FROM (
+      """SELECT q_id, c_id, round(cos, 4) AS cos4, CAST(rn AS INT) AS rn FROM (
         | SELECT a.vec_id AS q_id, b.vec_id AS c_id,
         |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                         CAST(b.embedding AS DOUBLE[])) AS cos,
@@ -333,7 +333,7 @@ object LlmOps {
         | WHERE a.vec_id < 100) t
         |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
     "l4b_topk_agg" ->
-      """SELECT q_id, c_id, round(cos, 4) AS cos4, rn FROM (
+      """SELECT q_id, c_id, round(cos, 4) AS cos4, CAST(rn AS INT) AS rn FROM (
         | SELECT a.vec_id AS q_id, b.vec_id AS c_id,
         |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                         CAST(b.embedding AS DOUBLE[])) AS cos,
@@ -345,7 +345,7 @@ object LlmOps {
         | WHERE a.vec_id < 100) t
         |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
     "l6_tokenize" ->
-      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
         | string_split(text, ' ')[1] AS first_tok,
         | string_split(text, ' ')[len(string_split(text, ' '))] AS last_tok
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -399,7 +399,7 @@ object LlmOps {
         |  len(list_intersect(toks, ['el','la','de','y','que'])) AS h_es,
         |  len(list_intersect(toks, ['le','la','de','et','que'])) AS h_fr
         | FROM t)
-        |SELECT doc_id, lang, h_en AS hits_en,
+        |SELECT doc_id, lang, CAST(h_en AS INT) AS hits_en,
         | CASE WHEN greatest(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
         |      WHEN h_en = greatest(h_en, h_de, h_es, h_fr) THEN 'en'
         |      WHEN h_de = greatest(h_en, h_de, h_es, h_fr) THEN 'de'
@@ -420,8 +420,8 @@ object LlmOps {
         |FROM m ORDER BY doc_id""".stripMargin,
     "lt_token_count" ->
       """SELECT doc_id,
-        | len(string_split_regex(text, '\s+')) AS n_ws_tokens,
-        | len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens
+        | CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_ws_tokens,
+        | CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "lf_fingerprint" ->
       """SELECT doc_id,

@@ -471,7 +471,7 @@ object Relational {
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
     "q3_window_topk" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
         | SELECT o_custkey, o_orderkey, o_totalprice,
         |  row_number() OVER (PARTITION BY o_custkey
         |                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
@@ -630,7 +630,7 @@ object Relational {
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs, count(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "u4_union_by_name" ->
-      """SELECT n_regionkey, count(*) AS n, sum(n_nationkey) AS key_sum FROM (
+      """SELECT n_regionkey, count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS key_sum FROM (
         | SELECT n_nationkey, n_name, n_regionkey FROM nation
         | UNION ALL BY NAME
         | SELECT n_regionkey, n_name, n_nationkey FROM nation) t

@@ -386,7 +386,9 @@ object WindowsFuncs {
 
   val oracleSql: Map[String, String] = Map(
     "w1_rank_funcs" ->
-      """SELECT o_orderpriority, o_orderkey, o_totalprice, rn, rnk, drnk, quartile FROM (
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        | CAST(rn AS INT) AS rn, CAST(rnk AS INT) AS rnk,
+        | CAST(drnk AS INT) AS drnk, CAST(quartile AS INT) AS quartile FROM (
         | SELECT o_orderpriority, o_orderkey, o_totalprice,
         |  row_number() OVER w AS rn, rank() OVER w AS rnk,
         |  dense_rank() OVER w AS drnk, ntile(4) OVER w AS quartile
@@ -433,7 +435,8 @@ object WindowsFuncs {
     "a4_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 4) AS sum_qty, count(*) AS n_rows,
-        | grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status
+        | CAST(grouping(l_returnflag) AS TINYINT) AS g_flag,
+        | CAST(grouping(l_linestatus) AS TINYINT) AS g_status
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
@@ -471,7 +474,7 @@ object WindowsFuncs {
       """SELECT c_custkey,
         | concat('cust:', lower(c_name)) AS tagged,
         | substring(c_name, 10, 9) AS id_part,
-        | length(c_name) AS name_len,
+        | CAST(length(c_name) AS INT) AS name_len,
         | lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
         | trim('  x  ') AS trimmed
         |FROM customer ORDER BY c_custkey""".stripMargin,
@@ -483,16 +486,17 @@ object WindowsFuncs {
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "f3_datetime" ->
       """SELECT o_orderkey,
-        | year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS dom,
+        | CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
+        | CAST(day(o_orderdate) AS INT) AS dom,
         | CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_start_s,
-        | datediff('day', DATE '1995-01-01', o_orderdate) AS days_since_95,
+        | CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS INT) AS days_since_95,
         | CAST(o_orderdate AS DATE) + 30 AS due_date
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "f4_math" ->
       """SELECT l_orderkey, l_linenumber,
         | floor(l_extendedprice * 10 + 0.5) / 10 AS price_r1,
-        | floor(l_quantity) AS qty_floor,
-        | ceil(l_discount * 100) AS disc_pct_ceil,
+        | CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+        | CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
         | abs(l_quantity - 25) AS qty_dev,
         | round(pow(l_tax + 1, 2), 4) AS tax_sq,
         | round(sqrt(l_quantity), 4) AS qty_sqrt,
@@ -515,7 +519,7 @@ object WindowsFuncs {
         |ORDER BY n_nationkey""".stripMargin,
     "f11_to_json" ->
       """SELECT n_nationkey,
-        | to_json(struct_pack(k := n_nationkey, s := n_name)) AS j
+        | CAST(to_json(struct_pack(k := n_nationkey, s := n_name)) AS VARCHAR) AS j
         |FROM nation ORDER BY n_nationkey""".stripMargin,
     "f12_bits" ->
       """SELECT p_partkey,
@@ -535,16 +539,16 @@ object WindowsFuncs {
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "f6_array" ->
       """SELECT doc_id,
-        | len(string_split(text, ' ')) AS n_toks,
+        | CAST(len(string_split(text, ' ')) AS INT) AS n_toks,
         | CAST(list_contains(string_split(text, ' '), 'spark') AS INT) AS has_spark,
         | array_to_string(string_split(text, ' ')[1:3], ' ') AS first3,
-        | len(list_distinct(string_split(text, ' '))) AS n_uniq,
+        | CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq,
         | array_to_string(list_sort(list_distinct(string_split(text, ' ')[1:5])), ',') AS first5_sorted
         |FROM documents ORDER BY doc_id""".stripMargin,
     "f7_higher_order" ->
       """SELECT vec_id,
         | round(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum'), 4) AS sum_sq,
-        | len(list_filter(embedding, x -> x > 0)) AS n_pos
+        | CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "f8_from_json" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
@@ -562,7 +566,7 @@ object WindowsFuncs {
       """SELECT p_brand, round(exp(avg(ln(p_retailprice))), 4) AS geo_price
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "x3_posexplode" ->
-      """SELECT doc_id, pos, tok FROM (
+      """SELECT doc_id, CAST(pos AS INT) AS pos, tok FROM (
         | SELECT doc_id,
         |  unnest(range(len(string_split(text, ' ')))) AS pos,
         |  unnest(string_split(text, ' ')) AS tok
