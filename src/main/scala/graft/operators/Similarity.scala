@@ -161,6 +161,75 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cos"), col("rn"))
   }
 
+  /** L4 primary at-scale route — IVF-bucketed top-k with the bounded-heap
+    * aggregate. Combines the three scale fixes in one shape:
+    *   - candidate generation is an equi-join on `cell` (hash-partitioned,
+    *     AQE-skew-splittable) — no broadcast of the corpus, no
+    *     BroadcastNestedLoopJoin (asserted by PlanSpec);
+    *   - probe selection is ONE narrow projection against a literal
+    *     centroid array (nlist rows live driver-side after the KMeans
+    *     fit) — no centroid join, no per-vector window, zero extra
+    *     shuffles;
+    *   - the top-k reduction is the map-side bounded-heap
+    *     TypedImperativeAggregate — the shuffle after scoring carries at
+    *     most k entries per query per map task.
+    * With `nprobe = nlist` every cell is probed, so the result is EXACT
+    * (hash-checkable against the brute-force oracle) while the plan keeps
+    * the bucketed shape; at scale set nprobe << nlist ≈ sqrt(n) to trade
+    * recall for a ~nlist/nprobe candidate reduction, and fitSampleFraction
+    * so the quantizer fit stays O(sample). */
+  def ivfTopKAgg(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nlist: Int = 8,
+      nprobe: Int = 8,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      seed: Long = 42L,
+      fitSampleFraction: Double = 1.0): DataFrame = {
+    val feats = corpus
+      .select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
+      .withColumn("features", array_to_vector(col("c_emb")))
+    val fitInput = if (fitSampleFraction < 1.0)
+      feats.sample(withReplacement = false, fitSampleFraction, seed) else feats
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nlist).setSeed(seed).setFeaturesCol("features")
+    val model = km.fit(fitInput)
+    val assigned = model.transform(feats)
+      .select(col("c_id"), col("c_emb"), col("prediction").as("cell"))
+
+    // (cell, centroid, ||centroid||²) as a literal array: probe ranking is
+    // d²(q, c_j) = q·q - 2 q·c_j + ||c_j||², sorted in-row — no join.
+    val cents: Seq[(Int, Seq[Float], Double)] =
+      model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        val arr = c.toArray.map(_.toFloat)
+        (i, arr.toSeq, arr.map(x => x.toDouble * x).sum)
+      }.toSeq
+    val centCol = typedlit(cents)
+
+    val probes = queries
+      .select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
+      .withColumn("_self", dotProduct(col("q_emb"), col("q_emb")))
+      .withColumn("ds", array_sort(transform(centCol, c =>
+        struct(
+          (col("_self") - dotProduct(col("q_emb"), c.getField("_2")) * 2 +
+            c.getField("_3")).as("d2"),
+          c.getField("_1").as("pcell")))))
+      .withColumn("probe", explode(slice(col("ds"), 1, nprobe)))
+      .select(col("q_id"), col("q_emb"), col("probe.pcell").as("cell"))
+
+    probes.join(assigned, Seq("cell"))
+      .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        cosineSim(col("q_emb"), col("c_emb")).as("cos"))
+      .groupBy("q_id")
+      .agg(org.apache.spark.sql.graft.TopKByScore.topK(col("cos"), col("c_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("q_id"), col("e.tie").as("c_id"), col("e.score").as("cos"),
+        (col("pos") + 1).as("rn"))
+  }
+
   /** Exact cosine near-dup pairs at scale — IVF cells + triangle-
     * inequality multiprobe, recall 1.0 by construction.
     *

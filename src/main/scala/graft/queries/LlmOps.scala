@@ -46,6 +46,20 @@ object LlmOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** L3 primary at-scale route: the SAME pair set as l3_cosine_pairs but
+    * through the bucketed IVF-multiprobe candidate generator
+    * (Similarity.exactNearDupPairs — recall 1.0 by triangle inequality,
+    * candidates via plain equi-join on `cell`, never a broadcast
+    * nested-loop over all pairs). The brute-force l3 stays registered as
+    * the verification shape; this is the route a 100 TB corpus runs. */
+  val l3bCosineBucketed: Q = (s, d) => {
+    val e = embeddings(s, d).where(col("vec_id") < 100)
+    Similarity.exactNearDupPairs(e, threshold = 0.2, nlist = 8)
+      .where(col("cos") > 0.2)
+      .select(col("a_id"), col("b_id"), r4(col("cos")).as("cos4"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** L4: exact top-3 neighbours per query vector. */
   val l4TopkNeighbors: Q = (s, d) => {
     val e = embeddings(s, d)
@@ -59,6 +73,17 @@ object LlmOps {
   val l4bTopkAgg: Q = (s, d) => {
     val e = embeddings(s, d)
     Similarity.bruteForceTopKAgg(e.where(col("vec_id") < 100), e, 3)
+      .select(col("q_id"), col("c_id"), r4(col("cos")).as("cos4"), col("rn"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** L4 primary at-scale route: IVF-bucketed top-k through the
+    * bounded-heap aggregate — equi-join candidates, no corpus broadcast,
+    * map-side-bounded shuffle. nprobe = nlist makes it exact, so it
+    * hash-checks against the same brute-force oracle as l4/l4b. */
+  val l4cTopkBucketed: Q = (s, d) => {
+    val e = embeddings(s, d)
+    Similarity.ivfTopKAgg(e.where(col("vec_id") < 100), e, 3, nlist = 8, nprobe = 8)
       .select(col("q_id"), col("c_id"), r4(col("cos")).as("cos4"), col("rn"))
       .orderBy("q_id", "rn")
   }
@@ -268,8 +293,10 @@ object LlmOps {
     "l1_exact_dedup" -> l1ExactDedup,
     "l2_minhash_candidates" -> l2MinhashCandidates,
     "l3_cosine_pairs" -> l3CosinePairs,
+    "l3b_cosine_pairs_bucketed" -> l3bCosineBucketed,
     "l4_topk_neighbors" -> l4TopkNeighbors,
     "l4b_topk_agg" -> l4bTopkAgg,
+    "l4c_topk_bucketed" -> l4cTopkBucketed,
     "l5_ann_lsh" -> l5AnnLsh,
     "li_ivf_ann" -> liIvfAnn,
     "ld_embedding_dedup" -> ldEmbeddingDedup,
@@ -320,6 +347,27 @@ object LlmOps {
         |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) > 0.2
         |ORDER BY a_id, b_id""".stripMargin,
+    "l3b_cosine_pairs_bucketed" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                              CAST(b.embedding AS DOUBLE[])), 4) AS cos4
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 100 AND b.vec_id < 100
+        |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) > 0.2
+        |ORDER BY a_id, b_id""".stripMargin,
+    "l4c_topk_bucketed" ->
+      """SELECT q_id, c_id, round(cos, 4) AS cos4, CAST(rn AS INT) AS rn FROM (
+        | SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+        |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                         CAST(b.embedding AS DOUBLE[])) AS cos,
+        |  row_number() OVER (PARTITION BY a.vec_id
+        |    ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                    CAST(b.embedding AS DOUBLE[])) DESC,
+        |             b.vec_id ASC) AS rn
+        | FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+        | WHERE a.vec_id < 100) t
+        |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
     "l4_topk_neighbors" ->
       """SELECT q_id, c_id, round(cos, 4) AS cos4, CAST(rn AS INT) AS rn FROM (
         | SELECT a.vec_id AS q_id, b.vec_id AS c_id,

@@ -128,6 +128,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("ivfTopKAgg with full probing == brute-force top-k (exact)") {
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val q = e.where(col("vec_id") < 30)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "c_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = key(Similarity.bruteForceTopKAgg(q, e, 3))
+    val ivf = key(Similarity.ivfTopKAgg(q, e, 3, nlist = 4, nprobe = 4))
+    assert(brute.nonEmpty && ivf == brute)
+  }
+
+  test("ivfTopKAgg candidate join is an equi-join, never a nested-loop broadcast") {
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val plan = Similarity.ivfTopKAgg(e.where(col("vec_id") < 30), e, 3,
+      nlist = 4, nprobe = 4).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("ld_embedding_dedup query matches all-pairs count on fixture") {
     import org.apache.spark.sql.functions.{broadcast, col, countDistinct}
     val e = graft.Tables.embeddings(spark, sfDir)
