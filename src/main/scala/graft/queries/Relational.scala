@@ -226,6 +226,56 @@ object Relational {
         |ORDER BY n_name""".stripMargin)
   }
 
+  /** The q12 CBO join text — shared with PlanSpec so the spec asserts the
+    * reorder on the exact query the driver hash-checks. */
+  val cboJoin5Sql: String =
+    """SELECT n_name,
+      | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+      | count(*) AS n_items
+      |FROM graft_cbo_customer
+      |JOIN graft_cbo_orders   ON c_custkey = o_custkey
+      |JOIN graft_cbo_lineitem ON l_orderkey = o_orderkey
+      |JOIN graft_cbo_supplier ON l_suppkey = s_suppkey
+      |JOIN graft_cbo_nation   ON s_nationkey = n_nationkey
+      |JOIN graft_cbo_region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'AFRICA' AND c_nationkey = s_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  /** CTAS the fixture tables into the session catalog and ANALYZE them —
+    * row counts + column stats are what feed CostBasedJoinReorder. */
+  def prepareCboTables(s: SparkSession, d: String): Unit = {
+    Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+      .foreach { name =>
+        Tables.t(s, d, name).createOrReplaceTempView(s"graft_cbo_src_$name")
+        s.sql(s"DROP TABLE IF EXISTS graft_cbo_$name")
+        // stale warehouse dirs survive a previous JVM's in-memory catalog
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), s"graft_cbo_$name")
+        loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+        s.sql(s"CREATE TABLE graft_cbo_$name USING PARQUET AS " +
+          s"SELECT * FROM graft_cbo_src_$name")
+        s.sql(s"ANALYZE TABLE graft_cbo_$name COMPUTE STATISTICS FOR ALL COLUMNS")
+      }
+    s.conf.set("spark.sql.cbo.enabled", "true")
+    s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+  }
+
+  /** Q12: the q10 5-way join through the cost-based-optimizer path —
+    * catalog tables with ANALYZE statistics and stats-fed join reorder
+    * (SURVEY §4.1 "join reorder"). At 100 TB a 5-way join lives or dies
+    * on ordering fact-fact intermediates by estimated cardinality, and
+    * that reorder only fires when table/column stats exist; q10 (path-
+    * based reads, no stats) exercises the rule-only path, q12 the CBO
+    * path. Same oracle as q10, so the reorder is semantics-checked;
+    * PlanSpec asserts the stats actually reach the join plan. CBO confs
+    * stay on afterwards — stats exist only for the graft_cbo_* tables,
+    * so other queries' plans are unaffected. */
+  val q12CboJoin5: Q = (s, d) => {
+    prepareCboTables(s, d)
+    s.sql(cboJoin5Sql)
+  }
+
   /** S5: in-memory literal relation joined against a fixture table. */
   val s5InmemoryValues: Q = (s, d) => {
     val rows = Seq((0, "low"), (1, "mid"), (2, "high"), (3, "mid"), (4, "low"))
@@ -427,6 +477,7 @@ object Relational {
     "s3_json_roundtrip" -> s3JsonRoundtrip,
     "s3b_json_file" -> s3bJsonFile,
     "q10_sql_join5" -> q10SqlJoin5,
+    "q12_cbo_join5" -> q12CboJoin5,
     "s5_inmemory_values" -> s5InmemoryValues,
     "p1_project_cast" -> p1ProjectCast,
     "p2_filter_complex" -> p2FilterComplex,
@@ -551,6 +602,19 @@ object Relational {
         |                AND o.o_orderstatus = 'O')
         |  AND c_custkey IN (SELECT o_custkey FROM orders)
         |ORDER BY c_custkey""".stripMargin,
+    "q12_cbo_join5" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        | count(*) AS n_items
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'AFRICA' AND c_nationkey = s_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
     "q10_sql_join5" ->
       """SELECT n_name,
         | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,

@@ -115,6 +115,29 @@ class PlanSpec extends SparkSpec {
       s"partial phase missing:\n$plan")
   }
 
+  test("q12: ANALYZE stats feed the CBO — row counts on every join, reorder active") {
+    Relational.prepareCboTables(spark, sfDir)
+    val qe = spark.sql(Relational.cboJoin5Sql).queryExecution
+    val joins = qe.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    // with cbo.enabled + ANALYZE'd tables, BasicStatsPlanVisitor derives a
+    // rowCount for every join node; without stats rowCount is None — this
+    // is exactly the signal CostBasedJoinReorder orders by
+    assert(joins.nonEmpty && joins.forall(_.stats.rowCount.isDefined),
+      s"CBO stats missing on joins:\n${qe.optimizedPlan}")
+    // and the stats-fed reorder must actually change the join tree: the
+    // declared order starts from customer⋈orders; compare leaf order
+    // against the rule-only plan
+    val cboLeaves = qe.optimizedPlan.collectLeaves().map(_.toString)
+    spark.conf.set("spark.sql.cbo.enabled", "false")
+    val ruleLeaves = try spark.sql(Relational.cboJoin5Sql)
+      .queryExecution.optimizedPlan.collectLeaves().map(_.toString)
+    finally spark.conf.set("spark.sql.cbo.enabled", "true")
+    assert(cboLeaves != ruleLeaves,
+      s"join order unchanged by CBO:\ncbo=$cboLeaves\nrule=$ruleLeaves")
+  }
+
   test("s6: partition-column predicate prunes directories (PartitionFilters, no data filter)") {
     // write the partitioned layout, then check the pruned readback plan
     graft.queries.Hardening.s6PartitionedSink(spark, sfDir).count()
