@@ -37,7 +37,24 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Probe (kept OUT of `queries`/total so the headline stays comparable
+    // to BASELINE.md): T6 stateful streaming against the RocksDB state
+    // store at bench SF — off-heap state is the 100 TB configuration, and
+    // its cost should be measured, not assumed, before any scale claim.
+    val stateSec = try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val t0 = System.nanoTime()
+      graft.streaming.StreamingOps.runToMemory(
+        graft.streaming.StreamingOps.runningUserCountsTWS(
+          graft.streaming.StreamingOps.eventsStream(spark, sfDir)),
+        "bench_t6_rocksdb",
+        org.apache.spark.sql.streaming.OutputMode.Update()).count()
+      (System.nanoTime() - t0) / 1e9
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] rocksdb probe failed: ${e.getMessage}"); -1.0
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rocksdb_state_t6_sec":$stateSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -18,9 +18,15 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // non-vacuity guard: q9b is the flagship value-bearing cosine
+        // query — threshold drift silently emptying it bit once in r01
+        if (name == "q9b_cosine_selfjoin_t038" &&
+            spark.read.parquet(s"$outDir/$name").isEmpty)
+          System.err.println(s"[verify] $name VACUOUS: 0 rows — threshold drift?")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

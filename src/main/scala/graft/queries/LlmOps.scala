@@ -289,6 +289,29 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** L11b: a REAL BinaryType column end-to-end — deterministic binary
+    * payloads (sha256 digests of the fixture text) written to parquet,
+    * read back, and pushed through the mapPartitions decoder boundary.
+    * Unlike lm_multimodal_features (binary built in-query), this
+    * exercises BinaryType through the parquet sink/source round-trip,
+    * which is the storage path a 100 TB media corpus lives on. The
+    * oracle recomputes the digest bytes from hex in DuckDB, so the
+    * decode plumbing is hash-checked, not just row-counted. */
+  val l11bMediaFeatures: Q = (s, d) => {
+    val out = new java.io.File("target/tmp/l11b_bin").getAbsolutePath
+    documents(s, d)
+      .select(col("doc_id"), unhex(sha2(col("text"), 256)).as("content"))
+      .write.mode("overwrite").parquet(out)
+    Multimodal.withMediaFeatures(s.read.parquet(out), "content")
+      .select(
+        col("doc_id"),
+        element_at(col("media_features"), 1).cast("long").as("n_bytes"),
+        Orc.rN(element_at(col("media_features"), 2).cast("double"), 2).as("mean_byte"),
+        element_at(col("media_features"), 3).cast("int").as("min_byte"),
+        element_at(col("media_features"), 4).cast("int").as("max_byte"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "l1_exact_dedup" -> l1ExactDedup,
     "l2_minhash_candidates" -> l2MinhashCandidates,
@@ -317,6 +340,7 @@ object LlmOps {
     "lp_hash_split" -> lpHashSplit,
     "lp2_stratified_sample" -> lp2StratifiedSample,
     "lm_multimodal_features" -> lmMultimodalFeatures,
+    "l11b_media_features" -> l11bMediaFeatures,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -490,6 +514,19 @@ object LlmOps {
         |       CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 4) AS jaccard
         |FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
         |ORDER BY a_id, b_id""".stripMargin,
+    "l11b_media_features" ->
+      """WITH h AS (SELECT doc_id, sha256(text) AS hex FROM documents),
+        |c AS (SELECT doc_id,
+        |  list_transform(range(32), i ->
+        |    (strpos('0123456789abcdef', substring(hex, CAST(2*i + 1 AS INT), 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substring(hex, CAST(2*i + 2 AS INT), 1)) - 1)) AS codes
+        | FROM h)
+        |SELECT doc_id,
+        | CAST(32 AS BIGINT) AS n_bytes,
+        | round(CAST(CAST(list_aggregate(codes, 'sum') / 32.0 AS FLOAT) AS DOUBLE), 2) AS mean_byte,
+        | CAST(list_aggregate(codes, 'min') AS INT) AS min_byte,
+        | CAST(list_aggregate(codes, 'max') AS INT) AS max_byte
+        |FROM c ORDER BY doc_id""".stripMargin,
     "lm_multimodal_features" ->
       """WITH c AS (SELECT doc_id, text,
         |  list_transform(range(length(text)),
