@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.LlmOps.queries ++
       graft.queries.MlQueries.queries ++
       graft.queries.StreamingQueries.queries ++
-      graft.queries.Hardening.queries
+      graft.queries.Hardening.queries ++
+      graft.queries.PipelineOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -37,7 +38,8 @@ object SparkEntry {
       graft.queries.LlmOps.oracleSql ++
       graft.queries.MlQueries.oracleSql ++
       graft.queries.StreamingQueries.oracleSql ++
-      graft.queries.Hardening.oracleSql)
+      graft.queries.Hardening.oracleSql ++
+      graft.queries.PipelineOps.oracleSql)
       .map { case (k, v) => k -> Orc.round4Sql(v) }
 
   /** Headline bench subset — names and shapes match BASELINE.md. */

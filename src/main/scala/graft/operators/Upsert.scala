@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MERGE-style upsert as a composition of built-in operators: the result
+  * contains every key from base ∪ updates, with the updates row winning
+  * where both exist. This is the maintenance primitive behind "refresh a
+  * curated training set with a corrected batch" — whole-row semantics of
+  * `MERGE WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT`
+  * expressed as one full-outer join plus coalesce, so it needs no table
+  * format extension and Catalyst plans it like any other join.
+  *
+  * Scale posture: a single shuffle of both sides on the key. When base is
+  * bucketed on the key (operators/Bucketing.scala), its shuffle drops out
+  * and the merge is a co-located join — the incremental-maintenance shape
+  * you want at 100 TB: cost ∝ updates + touched buckets, not base size.
+  * Requires each key to appear at most once per side (standard MERGE
+  * precondition); enforce upstream or dedup first.
+  *
+  * Reference: /root/reference is empty (SURVEY.md §0.1); pipeline-ops
+  * family, SURVEY.md §2.10.
+  */
+object Upsert {
+
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    val cols = base.columns.toSeq
+    require(updates.columns.toSeq == cols,
+      s"updates schema ${updates.columns.mkString(",")} != base schema ${cols.mkString(",")}")
+    require(keys.nonEmpty && keys.forall(cols.contains), s"bad keys $keys")
+    val b = base.select(cols.map(c => col(c).as(s"_b_$c")): _*)
+    val u = updates.select(cols.map(c => col(c).as(s"_u_$c")): _*)
+    val cond = keys.map(k => col(s"_b_$k") === col(s"_u_$k")).reduce(_ && _)
+    // key columns coalesce on the key (never null on the side that
+    // exists); payload columns take the update side when the key matched.
+    val matched = keys.map(k => col(s"_u_$k").isNotNull).reduce(_ && _)
+    b.join(u, cond, "full_outer")
+      .select(cols.map { c =>
+        if (keys.contains(c)) coalesce(col(s"_u_$c"), col(s"_b_$c")).as(c)
+        else when(matched, col(s"_u_$c")).otherwise(col(s"_b_$c")).as(c)
+      }: _*)
+  }
+}

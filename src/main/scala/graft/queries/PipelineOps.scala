@@ -1,0 +1,253 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Orc, Tables}
+import graft.operators.{BandJoin, Components, Packing, Similarity, Upsert}
+
+/** Round-5 pipeline operators: duplicate-cluster closure (connected
+  * components), recursive CTE, binned band join (the J9 scale path),
+  * MERGE-style upsert, deterministic hash sampling/sharding, and
+  * sequence packing.
+  *
+  * Reference: /root/reference is empty (SURVEY.md §0.1); contract rows
+  * SURVEY.md §2.3 (J9 scale path), §2.10 (dedup/pipeline family), §2.6
+  * (recursive query surface).
+  */
+object PipelineOps {
+  import Orc.r4
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- duplicate clusters: near-dup pairs -> connected components ----
+
+  /** Edges = exact near-dup pairs (recall-1.0 bucketed route, cos >= 0.95
+    * on original vectors); closure via hash-min label propagation. The
+    * oracle recomputes the same edge set in SQL and closes it with a
+    * recursive CTE — so BOTH the pair generation and the clustering are
+    * cross-checked end to end.
+    */
+  val lcDupClusters: Q = (s, d) => {
+    val e = embeddings(s, d)
+    val edges = Similarity
+      .exactNearDupPairs(e, threshold = 0.95, nlist = 8)
+      .select(col("a_id"), col("b_id"))
+    Components.connectedComponents(e.select(col("vec_id")), edges)
+      .select(col("id").as("vec_id"), col("lbl").as("cluster_id"))
+      .orderBy("vec_id")
+  }
+
+  /** Cluster-level dedup stats: one representative (the min id) per
+    * component; everything else is a drop candidate. Unlike ld (pairwise
+    * b-side drop), this is transitive-closure-correct: A~B~C collapses
+    * to one survivor even when A~C is below threshold.
+    */
+  val lc2ClusterDedup: Q = (s, d) => {
+    val e = embeddings(s, d)
+    val edges = Similarity
+      .exactNearDupPairs(e, threshold = 0.95, nlist = 8)
+      .select(col("a_id"), col("b_id"))
+    Components.connectedComponents(e.select(col("vec_id")), edges)
+      .agg(
+        countDistinct("lbl").as("n_clusters"),
+        count(when(col("id") =!= col("lbl"), 1)).as("n_dropped"),
+        count(lit(1)).as("n_total"))
+  }
+
+  // ---- recursive CTE (same SQL text on both engines) ----
+
+  /** WITH RECURSIVE over a parent chain synthesized from nation
+    * (parent(n) = floor(n/2)): descendants of node 0 with depth. The
+    * identical text runs on Spark (graft_ views) and DuckDB (fixture
+    * views) — `P` is the only difference.
+    */
+  private def q13Sql(p: String): String =
+    s"""WITH RECURSIVE tree(nk, depth) AS (
+       |  SELECT CAST(n_nationkey AS BIGINT), 0 FROM ${p}nation WHERE n_nationkey = 0
+       |  UNION ALL
+       |  SELECT CAST(n.n_nationkey AS BIGINT), t.depth + 1
+       |  FROM ${p}nation n JOIN tree t
+       |    ON CAST(floor(n.n_nationkey / 2.0) AS BIGINT) = t.nk
+       |  WHERE n.n_nationkey > 0
+       |)
+       |SELECT t.nk, t.depth, n.n_name
+       |FROM tree t JOIN ${p}nation n ON CAST(n.n_nationkey AS BIGINT) = t.nk
+       |ORDER BY t.nk""".stripMargin
+
+  val q13RecursiveCte: Q = (s, d) => {
+    Tables.nation(s, d).createOrReplaceTempView("graft_nation")
+    s.sql(q13Sql("graft_"))
+  }
+
+  // ---- J9 scale path: pure band join as a binned equi-join ----
+
+  /** Orders self-joined on |Δ totalprice| ≤ 0.5 with NO equi key — the
+    * shape that would plan BNLJ/cartesian naively; BandJoin bins it into
+    * a shuffled equi-join (plan-asserted in PipelineOpsSpec).
+    */
+  val j9bBandJoinBinned: Q = (s, d) => {
+    val o = orders(s, d)
+    val a = o.select(col("o_orderkey").as("a_key"), col("o_totalprice").as("a_price"))
+    val b = o.select(col("o_orderkey").as("b_key"), col("o_totalprice").as("b_price"))
+    BandJoin.banded(a, b, "a_price", "b_price", delta = 0.5)
+      .where(col("a_key") < col("b_key"))
+      .select(col("a_key"), col("b_key"),
+        r4(abs(col("a_price") - col("b_price"))).as("diff4"))
+      .orderBy("a_key", "b_key")
+  }
+
+  // ---- MERGE-style upsert ----
+
+  /** Correction batch over orders: keys ≡ 0 (mod 100) get a repriced
+    * update, keys ≡ 0 (mod 97) come back as fresh inserts under a
+    * shifted key. Aggregated by priority so the updated/inserted rows are
+    * separately visible in the output.
+    */
+  val lp3Upsert: Q = (s, d) => {
+    val base = orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    val mods = base.where(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") * 1.1).as("o_totalprice"),
+        lit("0-UPDATED").as("o_orderpriority"))
+    val ins = base.where(col("o_orderkey") % 97 === 0)
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+        col("o_totalprice"),
+        lit("0-INSERTED").as("o_orderpriority"))
+    Upsert.upsert(base, mods.unionAll(ins), Seq("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"), r4(sum("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  // ---- deterministic hash sampling / sharding (portable: md5) ----
+
+  /** Uniform deterministic sample: rank by md5(text), take the k
+    * smallest. Unlike rand()-based sampling this is reproducible across
+    * engines, partitionings, and re-ingestions — and it plans as a
+    * distributed top-k (TakeOrderedAndProject), not a global sort.
+    */
+  val lp5HashSample: Q = (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("rk"))
+      .orderBy(col("rk"), col("doc_id"))
+      .limit(50)
+
+  /** Deterministic 16-way content sharding + manifest (count, id range,
+    * char volume per shard) — the shard-writer bookkeeping a training
+    * pipeline needs to audit a materialized dataset. Shard id is the
+    * first md5 nibble, so assignment is stable under repartitioning and
+    * incremental ingestion.
+    */
+  val lp6ShardManifest: Q = (s, d) =>
+    documents(s, d)
+      .withColumn("shard", substring(md5(col("text").cast("binary")), 1, 1))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min("doc_id").as("min_id"),
+        max("doc_id").as("max_id"),
+        sum(length(col("text"))).as("n_chars_sum"))
+      .orderBy("shard")
+
+  // ---- sequence packing (rows-only: bin layout is partitioner-local) ----
+
+  /** Pack documents (token count ≈ chars/4) into 512-token bins with
+    * first-fit-decreasing per partition; output per-partition packing
+    * stats. Laws (each doc exactly once, bins ≤ capacity, ≤ 1 under-half
+    * bin per partition) live in PipelineOpsSpec.
+    */
+  val lp4PackSequences: Q = (s, d) => {
+    val docs = documents(s, d).select(col("doc_id"),
+      greatest(lit(1), (col("n_chars") / 4).cast("int")).as("n_tok"))
+    Packing.packSequences(docs, "doc_id", "n_tok", capacity = 512, numPartitions = 8)
+      .groupBy("part_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct("bin_id").as("n_bins"),
+        sum(col("n_tokens").cast("long")).as("tok_sum"))
+      .orderBy("part_id")
+  }
+
+  // ---- registry ----
+
+  val queries: Map[String, Q] = Map(
+    "lc_dup_clusters" -> lcDupClusters,
+    "lc2_cluster_dedup" -> lc2ClusterDedup,
+    "q13_recursive_cte" -> q13RecursiveCte,
+    "j9b_band_join_binned" -> j9bBandJoinBinned,
+    "lp3_upsert" -> lp3Upsert,
+    "lp5_hash_sample" -> lp5HashSample,
+    "lp6_shard_manifest" -> lp6ShardManifest,
+    "lp4_pack_sequences" -> lp4PackSequences)
+
+  /** The shared recursive closure over the near-dup edge set (DuckDB
+    * side). Kept as one text so lc and lc2 cannot drift apart.
+    */
+  private val ccOracleCtes: String =
+    """WITH RECURSIVE edges AS (
+      |  SELECT a.vec_id AS s, b.vec_id AS t
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                               CAST(b.embedding AS DOUBLE[])) >= 0.95
+      |),
+      |sym AS (SELECT s, t FROM edges UNION ALL SELECT t, s FROM edges),
+      |reach(id, lbl) AS (
+      |  SELECT vec_id, vec_id FROM embeddings
+      |  UNION
+      |  SELECT sym.t, reach.lbl FROM reach JOIN sym ON sym.s = reach.id
+      |),
+      |comp AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "lc_dup_clusters" ->
+      s"""$ccOracleCtes
+         |SELECT id AS vec_id, lbl AS cluster_id FROM comp ORDER BY vec_id""".stripMargin,
+    "lc2_cluster_dedup" ->
+      s"""$ccOracleCtes
+         |SELECT count(DISTINCT lbl) AS n_clusters,
+         |  count(CASE WHEN id <> lbl THEN 1 END) AS n_dropped,
+         |  count(*) AS n_total
+         |FROM comp""".stripMargin,
+    "q13_recursive_cte" -> q13Sql(""),
+    "j9b_band_join_binned" ->
+      """SELECT a.o_orderkey AS a_key, b.o_orderkey AS b_key,
+        |  round(abs(a.o_totalprice - b.o_totalprice), 4) AS diff4
+        |FROM orders a JOIN orders b
+        |  ON a.o_orderkey < b.o_orderkey
+        |  AND abs(a.o_totalprice - b.o_totalprice) <= 0.5
+        |ORDER BY a_key, b_key""".stripMargin,
+    "lp3_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |),
+        |upd AS (
+        |  SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice,
+        |         '0-UPDATED' AS o_orderpriority
+        |  FROM base WHERE o_orderkey % 100 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_totalprice, '0-INSERTED'
+        |  FROM base WHERE o_orderkey % 97 = 0
+        |),
+        |merged AS (
+        |  SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |    CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
+        |         ELSE b.o_totalprice END AS o_totalprice,
+        |    CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderpriority
+        |         ELSE b.o_orderpriority END AS o_orderpriority
+        |  FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
+        |)
+        |SELECT o_orderpriority, count(*) AS n_rows,
+        |  round(sum(o_totalprice), 4) AS sum_price
+        |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "lp5_hash_sample" ->
+      """SELECT doc_id, md5(text) AS rk FROM documents
+        |ORDER BY rk, doc_id LIMIT 50""".stripMargin,
+    "lp6_shard_manifest" ->
+      """SELECT substr(md5(text), 1, 1) AS shard, count(*) AS n_docs,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars_sum
+        |FROM documents GROUP BY shard ORDER BY shard""".stripMargin)
+}

@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BandJoin, Components, Packing, Upsert}
+import graft.queries.PipelineOps
+
+/** Round-5 pipeline operators: connected components, binned band join,
+  * upsert, packing, hash sampling — law specs + plan-shape assertions.
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  // ---- connected components ----
+
+  test("cc: triangle + chain + isolates resolve to min-id components") {
+    val verts = (1L to 10L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (5L, 6L), (6L, 7L))
+      .toDF("a", "b")
+    val got = Components.connectedComponents(verts, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,          // triangle
+      5L -> 5L, 6L -> 5L, 7L -> 5L,          // chain
+      4L -> 4L, 8L -> 8L, 9L -> 9L, 10L -> 10L)) // isolates
+  }
+
+  test("cc: long chain converges (diameter > 1 iteration)") {
+    val n = 12L
+    val verts = (0L to n).toDF("id")
+    val edges = (0L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Components.connectedComponents(verts, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(0L), s"chain must collapse to 0: $got")
+  }
+
+  test("cc: label is always the component minimum (planted clusters)") {
+    // two clusters sharing no edges, ids deliberately interleaved
+    val verts = Seq(10L, 11L, 12L, 20L, 21L, 22L).toDF("id")
+    val edges = Seq((12L, 11L), (11L, 10L), (22L, 20L), (21L, 22L)).toDF("a", "b")
+    val got = Components.connectedComponents(verts, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  // ---- binned band join ----
+
+  test("band join: binned route equals brute-force predicate") {
+    val l = (1 to 300).map(i => (i.toLong, (i * 37 % 101) + i / 7.0))
+      .toDF("l_id", "l_v")
+    val r = (1 to 300).map(i => (i.toLong + 1000, (i * 53 % 97) + i / 11.0))
+      .toDF("r_id", "r_v")
+    val delta = 1.5
+    val got = BandJoin.banded(l, r, "l_v", "r_v", delta)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    val want = l.crossJoin(r)
+      .where(abs(col("l_v") - col("r_v")) <= delta)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty, "vacuous band-join fixture")
+    assert(got == want)
+  }
+
+  test("j9b plan: equi-join on bins, no BNLJ / cartesian") {
+    val p = plan(PipelineOps.j9bBandJoinBinned(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+  }
+
+  // ---- upsert ----
+
+  test("upsert: updates win, inserts appear, untouched rows intact") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v")
+    val ups = Seq((2L, "B2", 99.0), (4L, "d", 40.0)).toDF("k", "name", "v")
+    val got = Upsert.upsert(base, ups, Seq("k"))
+    val want = Seq((1L, "a", 10.0), (2L, "B2", 99.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)).toDF("k", "name", "v")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      s"upsert mismatch: ${got.orderBy("k").collect().mkString(", ")}")
+  }
+
+  test("upsert: null payloads in updates still win for matched keys") {
+    val base = Seq((1L, Some("a")), (2L, Some("b"))).toDF("k", "name")
+    val ups = Seq((2L, Option.empty[String])).toDF("k", "name")
+    val got = Upsert.upsert(base, ups, Seq("k"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(1L -> Some("a"), 2L -> None))
+  }
+
+  // ---- sequence packing ----
+
+  test("packing laws: exactly-once, capacity, FFD under-half bound") {
+    val cap = 100
+    val docs = (1 to 500).map(i => (i.toLong, (i * 131 % 140) + 1))
+      .toDF("doc_id", "n_tok")
+    val packed = Packing.packSequences(docs, "doc_id", "n_tok", cap,
+      numPartitions = 4).cache()
+    try {
+      // every doc exactly once
+      assert(packed.count() == 500)
+      assert(packed.select("id").distinct().count() == 500)
+      // oversize flag matches, and only oversize bins exceed capacity
+      val bad = packed.groupBy("bin_id")
+        .agg(sum("n_tokens").as("fill"), max(col("oversize").cast("int")).as("os"),
+          count(lit(1)).as("n"))
+        .where((col("fill") > cap && col("os") === 0) ||
+          (col("os") === 1 && col("n") > 1))
+        .count()
+      assert(bad == 0, "non-oversize bin over capacity or shared oversize bin")
+      // FFD: at most one under-half bin per partition (oversize excluded)
+      val underHalf = packed.where(!col("oversize"))
+        .groupBy("part_id", "bin_id").agg(sum("n_tokens").as("fill"))
+        .where(col("fill") < cap / 2)
+        .groupBy("part_id").count()
+        .where(col("count") > 1).count()
+      assert(underHalf == 0, "more than one under-half bin in a partition")
+    } finally packed.unpersist()
+  }
+
+  // ---- hash sample / shard manifest plan shapes ----
+
+  test("lp5 plan: distributed top-k, not a global sort") {
+    val p = plan(PipelineOps.lp5HashSample(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k fusion:\n$p")
+  }
+
+  test("lp6: shards partition the corpus exactly") {
+    val m = PipelineOps.lp6ShardManifest(spark, sfDir)
+    val total = m.agg(sum("n_docs")).head().getLong(0)
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(total == nDocs, s"manifest covers $total of $nDocs docs")
+  }
+
+  // ---- recursive CTE ----
+
+  test("q13: recursive tree covers every nation exactly once") {
+    val rows = PipelineOps.q13RecursiveCte(spark, sfDir).collect()
+    val nNations = Tables.nation(spark, sfDir).count()
+    assert(rows.length == nNations)
+    assert(rows.map(_.getLong(0)).distinct.length == nNations)
+    // parent depth precedes child depth
+    val depth = rows.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    depth.foreach { case (nk, d) =>
+      if (nk > 0) assert(depth(nk / 2) == d - 1, s"depth($nk)=$d parent=${depth(nk / 2)}")
+    }
+  }
+
+  // ---- clusters vs pairwise dedup coherence ----
+
+  test("lc/lc2: cluster closure is consistent with the pair set") {
+    val clusters = PipelineOps.lcDupClusters(spark, sfDir)
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(clusters.count() == n, "one row per vector")
+    val stats = PipelineOps.lc2ClusterDedup(spark, sfDir).head()
+    val (nClusters, nDropped, nTotal) =
+      (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    assert(nTotal == n)
+    assert(nClusters + nDropped == nTotal,
+      "every non-representative is dropped exactly once")
+  }
+}
