@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.MlQueries.queries ++
       graft.queries.StreamingQueries.queries ++
       graft.queries.Hardening.queries ++
-      graft.queries.PipelineOps.queries
+      graft.queries.PipelineOps.queries ++
+      graft.queries.SurfaceR5.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -39,7 +40,8 @@ object SparkEntry {
       graft.queries.MlQueries.oracleSql ++
       graft.queries.StreamingQueries.oracleSql ++
       graft.queries.Hardening.oracleSql ++
-      graft.queries.PipelineOps.oracleSql)
+      graft.queries.PipelineOps.oracleSql ++
+      graft.queries.SurfaceR5.oracleSql)
       .map { case (k, v) => k -> Orc.round4Sql(v) }
 
   /** Headline bench subset — names and shapes match BASELINE.md. */

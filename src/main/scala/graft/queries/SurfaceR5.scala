@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Orc, Tables}
+
+/** Round-5 query-surface additions: LATERAL correlated subquery,
+  * time-spine gap fill, deterministic mode, fixed-width histogram,
+  * edit-distance fuzzy match.
+  *
+  * Reference: /root/reference is empty (SURVEY.md §0.1); contract rows
+  * SURVEY.md §2.4 (aggregates), §2.6 (SQL surface), §2.8 (time), §2.9
+  * (functions).
+  */
+object SurfaceR5 {
+  import Orc.r4
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** LATERAL correlated subquery — per-order line stats computed by a
+    * correlated scalar-aggregate lateral; Catalyst decorrelates it into
+    * a join + aggregate, so it scales like q2, not like a per-row loop.
+    * Identical SQL text runs on both engines (only the view prefix
+    * differs).
+    */
+  private def q14Sql(p: String): String =
+    s"""SELECT o.o_orderkey, lat.n_items, lat.max_price
+       |FROM ${p}orders o,
+       |LATERAL (
+       |  SELECT count(*) AS n_items, max(l_extendedprice) AS max_price
+       |  FROM ${p}lineitem l WHERE l.l_orderkey = o.o_orderkey
+       |) lat
+       |WHERE o.o_orderkey % 50 = 0
+       |ORDER BY o.o_orderkey""".stripMargin
+
+  val q14LateralJoin: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
+    s.sql(q14Sql("graft_"))
+  }
+
+  /** T10: gap-filled hourly time spine — the canonical "no row ≠ no
+    * data" fix for downstream window math. Spine = sequence() between
+    * global min/max hour (one-row bounds agg, broadcast), crossed with
+    * the distinct type dim (small, broadcast), left-joined to the real
+    * hourly counts and zero-filled. The only shuffle is the counts agg;
+    * the spine construction is driver-free and O(hours × types).
+    */
+  val t10GapFill: Q = (s, d) => {
+    val ev = events(s, d)
+      .withColumn("bucket", date_trunc("hour", col("ts")))
+    val bounds = ev.agg(min("bucket").as("lo"), max("bucket").as("hi"))
+    val spine = bounds.select(
+      explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("bucket"))
+    val types = ev.select("event_type").distinct()
+    val counts = ev.groupBy("event_type", "bucket").agg(count(lit(1)).as("n"))
+    types.crossJoin(spine)
+      .join(counts, Seq("event_type", "bucket"), "left")
+      .select(
+        col("event_type"),
+        unix_timestamp(col("bucket")).as("bucket_s"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+      .orderBy("event_type", "bucket_s")
+  }
+
+  /** A14: deterministic mode — `mode(x, deterministic = true)` returns
+    * the smallest of the tied most-frequent values, so it is stable
+    * under repartitioning (plain mode is not); the oracle reproduces the
+    * same tiebreak with a count + row_number window.
+    */
+  val a14Mode: Q = (s, d) =>
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(expr("mode(l_quantity, true)").as("mode_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** A15: fixed-width histogram as one hash aggregate — binning is an
+    * identical floor expression on both engines (no width_bucket in the
+    * oracle dialect; the width_bucket equivalence is spec-asserted).
+    */
+  val a15Histogram: Q = (s, d) =>
+    orders(s, d)
+      .withColumn("bucket", floor(col("o_totalprice") / 25000.0))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"), r4(avg("o_totalprice")).as("avg_price"))
+      .orderBy("bucket")
+
+  /** F13: edit-distance fuzzy match (levenshtein) — the string-side
+    * companion to the embedding near-dup family. O(n²·len²) as written;
+    * at scale the candidate set comes from L2 banding first and the
+    * exact distance verifies candidates only.
+    */
+  val f13Levenshtein: Q = (s, d) => {
+    val n = nation(s, d)
+    val a = n.select(col("n_nationkey").as("a_key"), col("n_name").as("a_name"))
+    val b = n.select(col("n_nationkey").as("b_key"), col("n_name").as("b_name"))
+    a.join(b, col("a_key") < col("b_key"))
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+      .where(col("dist") <= 1)
+      .select(col("a_name"), col("b_name"), col("dist"))
+      .orderBy("a_name", "b_name")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q14_lateral_join" -> q14LateralJoin,
+    "t10_gap_fill" -> t10GapFill,
+    "a14_mode" -> a14Mode,
+    "a15_histogram" -> a15Histogram,
+    "f13_levenshtein" -> f13Levenshtein)
+
+  val oracleSql: Map[String, String] = Map(
+    "q14_lateral_join" -> q14Sql(""),
+    "t10_gap_fill" ->
+      """WITH ev AS (
+        |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket
+        |  FROM events
+        |),
+        |b AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM ev),
+        |spine AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM b
+        |),
+        |types AS (SELECT DISTINCT event_type FROM ev),
+        |counts AS (SELECT event_type, bucket, count(*) AS n FROM ev GROUP BY 1, 2)
+        |SELECT t.event_type,
+        |  CAST(epoch(s.bucket) AS BIGINT) AS bucket_s,
+        |  coalesce(c.n, CAST(0 AS BIGINT)) AS n_events
+        |FROM types t CROSS JOIN spine s
+        |LEFT JOIN counts c ON c.event_type = t.event_type AND c.bucket = s.bucket
+        |ORDER BY t.event_type, bucket_s""".stripMargin,
+    "a14_mode" ->
+      """SELECT l_returnflag, mode_qty, n_rows FROM (
+        |  SELECT l_returnflag, l_quantity AS mode_qty,
+        |    CAST(sum(count(*)) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n_rows,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY count(*) DESC, l_quantity ASC) AS rn
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity
+        |) WHERE rn = 1
+        |ORDER BY l_returnflag""".stripMargin,
+    "a15_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+        | count(*) AS n_orders, round(avg(o_totalprice), 4) AS avg_price
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "f13_levenshtein" ->
+      """SELECT a.n_name AS a_name, b.n_name AS b_name,
+        |  CAST(levenshtein(a.n_name, b.n_name) AS INTEGER) AS dist
+        |FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+        |WHERE levenshtein(a.n_name, b.n_name) <= 1
+        |ORDER BY a_name, b_name""".stripMargin)
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.SurfaceR5
+
+/** Round-5 surface queries: semantics + plan-shape assertions, plus the
+  * runtime bloom-filter probe (the 100 TB join-pruning path).
+  */
+class SurfaceR5Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("a15: width_bucket agrees with the portable floor binning") {
+    // the oracle dialect lacks width_bucket, so the query bins with
+    // floor(v/w); assert the built-in width_bucket is the same partition
+    // (offset by 1) over the in-range domain.
+    val diff = Tables.orders(spark, sfDir)
+      .select(
+        floor(col("o_totalprice") / 25000.0).as("f"),
+        expr("width_bucket(o_totalprice, 0.0, 600000.0, 24)").as("wb"))
+      .where(col("o_totalprice") >= 0 && col("o_totalprice") < 600000.0)
+      .where(col("wb") =!= col("f") + 1)
+      .count()
+    assert(diff == 0, "width_bucket and floor binning disagree in-range")
+  }
+
+  test("a14: deterministic mode is stable under repartitioning") {
+    val base = SurfaceR5.a14Mode(spark, sfDir).collect().toSeq
+    val li = Tables.lineitem(spark, sfDir).repartition(13, col("l_orderkey"))
+    li.createOrReplaceTempView("graft_a14_t")
+    val re = spark.sql(
+      """SELECT l_returnflag, mode(l_quantity, true) AS mode_qty,
+        |count(*) AS n_rows FROM graft_a14_t
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin).collect().toSeq
+    assert(base == re, "mode(x, true) changed under repartitioning")
+  }
+
+  test("t10: spine has no gaps and zero-fills missing cells") {
+    val rows = SurfaceR5.t10GapFill(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byType = rows.groupBy(_._1)
+    // every type spans the same complete hourly grid
+    val grids = byType.values.map(_.map(_._2).toSeq.sorted).toSeq
+    assert(grids.toSet.size == 1, "types disagree on the spine")
+    val g = grids.head
+    assert(g.zip(g.tail).forall { case (a, b) => b - a == 3600 },
+      "spine has gaps or non-hourly steps")
+    // gap filling must actually fill something, with zeros
+    assert(rows.exists(_._3 == 0L), "no zero-filled cell — vacuous fixture")
+    // totals match the raw event count
+    val total = rows.map(_._3).sum
+    assert(total == Tables.events(spark, sfDir).count())
+  }
+
+  test("q14: lateral stats match a groupBy on the same subset") {
+    val lat = SurfaceR5.q14LateralJoin(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val agg = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).where(col("o_orderkey") % 50 === 0),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    agg.foreach { case (k, n) => assert(lat.get(k).contains(n), s"order $k") }
+    // orders with zero lineitems still appear (count 0)
+    assert(lat.keySet.size >= agg.keySet.size)
+  }
+
+  test("runtime bloom filter prunes the big side of a selective join") {
+    val s = spark
+    val prev = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" ->
+        s.conf.getOption("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"),
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" ->
+        s.conf.getOption("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"),
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        s.conf.getOption("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      // force a shuffle join: runtime filters don't apply under broadcast
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = Tables.lineitem(s, sfDir)
+      val o = Tables.orders(s, sfDir).where(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(sum("l_quantity"))
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("BloomFilter"),
+        s"no runtime bloom filter injected:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+}
