@@ -34,6 +34,14 @@ object StreamingQueries {
       "t2b_sink", OutputMode.Complete())
       .orderBy("win_start_s", "event_type")
 
+  /** T11: streaming session windows (complete mode; same oracle as the
+    * batch t3 session window — single-batch run makes them identical). */
+  val t11StreamSession: Q = (s, d) =>
+    StreamingOps.runToMemory(
+      StreamingOps.sessionCounts(StreamingOps.eventsStream(s, d)),
+      "t11_sink", OutputMode.Complete())
+      .orderBy("user_id", "sess_start_us")
+
   /** T5: streaming dedup by event_id then count per type. */
   val t5StreamDedup: Q = (s, d) =>
     StreamingOps.runToMemory(
@@ -84,9 +92,27 @@ object StreamingQueries {
     "t6_stateful_counts" -> t6StatefulCounts,
     "t7_stream_static_join" -> t7StreamStaticJoin,
     "t8_append_sink" -> t8AppendSink,
+    "t11_stream_session" -> t11StreamSession,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "t11_stream_session" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |m AS (SELECT user_id, ts,
+        |        CASE WHEN lag(ts) OVER w IS NULL
+        |               OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (SELECT user_id, ts,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                         ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m)
+        |SELECT user_id,
+        | CAST(epoch_us(min(ts)) AS BIGINT) AS sess_start_us,
+        | CAST(epoch_us(max(ts)) AS BIGINT) AS sess_end_us,
+        | count(*) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start_us""".stripMargin,
     "t4_stream_tumbling" ->
       """SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS win_start_s,
         | event_type, count(*) AS n_events

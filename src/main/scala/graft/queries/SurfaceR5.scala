@@ -104,12 +104,72 @@ object SurfaceR5 {
       .orderBy("a_name", "b_name")
   }
 
+  /** A16: mergeable distinct-count sketches — the 100 TB reaggregation
+    * pattern. `hll_sketch_agg` builds a DataSketches HLL per fine-grain
+    * group; `hll_union_agg` merges the BINARY sketches to a coarser
+    * grain WITHOUT rescanning the fact table. countDistinct cannot
+    * reaggregate (distinct sets don't sum); sketches can — that is what
+    * makes pre-aggregated distinct-count tables possible at scale.
+    * No-oracle by design (estimator-specific); the ≤5% accuracy law vs
+    * exact countDistinct is spec-asserted.
+    */
+  val a16HllUnion: Q = (s, d) => {
+    val sketches = lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(expr("hll_sketch_agg(l_partkey)").as("sk"))
+    sketches.groupBy("l_returnflag")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_parts"))
+      .orderBy("l_returnflag")
+  }
+
+  /** A17: partial-aggregate reaggregation — incremental pipelines store
+    * decomposable partials (sum, count) per fine grain and re-derive
+    * coarser averages without touching raw data. Oracle reproduces the
+    * two-stage computation; Avg itself is NOT reaggregatable, which is
+    * the point of storing (sum, count).
+    */
+  val a17PartialReagg: Q = (s, d) => {
+    val partial = lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("s"), count(lit(1)).as("c"))
+    partial.groupBy("l_returnflag")
+      .agg(
+        r4(sum("s") / sum("c")).as("avg_qty"),
+        sum("c").as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  /** LP7: one-pass column profiler — data-quality bookkeeping (null
+    * counts, cardinality, length stats) for a text corpus as a SINGLE
+    * aggregate over the table, pivoted to a row per column with stack().
+    * At 100 TB this is the only affordable shape: one scan, all metrics.
+    */
+  val lp7Profile: Q = (s, d) => {
+    def m(c: String) = Seq(
+      count(col(c)).as(s"${c}_nonnull"),
+      countDistinct(col(c)).as(s"${c}_distinct"),
+      min(length(col(c))).as(s"${c}_minlen"),
+      max(length(col(c))).as(s"${c}_maxlen"),
+      r4(avg(length(col(c)))).as(s"${c}_avglen"))
+    val cols = Seq("text", "lang", "source")
+    val one = documents(s, d).agg(m(cols.head).head,
+      (m(cols.head).tail ++ cols.tail.flatMap(m)): _*)
+    one.selectExpr(
+      s"""stack(${cols.length}, ${cols.map(c =>
+        s"'$c', ${c}_nonnull, ${c}_distinct, ${c}_minlen, ${c}_maxlen, ${c}_avglen")
+        .mkString(", ")}) AS (col_name, n_nonnull, n_distinct, min_len, max_len, avg_len4)""")
+      .orderBy("col_name")
+  }
+
   val queries: Map[String, Q] = Map(
     "q14_lateral_join" -> q14LateralJoin,
     "t10_gap_fill" -> t10GapFill,
     "a14_mode" -> a14Mode,
     "a15_histogram" -> a15Histogram,
-    "f13_levenshtein" -> f13Levenshtein)
+    "f13_levenshtein" -> f13Levenshtein,
+    "a16_hll_union" -> a16HllUnion,
+    "a17_partial_reagg" -> a17PartialReagg,
+    "lp7_profile" -> lp7Profile)
 
   val oracleSql: Map[String, String] = Map(
     "q14_lateral_join" -> q14Sql(""),
@@ -148,5 +208,32 @@ object SurfaceR5 {
         |  CAST(levenshtein(a.n_name, b.n_name) AS INTEGER) AS dist
         |FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
         |WHERE levenshtein(a.n_name, b.n_name) <= 1
-        |ORDER BY a_name, b_name""".stripMargin)
+        |ORDER BY a_name, b_name""".stripMargin,
+    "a17_partial_reagg" ->
+      """WITH p AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    sum(l_quantity) AS s, count(*) AS c
+        |  FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |)
+        |SELECT l_returnflag,
+        |  round(sum(s) / CAST(sum(c) AS BIGINT), 4) AS avg_qty,
+        |  CAST(sum(c) AS BIGINT) AS n_rows
+        |FROM p GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "lp7_profile" ->
+      """SELECT col_name, n_nonnull, n_distinct, min_len, max_len, avg_len4
+        |FROM (
+        |  SELECT 'text' AS col_name, count(text) AS n_nonnull,
+        |    count(DISTINCT text) AS n_distinct,
+        |    CAST(min(length(text)) AS INTEGER) AS min_len,
+        |    CAST(max(length(text)) AS INTEGER) AS max_len,
+        |    round(avg(length(text)), 4) AS avg_len4 FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', count(lang), count(DISTINCT lang),
+        |    CAST(min(length(lang)) AS INTEGER), CAST(max(length(lang)) AS INTEGER),
+        |    round(avg(length(lang)), 4) FROM documents
+        |  UNION ALL
+        |  SELECT 'source', count(source), count(DISTINCT source),
+        |    CAST(min(length(source)) AS INTEGER), CAST(max(length(source)) AS INTEGER),
+        |    round(avg(length(source)), 4) FROM documents
+        |) ORDER BY col_name""".stripMargin)
 }

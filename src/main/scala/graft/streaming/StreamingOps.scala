@@ -54,6 +54,21 @@ object StreamingOps {
         unix_timestamp(col("window.start")).as("win_start_s"),
         col("event_type"), col("n_events"))
 
+  /** T11: streaming SESSION windows — state is one open session per
+    * (user, gap-chain), merged when a late event bridges two sessions;
+    * complete mode keeps the full history so the single-batch fixture
+    * run is deterministic and matches the batch t3 oracle exactly.
+    * Session bounds are reported from the EVENTS (min/max ts), not the
+    * gap-padded window end, so batch and streaming agree. */
+  def sessionCounts(events: DataFrame, gap: String = "10 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        unix_micros(min(col("ts"))).as("sess_start_us"),
+        unix_micros(max(col("ts"))).as("sess_end_us"))
+      .select("user_id", "sess_start_us", "sess_end_us", "n_events")
+
   /** T2 streaming: watermarked SLIDING-window counts — each event lands
     * in window/slide overlapping windows; state for a window is evicted
     * once the watermark passes its end, exactly as in the tumbling case

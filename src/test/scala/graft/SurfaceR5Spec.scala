@@ -65,6 +65,50 @@ class SurfaceR5Spec extends SparkSpec {
     assert(lat.keySet.size >= agg.keySet.size)
   }
 
+  test("a16: unioned HLL sketches estimate within 5% of exact distinct") {
+    val approx = queries.SurfaceR5.a16HllUnion(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag").agg(countDistinct("l_partkey").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, e) =>
+      val a = approx(k).toDouble
+      assert(math.abs(a - e) / e <= 0.05, s"$k: approx $a vs exact $e")
+    }
+  }
+
+  test("a17: reaggregated partials equal the direct average") {
+    val reagg = queries.SurfaceR5.a17PartialReagg(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val direct = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(Orc.r4(avg("l_quantity")).as("a"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(reagg.keySet == direct.keySet)
+    direct.foreach { case (k, (a, n)) =>
+      assert(reagg(k)._2 == n, s"$k count")
+      // sum/count vs streaming avg: same value to well past 4 decimals
+      assert(math.abs(reagg(k)._1 - a) < 1e-9, s"$k avg ${reagg(k)._1} vs $a")
+    }
+  }
+
+  test("lp7: profiler matches per-column ground truth") {
+    val prof = queries.SurfaceR5.lp7Profile(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(prof.keySet == Set("text", "lang", "source"))
+    val nLang = Tables.documents(spark, sfDir)
+      .select("lang").distinct().count()
+    assert(prof("lang").getLong(2) == nLang)
+    assert(prof("text").getLong(1) == Tables.documents(spark, sfDir).count())
+  }
+
+  test("t11: streaming session windows equal the batch session windows") {
+    val stream = queries.StreamingQueries.t11StreamSession(spark, sfDir).collect().toSeq
+    val batch = queries.TimeJson.t3SessionWindow(spark, sfDir).collect().toSeq
+    assert(stream == batch, s"stream=${stream.take(3)} batch=${batch.take(3)}")
+  }
+
   test("runtime bloom filter prunes the big side of a selective join") {
     val s = spark
     val prev = Map(
