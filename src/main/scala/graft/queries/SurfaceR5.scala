@@ -161,7 +161,24 @@ object SurfaceR5 {
       .orderBy("col_name")
   }
 
+  /** S10: XML source/sink roundtrip — write the dim as XML files
+    * (rowTag framing), read them back with an explicit schema, and
+    * reproduce the base projection. Same contract as the CSV/JSON/ORC
+    * roundtrips: the oracle reads the parquet base directly, so any
+    * serialization drift (types, escaping, nulls) fails the compare.
+    */
+  val s10XmlRoundtrip: Q = (s, d) => {
+    val out = new java.io.File("target/tmp/s10_xml").getAbsolutePath
+    nation(s, d).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .write.mode("overwrite").option("rowTag", "nation").format("xml").save(out)
+    s.read.format("xml").option("rowTag", "nation")
+      .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+      .load(out)
+      .orderBy("n_nationkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s10_xml_roundtrip" -> s10XmlRoundtrip,
     "q14_lateral_join" -> q14LateralJoin,
     "t10_gap_fill" -> t10GapFill,
     "a14_mode" -> a14Mode,
@@ -172,6 +189,9 @@ object SurfaceR5 {
     "lp7_profile" -> lp7Profile)
 
   val oracleSql: Map[String, String] = Map(
+    "s10_xml_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
     "q14_lateral_join" -> q14Sql(""),
     "t10_gap_fill" ->
       """WITH ev AS (

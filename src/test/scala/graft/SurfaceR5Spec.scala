@@ -109,6 +109,28 @@ class SurfaceR5Spec extends SparkSpec {
     assert(stream == batch, s"stream=${stream.take(3)} batch=${batch.take(3)}")
   }
 
+  test("q14 plan: lateral subquery decorrelates to a join (no BNLJ)") {
+    val p = plan(queries.SurfaceR5.q14LateralJoin(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"per-row loop:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
+
+  test("observe: pipeline metrics collected without a second scan") {
+    val obs = new org.apache.spark.sql.Observation("graft_obs")
+    val df = Tables.lineitem(spark, sfDir)
+      .observe(obs, count(lit(1)).as("n_rows"), sum("l_quantity").as("qty"))
+      .where(col("l_discount") > 0.05)
+    val filtered = df.count()
+    val metrics = obs.get
+    val total = metrics("n_rows").asInstanceOf[Long]
+    assert(total > filtered, "observe should see pre-filter rows")
+    assert(total == Tables.lineitem(spark, sfDir).count())
+    assert(metrics("qty").asInstanceOf[Double] > 0)
+  }
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
   test("runtime bloom filter prunes the big side of a selective join") {
     val s = spark
     val prev = Map(
