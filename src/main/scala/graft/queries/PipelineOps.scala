@@ -171,6 +171,23 @@ object PipelineOps {
       .orderBy("part_id")
   }
 
+  /** LP8: document chunking — split each document into overlapping
+    * fixed-size character windows (size 256, stride 200) for embedding /
+    * context assembly. Fully declarative: explode(sequence(...)) +
+    * substring, so it stays inside whole-stage codegen, needs no UDF,
+    * and parallelizes per document with zero shuffles before the sink.
+    * Oversize handling for lp4's singleton bins starts here.
+    */
+  val lp8ChunkDocs: Q = (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), (length(col("text")) - 1).cast("long"),
+          lit(200L))).as("start"))
+      .select(col("doc_id"), col("start"),
+        expr("substring(text, CAST(start + 1 AS INT), 256)").as("chunk"))
+      .withColumn("chunk_len", length(col("chunk")))
+      .orderBy("doc_id", "start")
+
   // ---- registry ----
 
   val queries: Map[String, Q] = Map(
@@ -181,7 +198,8 @@ object PipelineOps {
     "lp3_upsert" -> lp3Upsert,
     "lp5_hash_sample" -> lp5HashSample,
     "lp6_shard_manifest" -> lp6ShardManifest,
-    "lp4_pack_sequences" -> lp4PackSequences)
+    "lp4_pack_sequences" -> lp4PackSequences,
+    "lp8_chunk_docs" -> lp8ChunkDocs)
 
   /** The shared recursive closure over the near-dup edge set (DuckDB
     * side). Kept as one text so lc and lc2 cannot drift apart.
@@ -249,5 +267,16 @@ object PipelineOps {
       """SELECT substr(md5(text), 1, 1) AS shard, count(*) AS n_docs,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id,
         |  CAST(sum(length(text)) AS BIGINT) AS n_chars_sum
-        |FROM documents GROUP BY shard ORDER BY shard""".stripMargin)
+        |FROM documents GROUP BY shard ORDER BY shard""".stripMargin,
+    "lp8_chunk_docs" ->
+      """SELECT doc_id, start,
+        |  substr(text, CAST(start + 1 AS INTEGER), 256) AS chunk,
+        |  CAST(length(substr(text, CAST(start + 1 AS INTEGER), 256)) AS INTEGER)
+        |    AS chunk_len
+        |FROM (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(CAST(0 AS BIGINT),
+        |      CAST(length(text) AS BIGINT) - 1, CAST(200 AS BIGINT))) AS start
+        |  FROM documents)
+        |ORDER BY doc_id, start""".stripMargin)
 }

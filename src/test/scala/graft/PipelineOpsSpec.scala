@@ -150,6 +150,30 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- document chunking ----
+
+  test("lp8: chunks tile every document with the declared stride") {
+    val chunks = PipelineOps.lp8ChunkDocs(spark, sfDir).cache()
+    try {
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), length(col("text")).as("len"))
+      // chunk count per doc = ceil(len / stride)
+      val bad = chunks.groupBy("doc_id").agg(count(lit(1)).as("n"),
+          min("start").as("first"), max("start").as("last"))
+        .join(docs, "doc_id")
+        .where(col("n") =!= ceil(col("len") / 200.0).cast("long") ||
+          col("first") =!= 0 || col("last") =!= (col("n") - 1) * 200)
+        .count()
+      assert(bad == 0, "stride grid broken")
+      // every chunk non-empty and within size; reassembly covers all chars
+      assert(chunks.where(col("chunk_len") < 1 || col("chunk_len") > 256).count() == 0)
+      val covered = chunks.groupBy("doc_id")
+        .agg(max(col("start") + col("chunk_len")).as("covered"))
+        .join(docs, "doc_id").where(col("covered") < col("len")).count()
+      assert(covered == 0, "tail characters uncovered")
+    } finally chunks.unpersist()
+  }
+
   // ---- clusters vs pairwise dedup coherence ----
 
   test("lc/lc2: cluster closure is consistent with the pair set") {
