@@ -177,8 +177,43 @@ object SurfaceR5 {
       .orderBy("n_nationkey")
   }
 
+  /** F14: error-safe functions — try_cast/try_divide return NULL instead
+    * of failing under ANSI mode, the behavior batch pipelines over dirty
+    * data need (one bad cell must not kill a 100 TB job). The oracle
+    * maps try_divide to plain division (NULL-on-zero is the oracle
+    * dialect's native behavior).
+    */
+  val f14TryFuncs: Q = (s, d) =>
+    nation(s, d).select(
+      col("n_nationkey"),
+      expr("try_cast(n_name AS INT)").as("bad_cast"),
+      expr("try_cast(substring(n_name, 8) AS INT)").as("num_part"),
+      r4(expr("try_divide(CAST(n_nationkey AS DOUBLE), CAST(n_regionkey AS DOUBLE))"))
+        .as("ratio4"))
+      .orderBy("n_nationkey")
+
+  /** W9: IGNORE NULLS navigation — lead over the next NON-NULL
+    * observation and nth_value(2) of the non-null sequence; the
+    * gap-tolerant navigation shape for sparse sensor/metric columns.
+    */
+  val w9IgnoreNulls: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    events(s, d)
+      .withColumn("x",
+        when(col("event_type") === "click", lit(null)).otherwise(col("value")))
+      .select(
+        col("event_id"),
+        r4(lead(col("x"), 1, null, ignoreNulls = true).over(w)).as("next_x4"),
+        r4(nth_value(col("x"), 2, ignoreNulls = true).over(wf)).as("second_x4"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "s10_xml_roundtrip" -> s10XmlRoundtrip,
+    "f14_try_funcs" -> f14TryFuncs,
+    "w9_ignore_nulls" -> w9IgnoreNulls,
     "q14_lateral_join" -> q14LateralJoin,
     "t10_gap_fill" -> t10GapFill,
     "a14_mode" -> a14Mode,
@@ -192,6 +227,27 @@ object SurfaceR5 {
     "s10_xml_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin,
+    "f14_try_funcs" ->
+      """SELECT n_nationkey,
+        |  TRY_CAST(n_name AS INTEGER) AS bad_cast,
+        |  TRY_CAST(substr(n_name, 8) AS INTEGER) AS num_part,
+        |  round(CAST(n_nationkey AS DOUBLE) / CAST(n_regionkey AS DOUBLE), 4)
+        |    AS ratio4
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "w9_ignore_nulls" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CASE WHEN event_type = 'click' THEN NULL ELSE value END AS x
+        |  FROM events
+        |)
+        |SELECT event_id,
+        |  round(lead(x IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id), 4) AS next_x4,
+        |  round(nth_value(x, 2 IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 4)
+        |    AS second_x4
+        |FROM e ORDER BY event_id""".stripMargin,
     "q14_lateral_join" -> q14Sql(""),
     "t10_gap_fill" ->
       """WITH ev AS (
