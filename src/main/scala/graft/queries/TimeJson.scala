@@ -79,6 +79,30 @@ object TimeJson {
       .orderBy("event_id")
   }
 
+  /** J8d: as-of with TOLERANCE — the backward match only counts when the
+    * matched click is within 15 minutes of the purchase; staler matches
+    * null out (the market-data "max staleness" contract). Composed as
+    * backward as-of + a post-filter on the gap, so the join plan is
+    * unchanged — tolerance costs one codegen'd projection.
+    */
+  val j8dAsofTolerance: Q = (s, d) => {
+    val e = events(s, d)
+    val purchases = e.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = e.where(col("event_type") === "click")
+      .select("user_id", "ts", "value")
+    val tolUs = 15L * 60 * 1000000
+    val tolOk = col("click_ts").isNotNull &&
+      (unix_micros(col("ts")) - unix_micros(col("click_ts")) <= lit(tolUs))
+    AsOfJoin.backward(purchases, clicks, Seq("user_id"), "ts", "ts", "click_")
+      .select(
+        col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        when(tolOk, unix_micros(col("click_ts"))).as("click_ts_us"),
+        when(tolOk, col("click_value")).as("click_value"))
+      .orderBy("event_id")
+  }
+
   /** J8c: FORWARD as-of — each purchase matched to the EARLIEST click at
     * or after it ("next interaction"), the mirror of j8. */
   val j8cAsofForward: Q = (s, d) => {
@@ -122,6 +146,7 @@ object TimeJson {
     "j8_asof_join" -> j8AsofJoin,
     "j8b_asof_native" -> j8bAsofNative,
     "j8c_asof_forward" -> j8cAsofForward,
+    "j8d_asof_tolerance" -> j8dAsofTolerance,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -191,6 +216,21 @@ object TimeJson {
         | CAST(epoch_us(p.ts) AS BIGINT) AS ts_us,
         | CAST(epoch_us(c.ts) AS BIGINT) AS click_ts_us,
         | c.value AS click_value
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |                FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "j8d_asof_tolerance" ->
+      """SELECT p.event_id, p.user_id,
+        | CAST(epoch_us(p.ts) AS BIGINT) AS ts_us,
+        | CASE WHEN c.ts IS NOT NULL
+        |        AND epoch_us(p.ts) - epoch_us(c.ts) <= 900000000
+        |      THEN CAST(epoch_us(c.ts) AS BIGINT) END AS click_ts_us,
+        | CASE WHEN c.ts IS NOT NULL
+        |        AND epoch_us(p.ts) - epoch_us(c.ts) <= 900000000
+        |      THEN c.value END AS click_value
         |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
         |      FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value

@@ -33,4 +33,30 @@ class LayoutSpec extends SparkSpec {
     assert(sortedRead * 2 <= randomRead,
       s"sorted layout read $sortedRead rows vs $randomRead — no pruning benefit")
   }
+
+  test("z-order layout prunes on BOTH dimensions; 1-D sort only on its own") {
+    val orders = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_totalprice", "o_custkey")
+    val zOut = new java.io.File("target/tmp/layout_z").getAbsolutePath
+    val randomOut = new java.io.File("target/tmp/layout_rand2").getAbsolutePath
+    Layout.writeZOrdered(orders, zOut, "o_totalprice", "o_custkey",
+      bits = 16, partitions = 16)
+    orders.repartition(16).write.mode("overwrite").parquet(randomOut)
+
+    // narrow predicate on each dimension separately (top ~eighth of range)
+    def onPrice(p: String) = spark.read.parquet(p)
+      .where(col("o_totalprice") >= 450000.0)
+    def onCust(p: String) = {
+      val cHi = orders.agg(max("o_custkey")).head().getLong(0)
+      spark.read.parquet(p).where(col("o_custkey") >= cHi - cHi / 8)
+    }
+    // correctness unchanged by layout
+    assert(onPrice(zOut).count() == onPrice(randomOut).count())
+    assert(onCust(zOut).count() == onCust(randomOut).count())
+    // z-layout prunes both dimensions
+    val zPrice = scanRows(onPrice(zOut)); val rPrice = scanRows(onPrice(randomOut))
+    val zCust = scanRows(onCust(zOut)); val rCust = scanRows(onCust(randomOut))
+    assert(zPrice * 2 <= rPrice, s"z read $zPrice vs random $rPrice on price")
+    assert(zCust * 2 <= rCust, s"z read $zCust vs random $rCust on custkey")
+  }
 }
