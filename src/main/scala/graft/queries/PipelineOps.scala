@@ -188,6 +188,55 @@ object PipelineOps {
       .withColumn("chunk_len", length(col("chunk")))
       .orderBy("doc_id", "start")
 
+  /** LP9: small-files compaction — the table-maintenance pass every
+    * long-lived ingestion needs. Rewrites a fragmented directory (50
+    * files here) into a few large files with `coalesce` (NO shuffle:
+    * partitions are concatenated, not redistributed); read-back is
+    * oracle-checked against the base table so compaction provably
+    * changes layout, not content. At scale, drive the target count from
+    * bytes (desired file size) and compact per partition-directory.
+    */
+  val lp9Compact: Q = (s, d) => {
+    val frag = new java.io.File("target/tmp/lp9_frag").getAbsolutePath
+    val comp = new java.io.File("target/tmp/lp9_compact").getAbsolutePath
+    documents(s, d).repartition(50).write.mode("overwrite").parquet(frag)
+    s.read.parquet(frag).coalesce(4).write.mode("overwrite").parquet(comp)
+    s.read.parquet(comp).select("doc_id", "n_chars").orderBy("doc_id")
+  }
+
+  /** S11: schema-evolution read — two parquet batches written with
+    * different schemas (a column added later), unified by mergeSchema;
+    * early rows surface the new column as NULL. The drift case every
+    * append-only corpus hits.
+    */
+  val s11SchemaEvolution: Q = (s, d) => {
+    val base = new java.io.File("target/tmp/s11_evo").getAbsolutePath
+    val n = nation(s, d)
+    n.where(col("n_nationkey") < 10).select("n_nationkey", "n_name")
+      .write.mode("overwrite").parquet(s"$base/batch1")
+    n.where(col("n_nationkey") >= 10)
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$base/batch2")
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$base/batch1", s"$base/batch2")
+      .orderBy("n_nationkey")
+  }
+
+  /** Q15: relational division — customers whose orders span EVERY
+    * priority class. Two hash aggregates + a broadcast one-row divisor;
+    * no correlated per-row work.
+    */
+  val q15RelationalDivision: Q = (s, d) => {
+    val o = orders(s, d)
+    val divisor = o.select(countDistinct("o_orderpriority").as("tot"))
+    o.groupBy("o_custkey")
+      .agg(countDistinct("o_orderpriority").as("np"))
+      .crossJoin(broadcast(divisor))
+      .where(col("np") === col("tot"))
+      .select(col("o_custkey").as("c_custkey"))
+      .orderBy("c_custkey")
+  }
+
   // ---- registry ----
 
   val queries: Map[String, Q] = Map(
@@ -199,7 +248,10 @@ object PipelineOps {
     "lp5_hash_sample" -> lp5HashSample,
     "lp6_shard_manifest" -> lp6ShardManifest,
     "lp4_pack_sequences" -> lp4PackSequences,
-    "lp8_chunk_docs" -> lp8ChunkDocs)
+    "lp8_chunk_docs" -> lp8ChunkDocs,
+    "lp9_compact" -> lp9Compact,
+    "s11_schema_evolution" -> s11SchemaEvolution,
+    "q15_relational_division" -> q15RelationalDivision)
 
   /** The shared recursive closure over the near-dup edge set (DuckDB
     * side). Kept as one text so lc and lc2 cannot drift apart.
@@ -268,6 +320,18 @@ object PipelineOps {
         |  min(doc_id) AS min_id, max(doc_id) AS max_id,
         |  CAST(sum(length(text)) AS BIGINT) AS n_chars_sum
         |FROM documents GROUP BY shard ORDER BY shard""".stripMargin,
+    "lp9_compact" ->
+      """SELECT doc_id, n_chars FROM documents ORDER BY doc_id""",
+    "s11_schema_evolution" ->
+      """SELECT n_nationkey, n_name,
+        |  CASE WHEN n_nationkey >= 10 THEN n_regionkey END AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q15_relational_division" ->
+      """SELECT o_custkey AS c_custkey FROM orders
+        |GROUP BY o_custkey
+        |HAVING count(DISTINCT o_orderpriority) =
+        |  (SELECT count(DISTINCT o_orderpriority) FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
     "lp8_chunk_docs" ->
       """SELECT doc_id, start,
         |  substr(text, CAST(start + 1 AS INTEGER), 256) AS chunk,

@@ -174,6 +174,43 @@ class PipelineOpsSpec extends SparkSpec {
     } finally chunks.unpersist()
   }
 
+  // ---- compaction ----
+
+  test("lp9: compaction shrinks file count without changing content") {
+    val n = PipelineOps.lp9Compact(spark, sfDir).count()
+    assert(n == Tables.documents(spark, sfDir).count())
+    def files(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files("target/tmp/lp9_frag") >= 40, "fixture not fragmented")
+    assert(files("target/tmp/lp9_compact") <= 4, "compaction did not shrink")
+  }
+
+  // ---- idempotent streaming sink (foreachBatch pattern) ----
+
+  test("foreachBatch: batchId-keyed overwrite makes redelivery idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.{DataFrame, SaveMode}
+    implicit val sq = spark.sqlContext
+    val dir = new java.io.File("target/tmp/febatch").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    // the sink contract: write each micro-batch to a batchId-keyed
+    // location with overwrite — reprocessing a batch replaces, never
+    // duplicates (the standard exactly-once recipe over at-least-once
+    // delivery).
+    def sink(batch: DataFrame, batchId: Long): Unit =
+      batch.write.mode(SaveMode.Overwrite).parquet(s"$dir/batch=$batchId")
+    val in = MemoryStream[Int]
+    in.addData(1 to 100: _*)
+    val q = in.toDF().writeStream.foreachBatch(sink _)
+      .option("checkpointLocation", s"$dir/_ckpt").start()
+    q.processAllAvailable(); q.stop()
+    val once = spark.read.parquet(s"$dir/batch=0").count()
+    // simulate redelivery of batch 0
+    sink(spark.range(100).selectExpr("CAST(id AS INT) AS value"), 0L)
+    val again = spark.read.parquet(s"$dir/batch=0").count()
+    assert(once == 100 && again == 100, s"redelivery duplicated: $once -> $again")
+  }
+
   // ---- clusters vs pairwise dedup coherence ----
 
   test("lc/lc2: cluster closure is consistent with the pair set") {
