@@ -51,9 +51,10 @@ class PipelineOpsSpec extends SparkSpec {
   // ---- binned band join ----
 
   test("band join: binned route equals brute-force predicate") {
-    val l = (1 to 300).map(i => (i.toLong, (i * 37 % 101) + i / 7.0))
+    // domain straddles zero so floor-binning of negatives is exercised
+    val l = (1 to 300).map(i => (i.toLong, (i * 37 % 101) - 50 + i / 7.0))
       .toDF("l_id", "l_v")
-    val r = (1 to 300).map(i => (i.toLong + 1000, (i * 53 % 97) + i / 11.0))
+    val r = (1 to 300).map(i => (i.toLong + 1000, (i * 53 % 97) - 50 + i / 11.0))
       .toDF("r_id", "r_v")
     val delta = 1.5
     val got = BandJoin.banded(l, r, "l_v", "r_v", delta)

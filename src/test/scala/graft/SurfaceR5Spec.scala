@@ -131,6 +131,39 @@ class SurfaceR5Spec extends SparkSpec {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    val s = spark
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> s.conf.getOption(k)).toMap
+    try {
+      s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // 90% of the left rows share one key — the classic hot-key shape
+      val left = s.range(0, 200000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 0L ELSE id END AS k",
+        "id AS payload")
+      val right = s.range(0, 1000).selectExpr("id AS k", "id * 2 AS rv")
+      val j = left.join(right, "k").groupBy().count()
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the hot partition as skewed:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   test("runtime bloom filter prunes the big side of a selective join") {
     val s = spark
     val prev = Map(
