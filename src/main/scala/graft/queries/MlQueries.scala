@@ -200,7 +200,33 @@ object MlQueries {
       .orderBy("c_custkey")
   }
 
+  /** M16: HashingTF + IDF text featurization — the fixed-dimension,
+    * vocabulary-free featurizer (murmur3 bucket per token, so it needs
+    * no fitted dictionary and scales embarrassingly; IDF is one fitted
+    * vector broadcast into the transform). Output: per-document feature
+    * norms and active-slot counts (engine-specific hashing → no SQL
+    * oracle; invariants live in MlSpec: dimension bound, idf of a
+    * universal token ≈ 0, norm positivity).
+    */
+  val m16HashingTfidf: Q = (s, d) => {
+    import org.apache.spark.ml.feature.{HashingTF, IDF, RegexTokenizer}
+    val docs = documents(s, d).select("doc_id", "text")
+    val tok = new RegexTokenizer().setInputCol("text").setOutputCol("toks")
+      .setPattern("\\W+")
+    val tf = new HashingTF().setInputCol("toks").setOutputCol("tf")
+      .setNumFeatures(1024)
+    val tfd = tf.transform(tok.transform(docs))
+    val idf = new IDF().setInputCol("tf").setOutputCol("tfidf").fit(tfd)
+    val arr = org.apache.spark.ml.functions.vector_to_array(col("tfidf"))
+    idf.transform(tfd)
+      .select(col("doc_id"),
+        Orc.r4(aggregate(arr, lit(0.0), (a, x) => a + x * x)).as("sq_norm4"),
+        size(filter(arr, x => x > 0)).as("n_active"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "m16_hashing_tfidf" -> m16HashingTfidf,
     "m1_string_indexer" -> m1StringIndexer,
     "m2_standard_scale" -> m2StandardScale,
     "m3_bucketizer" -> m3Bucketizer,

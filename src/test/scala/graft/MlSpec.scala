@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.ml.PipelineModel
-import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.functions._
 
 import graft.ml.Pipelines
@@ -126,6 +126,30 @@ class MlSpec extends SparkSpec {
     assert(out.exceptAll(
       direct.select(col("c_custkey"), col("seg_idx").cast("double"),
         col("bucket").cast("double"))).count() == 0)
+  }
+
+  test("M16: hashed tf-idf invariants (dimension bound, universal-token idf)") {
+    val out = graft.queries.MlQueries.m16HashingTfidf(spark, sfDir)
+    val rows = out.collect()
+    assert(rows.length == Tables.documents(spark, sfDir).count())
+    // active slots bounded by the hash dimension, norms non-negative
+    assert(rows.forall(_.getInt(2) <= 1024))
+    assert(rows.forall(_.getDouble(1) >= 0.0))
+    // a token present in EVERY document carries idf = ln((n+1)/(n+1)) = 0,
+    // so a corpus of identical docs has all-zero tf-idf vectors
+    import org.apache.spark.ml.feature.{HashingTF, IDF, RegexTokenizer}
+    import spark.implicits._
+    val same = Seq.fill(8)("alpha beta").toDF("text")
+    val tok = new RegexTokenizer().setInputCol("text").setOutputCol("toks")
+      .setPattern("\\W+")
+    val tf = new HashingTF().setInputCol("toks").setOutputCol("tf")
+      .setNumFeatures(64)
+    val tfd = tf.transform(tok.transform(same))
+    val idf = new IDF().setInputCol("tf").setOutputCol("tfidf").fit(tfd)
+    val norms = idf.transform(tfd)
+      .select(aggregate(vector_to_array(col("tfidf")), lit(0.0),
+        (a, x) => a + x * x).as("n")).collect().map(_.getDouble(0))
+    assert(norms.forall(_ == 0.0), "universal tokens must have zero idf")
   }
 
   test("M8: evaluator metrics equal their SQL formulas") {
