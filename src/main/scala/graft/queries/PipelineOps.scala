@@ -237,6 +237,50 @@ object PipelineOps {
       .orderBy("c_custkey")
   }
 
+  /** L2b: ORACLE-CHECKED MinHash banding — the same signature→band→
+    * bucket-join pipeline as the xxhash64 route (TextOps), but over
+    * 3-word shingles with an md5-derived hash family both engines can
+    * compute, so the CANDIDATE SET itself is cross-checked, not just its
+    * recall. 8 hash functions, 2 bands × 4 rows (P[candidate] ≈ 0.93 at
+    * Jaccard 0.9, ≈ 0.02 at 0.3); min over hex strings (lexicographic
+    * in both engines). Candidates come from an equi-join on (band, key)
+    * — never all-pairs — which is the whole scale story of LSH.
+    */
+  val l2bMinhashBanding: Q = (s, d) => {
+    // strip boundary non-word chars BEFORE splitting: Java split drops
+    // trailing empty fields while the oracle dialect keeps them, so the
+    // word arrays only agree when neither side produces boundary empties.
+    val words = documents(s, d)
+      .select(col("doc_id"),
+        split(regexp_replace(lower(col("text")), "^\\W+|\\W+$", ""), "\\W+").as("w"))
+    val shingles = words
+      .where(size(col("w")) >= 3) // sequence(1, n-2) must not descend
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("w")) - 2)).as("i"), col("w"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("w"), col("i"), lit(3))).as("tok"))
+      .distinct()
+    val hashed = shingles.select(col("doc_id"), explode(array(
+      (0 until 8).map(i => struct(lit(i).as("h"),
+        md5(concat_ws(":", lit(i.toString), col("tok")).cast("binary")).as("hv"))): _*)).as("e"))
+    val sigs = hashed.groupBy(col("doc_id"), col("e.h").as("h"))
+      .agg(min("e.hv").as("sig"))
+    val bandKeys = sigs
+      .groupBy(col("doc_id"), floor(col("h") / 4).as("band"))
+      .agg(concat_ws("|",
+        max(when(col("h") % 4 === 0, col("sig"))),
+        max(when(col("h") % 4 === 1, col("sig"))),
+        max(when(col("h") % 4 === 2, col("sig"))),
+        max(when(col("h") % 4 === 3, col("sig")))).as("bkey"))
+    bandKeys.as("x")
+      .join(bandKeys.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+      .orderBy("a_id", "b_id")
+  }
+
   // ---- registry ----
 
   val queries: Map[String, Q] = Map(
@@ -251,7 +295,8 @@ object PipelineOps {
     "lp8_chunk_docs" -> lp8ChunkDocs,
     "lp9_compact" -> lp9Compact,
     "s11_schema_evolution" -> s11SchemaEvolution,
-    "q15_relational_division" -> q15RelationalDivision)
+    "q15_relational_division" -> q15RelationalDivision,
+    "l2b_minhash_banding" -> l2bMinhashBanding)
 
   /** The shared recursive closure over the near-dup edge set (DuckDB
     * side). Kept as one text so lc and lc2 cannot drift apart.
@@ -322,6 +367,35 @@ object PipelineOps {
         |FROM documents GROUP BY shard ORDER BY shard""".stripMargin,
     "lp9_compact" ->
       """SELECT doc_id, n_chars FROM documents ORDER BY doc_id""",
+    "l2b_minhash_banding" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split_regex(
+        |    regexp_replace(lower(text), '^\W+|\W+$', '', 'g'), '\W+') AS w
+        |  FROM documents
+        |),
+        |toks AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(list_slice(w, i, i + 2), ' ') AS tok
+        |  FROM (SELECT doc_id, w,
+        |          unnest(range(1, len(w) - 1)) AS i FROM words)
+        |),
+        |h AS (
+        |  SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || tok)) AS sig
+        |  FROM toks CROSS JOIN (SELECT unnest(range(8)) AS i)
+        |  GROUP BY doc_id, i
+        |),
+        |b AS (
+        |  SELECT doc_id, CAST(floor(i / 4) AS BIGINT) AS band,
+        |    max(CASE WHEN i % 4 = 0 THEN sig END) || '|' ||
+        |    max(CASE WHEN i % 4 = 1 THEN sig END) || '|' ||
+        |    max(CASE WHEN i % 4 = 2 THEN sig END) || '|' ||
+        |    max(CASE WHEN i % 4 = 3 THEN sig END) AS bkey
+        |  FROM h GROUP BY doc_id, band
+        |)
+        |SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        |FROM b x JOIN b y
+        |  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+        |ORDER BY a_id, b_id""".stripMargin,
     "s11_schema_evolution" ->
       """SELECT n_nationkey, n_name,
         |  CASE WHEN n_nationkey >= 10 THEN n_regionkey END AS n_regionkey
