@@ -281,6 +281,41 @@ object PipelineOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** The 16 simhash bit terms, generated ONCE and embedded verbatim in
+    * both engines' SQL: bit j is the sign of Σ_tokens (±1) on bit j of
+    * the token's md5 (nibble extracted by hex-char position, bit by
+    * floor/power arithmetic — no engine-specific bit operators). Ties
+    * (Σ = 0) set the bit, deterministically on both sides.
+    */
+  private def simhashTerms: String = (0 until 16).map { j =>
+    val p = j / 4 + 1 // 1-based hex char holding bit j
+    val k = j % 4     // bit index inside the nibble
+    val bit = s"CAST(floor((instr('0123456789abcdef', substr(md5(tok), $p, 1)) - 1)" +
+      s" / power(2, $k)) AS INT) % 2"
+    s"(CASE WHEN sum(CASE WHEN $bit = 1 THEN 1 ELSE -1 END) >= 0 THEN ${1 << j} ELSE 0 END)"
+  }.mkString(" +\n  ")
+
+  /** LS2: ORACLE-CHECKED SimHash — 16-bit signature from md5 token
+    * hashes, the cross-engine-checkable twin of the xxhash64 ls_simhash.
+    * One hash-aggregate per document (16 conditional sums fused in a
+    * single agg), so it scales exactly like a groupBy count.
+    */
+  val ls2SimhashMd5: Q = (s, d) => {
+    documents(s, d).createOrReplaceTempView("graft_documents")
+    s.sql(
+      s"""WITH toks AS (
+         |  SELECT DISTINCT doc_id, tok FROM (
+         |    SELECT doc_id,
+         |      explode(split(regexp_replace(lower(text), '^\\\\W+|\\\\W+$$', ''),
+         |        '\\\\W+')) AS tok
+         |    FROM graft_documents)
+         |  WHERE length(tok) > 0
+         |)
+         |SELECT doc_id,
+         |  $simhashTerms AS simhash16
+         |FROM toks GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  }
+
   // ---- registry ----
 
   val queries: Map[String, Q] = Map(
@@ -296,7 +331,8 @@ object PipelineOps {
     "lp9_compact" -> lp9Compact,
     "s11_schema_evolution" -> s11SchemaEvolution,
     "q15_relational_division" -> q15RelationalDivision,
-    "l2b_minhash_banding" -> l2bMinhashBanding)
+    "l2b_minhash_banding" -> l2bMinhashBanding,
+    "ls2_simhash_md5" -> ls2SimhashMd5)
 
   /** The shared recursive closure over the near-dup edge set (DuckDB
     * side). Kept as one text so lc and lc2 cannot drift apart.
@@ -367,6 +403,18 @@ object PipelineOps {
         |FROM documents GROUP BY shard ORDER BY shard""".stripMargin,
     "lp9_compact" ->
       """SELECT doc_id, n_chars FROM documents ORDER BY doc_id""",
+    "ls2_simhash_md5" ->
+      s"""WITH toks AS (
+         |  SELECT DISTINCT doc_id, tok FROM (
+         |    SELECT doc_id,
+         |      unnest(string_split_regex(
+         |        regexp_replace(lower(text), '^\\W+|\\W+$$', '', 'g'), '\\W+')) AS tok
+         |    FROM documents)
+         |  WHERE length(tok) > 0
+         |)
+         |SELECT doc_id,
+         |  $simhashTerms AS simhash16
+         |FROM toks GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "l2b_minhash_banding" ->
       """WITH words AS (
         |  SELECT doc_id, string_split_regex(
