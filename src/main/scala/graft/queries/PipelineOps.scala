@@ -316,6 +316,32 @@ object PipelineOps {
          |FROM toks GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   }
 
+  /** The shared md5 split expression: bucket in [0,100) from the first
+    * two hex chars of md5(doc_id), thresholds 80/10/10. Pure function of
+    * the id — membership survives repartitioning, re-ingestion, and
+    * engine choice, and unlike the xxhash64 route (lp_hash_split) it is
+    * reproducible in the oracle dialect, so the PER-ROW membership is
+    * hash-compared, not just law-tested.
+    */
+  private val splitSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN bucket < 80 THEN 'train'
+      |       WHEN bucket < 90 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM (
+      |  SELECT doc_id,
+      |    ((instr('0123456789abcdef', substr(md5(doc_id || ''), 1, 1)) - 1) * 16 +
+      |     (instr('0123456789abcdef', substr(md5(doc_id || ''), 2, 1)) - 1)) % 100
+      |      AS bucket
+      |  FROM {T})
+      |ORDER BY doc_id""".stripMargin
+
+  /** LP10: oracle-checked deterministic dataset split (md5 route). */
+  val lp10SplitMd5: Q = (s, d) => {
+    documents(s, d).createOrReplaceTempView("graft_documents")
+    s.sql(splitSql.replace("{T}", "graft_documents"))
+  }
+
   // ---- registry ----
 
   val queries: Map[String, Q] = Map(
@@ -332,7 +358,8 @@ object PipelineOps {
     "s11_schema_evolution" -> s11SchemaEvolution,
     "q15_relational_division" -> q15RelationalDivision,
     "l2b_minhash_banding" -> l2bMinhashBanding,
-    "ls2_simhash_md5" -> ls2SimhashMd5)
+    "ls2_simhash_md5" -> ls2SimhashMd5,
+    "lp10_split_md5" -> lp10SplitMd5)
 
   /** The shared recursive closure over the near-dup edge set (DuckDB
     * side). Kept as one text so lc and lc2 cannot drift apart.
@@ -403,6 +430,7 @@ object PipelineOps {
         |FROM documents GROUP BY shard ORDER BY shard""".stripMargin,
     "lp9_compact" ->
       """SELECT doc_id, n_chars FROM documents ORDER BY doc_id""",
+    "lp10_split_md5" -> splitSql.replace("{T}", "documents"),
     "ls2_simhash_md5" ->
       s"""WITH toks AS (
          |  SELECT DISTINCT doc_id, tok FROM (
