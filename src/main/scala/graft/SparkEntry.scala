@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.StreamingQueries.queries ++
       graft.queries.Hardening.queries ++
       graft.queries.PipelineOps.queries ++
-      graft.queries.SurfaceR5.queries
+      graft.queries.SurfaceR5.queries ++
+      graft.queries.SurfaceR5b.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -41,7 +42,8 @@ object SparkEntry {
       graft.queries.StreamingQueries.oracleSql ++
       graft.queries.Hardening.oracleSql ++
       graft.queries.PipelineOps.oracleSql ++
-      graft.queries.SurfaceR5.oracleSql)
+      graft.queries.SurfaceR5.oracleSql ++
+      graft.queries.SurfaceR5b.oracleSql)
       .map { case (k, v) => k -> Orc.round4Sql(v) }
 
   /** Headline bench subset — names and shapes match BASELINE.md. */

@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Orc, Tables}
+
+/** Round-5 final surface additions: dynamic partition pruning, the
+  * df.stat contingency-table API, join-strategy hints, and a PII-style
+  * redaction pass over the documents corpus.
+  *
+  * Reference: /root/reference is empty (SURVEY.md §0.1); contract rows
+  * SURVEY.md §2.1 (sources/layout), §2.3 (joins), §2.4 (aggregates),
+  * §2.10 (text pipeline).
+  */
+object SurfaceR5b {
+  import Orc.r4
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Q16: dynamic partition pruning — THE mechanism that makes
+    * dim-filtered fact scans cheap at 100 TB: the fact table is laid out
+    * partitioned by the join column, the dim side's selective filter is
+    * evaluated first (broadcast reuse), and only the surviving fact
+    * partitions are read at all. Static pruning (s6) needs the literal in
+    * the query; DPP derives it from the join at runtime. PlanSpec asserts
+    * the scan carries a `dynamicpruning` partition filter.
+    */
+  val q16Dpp: Q = (s, d) => {
+    val out = new java.io.File("target/tmp/q16_fact").getAbsolutePath
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    import s.implicits._
+    // two constraints for the pruning rule to fire: the dim must be a
+    // FILE source (an in-memory relation folds its filter away via
+    // ConvertToLocalRelation), and the surviving predicate must be one
+    // isLikelySelective() recognises (a comparison/IN/LIKE — a bare
+    // boolean attribute does not count)
+    val dimPath = new java.io.File("target/tmp/q16_dim").getAbsolutePath
+    Seq(
+      ("1-URGENT", "urgent"), ("2-HIGH", "urgent"), ("3-MEDIUM", "normal"),
+      ("4-NOT SPECIFIED", "normal"), ("5-LOW", "normal"))
+      .toDF("prio", "tier")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = s.read.parquet(dimPath)
+    s.read.parquet(out)
+      .join(dim.where(col("tier") === "urgent"), col("o_orderpriority") === col("prio"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), r4(sum(col("o_totalprice"))).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** A18: contingency table via df.stat.crosstab — one hash aggregate,
+    * then a tiny pivot of the (few) distinct column values; scales as a
+    * single groupBy as long as the SECOND column's cardinality is small
+    * (which is the API's contract).
+    */
+  val a18Crosstab: Q = (s, d) =>
+    lineitem(s, d).stat.crosstab("l_returnflag", "l_linestatus")
+      .orderBy("l_returnflag_l_linestatus")
+
+  /** J10: shuffle-hash join by hint — for mid-sized sides where
+    * sort-merge pays two sorts it doesn't need and broadcast doesn't
+    * fit: hash-build the smaller side per partition. The join-strategy
+    * hint surface (BROADCAST / MERGE / SHUFFLE_HASH) is how a pipeline
+    * author overrides the planner at scale. PlanSpec asserts
+    * ShuffledHashJoin is actually selected.
+    */
+  val j10ShuffleHashHint: Q = (s, d) =>
+    lineitem(s, d)
+      .join(orders(s, d).hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"), r4(sum(col("l_extendedprice"))).as("sum_price"))
+      .orderBy("o_orderpriority")
+
+  /** LR: PII-style redaction — mask email addresses and long digit runs
+    * across the corpus. One narrow projection, no shuffle; the regexes
+    * stay in the portable subset both engines' dialects share (no
+    * lookarounds, no backrefs).
+    */
+  val lrRedact: Q = (s, d) =>
+    documents(s, d)
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(col("text"),
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "[0-9]{3,}", "<NUM>"))
+      .select(col("doc_id"), col("redacted"),
+        (col("redacted") =!= col("text")).cast("int").as("was_redacted"))
+      .orderBy("doc_id")
+
+  // ---- registry ----
+
+  val queries: Map[String, Q] = Map(
+    "q16_dpp" -> q16Dpp,
+    "a18_crosstab" -> a18Crosstab,
+    "j10_shuffle_hash_hint" -> j10ShuffleHashHint,
+    "lr_redact" -> lrRedact)
+
+  val oracleSql: Map[String, String] = Map(
+    "q16_dpp" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 4) AS sum_price
+        |FROM orders
+        |JOIN (SELECT * FROM (VALUES ('1-URGENT'), ('2-HIGH')) AS t(prio)) dim
+        |  ON o_orderpriority = dim.prio
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "a18_crosstab" ->
+      """SELECT l_returnflag AS l_returnflag_l_linestatus,
+        |  count(*) FILTER (WHERE l_linestatus = 'F') AS "F",
+        |  count(*) FILTER (WHERE l_linestatus = 'O') AS "O"
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "j10_shuffle_hash_hint" ->
+      """SELECT o_orderpriority, count(*) AS n_rows,
+        |  round(sum(l_extendedprice), 4) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "lr_redact" ->
+      """SELECT doc_id, redacted,
+        |  CAST(CASE WHEN redacted <> text THEN 1 ELSE 0 END AS INTEGER)
+        |    AS was_redacted
+        |FROM (
+        |  SELECT doc_id, text,
+        |    regexp_replace(
+        |      regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '[0-9]{3,}', '<NUM>', 'g') AS redacted
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin)
+}

@@ -151,4 +151,15 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("PushedFilters: [IsNotNull(o_orderpriority)"),
       s"partition predicate leaked into data filters:\n$plan")
   }
+
+  test("q16: dim filter prunes fact partitions at runtime (dynamicpruning)") {
+    val plan = planOf(graft.queries.SurfaceR5b.q16Dpp(spark, sfDir))
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the fact scan:\n$plan")
+  }
+
+  test("j10: SHUFFLE_HASH hint selects ShuffledHashJoin (no sort phases)") {
+    val plan = planOf(graft.queries.SurfaceR5b.j10ShuffleHashHint(spark, sfDir))
+    assert(plan.contains("ShuffledHashJoin"), s"hint not honoured:\n$plan")
+  }
 }
