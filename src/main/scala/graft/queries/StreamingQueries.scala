@@ -84,8 +84,15 @@ object StreamingQueries {
       "t9_sink", OutputMode.Append())
       .orderBy("click_id", "purchase_id")
 
+  val t12StreamStreamOuter: Q = (s, d) =>
+    StreamingOps.runToMemory(
+      StreamingOps.clickToPurchaseLeftOuter(StreamingOps.eventsStream(s, d)),
+      "t12_sink", OutputMode.Append())
+      .orderBy(asc("click_id"), asc_nulls_first("purchase_id"))
+
   val queries: Map[String, Q] = Map(
     "t9_stream_stream_join" -> t9StreamStreamJoin,
+    "t12_stream_stream_outer" -> t12StreamStreamOuter,
     "t4_stream_tumbling" -> t4StreamTumbling,
     "t2b_stream_sliding" -> t2bStreamSliding,
     "t5_stream_dedup" -> t5StreamDedup,
@@ -96,6 +103,25 @@ object StreamingQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // The cutoff reproduces streaming state eviction: a null-extended row
+    // is emitted only when the final watermark (min over both streams of
+    // max event time, minus the 1h delay) passes the click's join window.
+    "t12_stream_stream_outer" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS cts
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id AS puser, CAST(ts AS TIMESTAMP) AS pts
+        |      FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT max(cts) FROM c), (SELECT max(pts) FROM p))
+        |              - INTERVAL 1 HOUR AS w)
+        |SELECT c.user_id, c.click_id, p.purchase_id,
+        | CAST(epoch_us(c.cts) AS BIGINT) AS click_ts_us,
+        | CAST(epoch_us(p.pts) AS BIGINT) AS purchase_ts_us
+        |FROM c LEFT JOIN p
+        |  ON c.user_id = p.puser
+        | AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 1 HOUR
+        |WHERE p.purchase_id IS NOT NULL
+        |   OR c.cts + INTERVAL 1 HOUR < (SELECT w FROM wm)
+        |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin,
     "t11_stream_session" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |m AS (SELECT user_id, ts,

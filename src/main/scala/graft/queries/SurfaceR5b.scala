@@ -93,13 +93,36 @@ object SurfaceR5b {
         (col("redacted") =!= col("text")).cast("int").as("was_redacted"))
       .orderBy("doc_id")
 
+  /** A20: count-min sketch — the mergeable frequency sketch (HLL's
+    * counterpart for per-item counts): fixed-size rows×cols counter
+    * grid, merge = cellwise add, so partial sketches combine across
+    * partitions/days without rescan. One-sided error: estimate ≥ exact
+    * always, overshoot ≤ eps·N with probability 1−delta. Engine-seeded
+    * hashing → no SQL oracle; the law spec asserts both bounds. The
+    * 5-row probe frame stays distributed (sketch broadcast, estimate
+    * evaluated per row); only the sketch itself (a few KB) crosses the
+    * driver, which is the sketch's whole point.
+    */
+  val a20Countmin: Q = (s, d) => {
+    val cust = customer(s, d)
+    val cms = cust.stat.countMinSketch(col("c_mktsegment"),
+      eps = 0.001, confidence = 0.99, seed = 42)
+    val bc = s.sparkContext.broadcast(cms)
+    val estimate = udf((seg: String) => bc.value.estimateCount(seg))
+    cust.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("exact_n"))
+      .withColumn("est_n", estimate(col("c_mktsegment")))
+      .orderBy("c_mktsegment")
+  }
+
   // ---- registry ----
 
   val queries: Map[String, Q] = Map(
     "q16_dpp" -> q16Dpp,
     "a18_crosstab" -> a18Crosstab,
     "j10_shuffle_hash_hint" -> j10ShuffleHashHint,
-    "lr_redact" -> lrRedact)
+    "lr_redact" -> lrRedact,
+    "a20_countmin" -> a20Countmin)
 
   val oracleSql: Map[String, String] = Map(
     "q16_dpp" ->

@@ -173,6 +173,35 @@ object StreamingOps {
         unix_micros(col("purchase_ts")).as("purchase_ts_us"))
   }
 
+  /** T12: watermarked stream-stream LEFT OUTER join — same key + time-range
+    * condition as [[clickToPurchaseJoin]], but clicks with no purchase in
+    * the hour emit a null-extended row once the watermark passes their
+    * join window (i.e. the state-eviction point). Unmatched clicks whose
+    * window the final watermark never passes stay unemitted — that is the
+    * streaming contract, and the oracle reproduces it with the same
+    * cutoff. */
+  def clickToPurchaseLeftOuter(events: DataFrame, horizon: String = "1 hour"): DataFrame = {
+    val clicks = events
+      .where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", horizon)
+    val purchases = events
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("purchase_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", horizon)
+    clicks.join(
+      purchases,
+      col("click_user") === col("purchase_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"),
+      "left_outer")
+      .select(col("click_user").as("user_id"), col("click_id"), col("purchase_id"),
+        unix_micros(col("click_ts")).as("click_ts_us"),
+        unix_micros(col("purchase_ts")).as("purchase_ts_us"))
+  }
+
   /** T8: run a streaming frame into a named memory sink until the source
     * is exhausted, then return the sink table (batch DataFrame). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {

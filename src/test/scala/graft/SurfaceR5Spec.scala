@@ -78,6 +78,18 @@ class SurfaceR5Spec extends SparkSpec {
     }
   }
 
+  test("a20: count-min estimates are one-sided and within eps*N of exact") {
+    val rows = queries.SurfaceR5b.a20Countmin(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val total = rows.map(_._2).sum
+    assert(rows.nonEmpty)
+    rows.foreach { case (seg, exact, est) =>
+      assert(est >= exact, s"$seg: CMS must never undercount ($est < $exact)")
+      assert(est - exact <= (0.001 * total).ceil.toLong,
+        s"$seg: overshoot ${est - exact} exceeds eps*N")
+    }
+  }
+
   test("a17: reaggregated partials equal the direct average") {
     val reagg = queries.SurfaceR5.a17PartialReagg(spark, sfDir)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
