@@ -115,6 +115,32 @@ object SurfaceR5b {
       .orderBy("c_mktsegment")
   }
 
+  /** F15: VARIANT semi-structured type — parse once into the binary
+    * variant encoding, then typed path extraction (`variant_get`) without
+    * re-parsing the JSON text per access; at scale the parse cost is paid
+    * once per row, not once per extracted field, and the binary form
+    * column-shreds. Oracle extracts the same paths with the JSON type.
+    */
+  val f15Variant: Q = (s, d) =>
+    events(s, d)
+      .select(col("event_id"), parse_json(col("props")).as("v"))
+      .select(col("event_id"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k"),
+        to_json(col("v")).as("vjson"))
+      .orderBy("event_id")
+
+  /** F16: collation-aware ordering — UTF8_LCASE sorts case-insensitively
+    * inside the engine (no per-row lower() copy of the sort key in user
+    * space; the collator runs inside the sort's comparator). Oracle
+    * reproduces the ASCII-range semantics with lower().
+    */
+  val f16Collation: Q = (s, d) =>
+    nation(s, d)
+      .select(col("n_nationkey"),
+        when(col("n_nationkey") % 2 === 0, upper(col("n_name")))
+          .otherwise(lower(col("n_name"))).as("styled"))
+      .orderBy(collate(col("styled"), "UTF8_LCASE"))
+
   // ---- registry ----
 
   val queries: Map[String, Q] = Map(
@@ -122,7 +148,9 @@ object SurfaceR5b {
     "a18_crosstab" -> a18Crosstab,
     "j10_shuffle_hash_hint" -> j10ShuffleHashHint,
     "lr_redact" -> lrRedact,
-    "a20_countmin" -> a20Countmin)
+    "a20_countmin" -> a20Countmin,
+    "f15_variant" -> f15Variant,
+    "f16_collation" -> f16Collation)
 
   val oracleSql: Map[String, String] = Map(
     "q16_dpp" ->
@@ -143,6 +171,17 @@ object SurfaceR5b {
         |  round(sum(l_extendedprice), 4) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "f15_variant" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        |  json(props)::VARCHAR AS vjson
+        |FROM events ORDER BY event_id""".stripMargin,
+    "f16_collation" ->
+      """SELECT n_nationkey,
+        |  CASE WHEN n_nationkey % 2 = 0
+        |       THEN upper(n_name) ELSE lower(n_name) END AS styled
+        |FROM nation
+        |ORDER BY lower(styled)""".stripMargin,
     "lr_redact" ->
       """SELECT doc_id, redacted,
         |  CAST(CASE WHEN redacted <> text THEN 1 ELSE 0 END AS INTEGER)
