@@ -141,6 +141,29 @@ object SurfaceR5b {
           .otherwise(lower(col("n_name"))).as("styled"))
       .orderBy(collate(col("styled"), "UTF8_LCASE"))
 
+  /** S13: dynamic partition overwrite — the incremental-reprocess
+    * primitive: rewrite ONLY the partitions present in the incoming
+    * batch, leave every other partition untouched (static overwrite
+    * mode would truncate the whole table first). The readback
+    * aggregates across ALL partitions, so a regression to whole-table
+    * truncation shows up as vanished rows in the oracle compare.
+    */
+  val s13DynamicOverwrite: Q = (s, d) => {
+    val out = new java.io.File("target/tmp/s13_dyn").getAbsolutePath
+    val o = orders(s, d).select("o_orderkey", "o_totalprice", "o_orderpriority")
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    // reprocess one partition: double its prices, overwrite just it
+    o.where(col("o_orderpriority") === "1-URGENT")
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("o_orderpriority").parquet(out)
+    s.read.parquet(out)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), r4(sum(col("o_totalprice"))).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
   // ---- registry ----
 
   val queries: Map[String, Q] = Map(
@@ -150,7 +173,8 @@ object SurfaceR5b {
     "lr_redact" -> lrRedact,
     "a20_countmin" -> a20Countmin,
     "f15_variant" -> f15Variant,
-    "f16_collation" -> f16Collation)
+    "f16_collation" -> f16Collation,
+    "s13_dynamic_overwrite" -> s13DynamicOverwrite)
 
   val oracleSql: Map[String, String] = Map(
     "q16_dpp" ->
@@ -171,6 +195,13 @@ object SurfaceR5b {
         |  round(sum(l_extendedprice), 4) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "s13_dynamic_overwrite" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |                 THEN o_totalprice * 2 ELSE o_totalprice END), 4)
+        |    AS sum_price
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "f15_variant" ->
       """SELECT event_id,
         |  CAST(json_extract(props, '$.k') AS BIGINT) AS k,

@@ -158,6 +158,16 @@ class PlanSpec extends SparkSpec {
       s"no dynamic partition pruning on the fact scan:\n$plan")
   }
 
+  test("cache: repeated action reads InMemoryTableScan, not the parquet source") {
+    val df = graft.Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag").agg(sum("l_quantity").as("q")).cache()
+    try {
+      df.count() // materialize
+      val plan = planOf(df)
+      assert(plan.contains("InMemoryTableScan"), s"cache not reused:\n$plan")
+    } finally df.unpersist()
+  }
+
   test("j10: SHUFFLE_HASH hint selects ShuffledHashJoin (no sort phases)") {
     val plan = planOf(graft.queries.SurfaceR5b.j10ShuffleHashHint(spark, sfDir))
     assert(plan.contains("ShuffledHashJoin"), s"hint not honoured:\n$plan")
