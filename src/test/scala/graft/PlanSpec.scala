@@ -158,14 +158,30 @@ class PlanSpec extends SparkSpec {
       s"no dynamic partition pruning on the fact scan:\n$plan")
   }
 
-  test("cache: repeated action reads InMemoryTableScan, not the parquet source") {
-    val df = graft.Tables.lineitem(spark, sfDir)
-      .groupBy("l_returnflag").agg(sum("l_quantity").as("q")).cache()
-    try {
-      df.count() // materialize
-      val plan = planOf(df)
-      assert(plan.contains("InMemoryTableScan"), s"cache not reused:\n$plan")
-    } finally df.unpersist()
+  test("q16: DPP reads only the surviving partitions' files at runtime") {
+    val df = graft.queries.SurfaceR5b.q16Dpp(spark, sfDir)
+    df.collect() // execute so scan metrics are populated
+    // AQE wraps every stage (result stage included, Spark 4.x) in
+    // QueryStageExec nodes with no children — descend explicitly
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case other => other.children.flatMap(scans)
+    }
+    val fact = scans(df.queryExecution.executedPlan)
+      .filter(_.metadata("Location").contains("q16_fact")).head
+    val readFiles = fact.metrics("numFiles").value
+    val allFiles = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File("target/tmp/q16_fact"))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    assert(readFiles > 0 && readFiles < allFiles,
+      s"DPP did not skip files: read $readFiles of $allFiles")
   }
 
   test("j10: SHUFFLE_HASH hint selects ShuffledHashJoin (no sort phases)") {
