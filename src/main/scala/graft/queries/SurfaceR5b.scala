@@ -164,6 +164,24 @@ object SurfaceR5b {
       .orderBy("o_orderpriority")
   }
 
+  /** J11: null-safe equi-join (`<=>` / IS NOT DISTINCT FROM) — null keys
+    * match each other instead of vanishing. Scale note: null-safe
+    * equality puts EVERY null row into one join group, so a null-heavy
+    * key is the worst skew hazard there is; at 100 TB, split the null
+    * bucket out (it's a cross product by definition) and union it back,
+    * or keep AQE skew-join on. The demo keeps the null group small and
+    * real.
+    */
+  val j11NullsafeJoin: Q = (s, d) => {
+    val c = customer(s, d)
+      .select(expr("nullif(c_nationkey % 7, 3)").as("k1"))
+    val n = nation(s, d)
+      .select(expr("nullif(n_nationkey % 7, 3)").as("k2"))
+    c.join(n, col("k1") <=> col("k2"))
+      .groupBy("k1").agg(count(lit(1)).as("n_pairs"))
+      .orderBy(asc_nulls_first("k1"))
+  }
+
   // ---- registry ----
 
   val queries: Map[String, Q] = Map(
@@ -174,7 +192,8 @@ object SurfaceR5b {
     "a20_countmin" -> a20Countmin,
     "f15_variant" -> f15Variant,
     "f16_collation" -> f16Collation,
-    "s13_dynamic_overwrite" -> s13DynamicOverwrite)
+    "s13_dynamic_overwrite" -> s13DynamicOverwrite,
+    "j11_nullsafe_join" -> j11NullsafeJoin)
 
   val oracleSql: Map[String, String] = Map(
     "q16_dpp" ->
@@ -195,6 +214,12 @@ object SurfaceR5b {
         |  round(sum(l_extendedprice), 4) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "j11_nullsafe_join" ->
+      """WITH c AS (SELECT nullif(c_nationkey % 7, 3) AS k1 FROM customer),
+        |n AS (SELECT nullif(n_nationkey % 7, 3) AS k2 FROM nation)
+        |SELECT k1, count(*) AS n_pairs
+        |FROM c JOIN n ON k1 IS NOT DISTINCT FROM k2
+        |GROUP BY k1 ORDER BY k1 NULLS FIRST""".stripMargin,
     "s13_dynamic_overwrite" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         |  round(sum(CASE WHEN o_orderpriority = '1-URGENT'
