@@ -13,6 +13,11 @@ import graft.{Orc, Tables}
   * SURVEY.md §2.1 (sources/layout), §2.3 (joins), §2.4 (aggregates),
   * §2.10 (text pipeline).
   */
+/** Typed row for the Dataset[T] demo — top-level so the case-class
+  * Encoder derives. */
+case class LineitemT(l_orderkey: Long, l_quantity: Double,
+    l_extendedprice: Double, l_discount: Double, l_returnflag: String)
+
 object SurfaceR5b {
   import Orc.r4
   import Tables._
@@ -182,6 +187,28 @@ object SurfaceR5b {
       .orderBy(asc_nulls_first("k1"))
   }
 
+  /** P4: typed Dataset[T] pipeline — case-class Encoder, compile-time
+    * checked lambda filter/map, groupByKey + typed aggregation. The
+    * tradeoff is stated, not hidden: lambda stages deserialize rows and
+    * opt out of codegen'd predicate pushdown, so the explicit select
+    * BEFORE `.as[T]` is what keeps the scan pruned to 5 columns; at
+    * 100 TB prefer Column algebra on the hot path and reserve typed
+    * lambdas for logic that genuinely needs Scala types.
+    */
+  val p4TypedDataset: Q = (s, d) => {
+    import s.implicits._
+    lineitem(s, d)
+      .select("l_orderkey", "l_quantity", "l_extendedprice",
+        "l_discount", "l_returnflag")
+      .as[LineitemT]
+      .filter(_.l_discount > 0.02)
+      .map(r => (r.l_returnflag, r.l_extendedprice * (1.0 - r.l_discount)))
+      .groupByKey(_._1)
+      .agg(r4(sum(col("_2"))).as[Double], count(lit(1)).as[Long])
+      .toDF("l_returnflag", "revenue", "n_items")
+      .orderBy("l_returnflag")
+  }
+
   // ---- registry ----
 
   val queries: Map[String, Q] = Map(
@@ -193,7 +220,8 @@ object SurfaceR5b {
     "f15_variant" -> f15Variant,
     "f16_collation" -> f16Collation,
     "s13_dynamic_overwrite" -> s13DynamicOverwrite,
-    "j11_nullsafe_join" -> j11NullsafeJoin)
+    "j11_nullsafe_join" -> j11NullsafeJoin,
+    "p4_typed_dataset" -> p4TypedDataset)
 
   val oracleSql: Map[String, String] = Map(
     "q16_dpp" ->
@@ -214,6 +242,12 @@ object SurfaceR5b {
         |  round(sum(l_extendedprice), 4) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "p4_typed_dataset" ->
+      """SELECT l_returnflag,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem WHERE l_discount > 0.02
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "j11_nullsafe_join" ->
       """WITH c AS (SELECT nullif(c_nationkey % 7, 3) AS k1 FROM customer),
         |n AS (SELECT nullif(n_nationkey % 7, 3) AS k2 FROM nation)
