@@ -29,11 +29,16 @@ object Upsert {
       s"updates schema ${updates.columns.mkString(",")} != base schema ${cols.mkString(",")}")
     require(keys.nonEmpty && keys.forall(cols.contains), s"bad keys $keys")
     val b = base.select(cols.map(c => col(c).as(s"_b_$c")): _*)
-    val u = updates.select(cols.map(c => col(c).as(s"_u_$c")): _*)
+    val u = updates.select(cols.map(c => col(c).as(s"_u_$c")) :+
+      lit(true).as("_u_present"): _*)
     val cond = keys.map(k => col(s"_b_$k") === col(s"_u_$k")).reduce(_ && _)
-    // key columns coalesce on the key (never null on the side that
-    // exists); payload columns take the update side when the key matched.
-    val matched = keys.map(k => col(s"_u_$k").isNotNull).reduce(_ && _)
+    // key columns coalesce on the key; payload columns take the update
+    // side whenever the row CAME from the update side. A literal presence
+    // marker (not key null-ness) decides that, so an update row whose key
+    // column is NULL — which never equi-matches and survives the full
+    // outer join unpaired — still carries its own payload through instead
+    // of reading all-NULL base columns.
+    val matched = col("_u_present").isNotNull
     b.join(u, cond, "full_outer")
       .select(cols.map { c =>
         if (keys.contains(c)) coalesce(col(s"_u_$c"), col(s"_b_$c")).as(c)

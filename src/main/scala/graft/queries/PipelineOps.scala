@@ -180,8 +180,14 @@ object PipelineOps {
     */
   val lp8ChunkDocs: Q = (s, d) =>
     documents(s, d)
+      // Guard empty documents: Spark's sequence(0, -1, 200) throws
+      // (start > stop with positive step) while DuckDB's generate_series
+      // yields no rows — filter them out on both sides and clamp the
+      // upper bound so the expression can never see a negative stop.
+      .where(length(col("text")) > 0)
       .select(col("doc_id"), col("text"),
-        explode(sequence(lit(0L), (length(col("text")) - 1).cast("long"),
+        explode(sequence(lit(0L),
+          greatest(length(col("text")) - 1, lit(0)).cast("long"),
           lit(200L))).as("start"))
       .select(col("doc_id"), col("start"),
         expr("substring(text, CAST(start + 1 AS INT), 256)").as("chunk"))
@@ -368,7 +374,11 @@ object PipelineOps {
     """WITH RECURSIVE edges AS (
       |  SELECT a.vec_id AS s, b.vec_id AS t
       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |  WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
+      |                         CAST(a.embedding AS DOUBLE[])) > 0
+      |    AND list_dot_product(CAST(b.embedding AS DOUBLE[]),
+      |                         CAST(b.embedding AS DOUBLE[])) > 0
+      |    AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
       |                               CAST(b.embedding AS DOUBLE[])) >= 0.95
       |),
       |sym AS (SELECT s, t FROM edges UNION ALL SELECT t, s FROM edges),
@@ -491,6 +501,6 @@ object PipelineOps {
         |  SELECT doc_id, text,
         |    unnest(generate_series(CAST(0 AS BIGINT),
         |      CAST(length(text) AS BIGINT) - 1, CAST(200 AS BIGINT))) AS start
-        |  FROM documents)
+        |  FROM documents WHERE length(text) > 0)
         |ORDER BY doc_id, start""".stripMargin)
 }

@@ -93,6 +93,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == Map(1L -> Some("a"), 2L -> None))
   }
 
+  test("lp8: empty documents are skipped, not a sequence() crash") {
+    // sequence(0, -1, 200) throws in Spark while the oracle's
+    // generate_series yields no rows; lp8 filters empty docs on both
+    // sides. Fixtures have none, so exercise the guard with a synthetic
+    // documents table containing one.
+    val dir = new java.io.File("target/tmp/lp8_empty").getAbsolutePath
+    Seq((1L, ""), (2L, "x" * 450)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = PipelineOps.lp8ChunkDocs(spark, dir)
+      .select("doc_id", "start").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((2L, 0L), (2L, 200L), (2L, 400L)),
+      s"unexpected chunks: ${rows.mkString(", ")}")
+  }
+
+  test("upsert: a null-key update row keeps its own payload") {
+    // a NULL key never equi-matches, so the row survives the full outer
+    // join unpaired on the update side; the presence marker (not key
+    // null-ness) must route its payload through instead of all-NULLs.
+    val base = Seq((Some(1L), "a")).toDF("k", "name")
+    val ups = Seq((Option.empty[Long], "orphan")).toDF("k", "name")
+    val got = Upsert.upsert(base, ups, Seq("k"))
+      .collect().map(r => Option(r.get(0)) -> r.getString(1)).toSet
+    assert(got == Set(Some(1L) -> "a", None -> "orphan"), s"got $got")
+  }
+
   // ---- sequence packing ----
 
   test("packing laws: exactly-once, capacity, FFD under-half bound") {

@@ -24,6 +24,16 @@ class SurfaceR5Spec extends SparkSpec {
     assert(diff == 0, "width_bucket and floor binning disagree in-range")
   }
 
+  test("a18: crosstab pivot column set is exactly the oracle's") {
+    // crosstab derives pivot columns from observed distinct values, while
+    // the oracle hard-codes FILTER columns "F" and "O"; pin the column
+    // set so a fixture/linestatus change desynchronizes HERE with a named
+    // failure instead of as an opaque driver hash mismatch.
+    val cols = graft.queries.SurfaceR5b.a18Crosstab(spark, sfDir).columns.toSet
+    assert(cols == Set("l_returnflag_l_linestatus", "F", "O"),
+      s"crosstab columns $cols drifted from the hard-coded oracle set")
+  }
+
   test("a14: deterministic mode is stable under repartitioning") {
     val base = SurfaceR5.a14Mode(spark, sfDir).collect().toSeq
     val li = Tables.lineitem(spark, sfDir).repartition(13, col("l_orderkey"))
