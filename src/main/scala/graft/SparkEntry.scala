@@ -26,7 +26,9 @@ object SparkEntry {
       graft.queries.Hardening.queries ++
       graft.queries.PipelineOps.queries ++
       graft.queries.SurfaceR5.queries ++
-      graft.queries.SurfaceR5b.queries
+      graft.queries.SurfaceR5b.queries ++
+      graft.queries.SurfaceR6.queries ++
+      graft.queries.SurfaceR6b.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -43,7 +45,9 @@ object SparkEntry {
       graft.queries.Hardening.oracleSql ++
       graft.queries.PipelineOps.oracleSql ++
       graft.queries.SurfaceR5.oracleSql ++
-      graft.queries.SurfaceR5b.oracleSql)
+      graft.queries.SurfaceR5b.oracleSql ++
+      graft.queries.SurfaceR6.oracleSql ++
+      graft.queries.SurfaceR6b.oracleSql)
       .map { case (k, v) => k -> Orc.round4Sql(v) }
 
   /** Headline bench subset — names and shapes match BASELINE.md. */

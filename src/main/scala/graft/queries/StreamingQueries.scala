@@ -90,7 +90,17 @@ object StreamingQueries {
       "t12_sink", OutputMode.Append())
       .orderBy(asc("click_id"), asc_nulls_first("purchase_id"))
 
+  /** T13: chained windowed aggregations (15 min → 1 h) in APPEND mode —
+    * emitted rows are exactly the 1 h windows the final watermark passed,
+    * which the batch oracle reproduces with the same cutoff. */
+  val t13ChainedAgg: Q = (s, d) =>
+    StreamingOps.runToMemory(
+      StreamingOps.chainedWindowCounts(StreamingOps.eventsStream(s, d)),
+      "t13_sink", OutputMode.Append())
+      .orderBy("win_start_s", "event_type")
+
   val queries: Map[String, Q] = Map(
+    "t13_chained_agg" -> t13ChainedAgg,
     "t9_stream_stream_join" -> t9StreamStreamJoin,
     "t12_stream_stream_outer" -> t12StreamStreamOuter,
     "t4_stream_tumbling" -> t4StreamTumbling,
@@ -103,6 +113,16 @@ object StreamingQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Append-mode emission cutoff: a 1 h window is emitted iff the final
+    // watermark (max event time − 30 min delay) has passed its end.
+    "t13_chained_agg" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM e)
+        |SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start_s,
+        | event_type, count(*) AS n_events
+        |FROM e
+        |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+        |GROUP BY 1, 2 ORDER BY win_start_s, event_type""".stripMargin,
     // The cutoff reproduces streaming state eviction: a null-extended row
     // is emitted only when the final watermark (min over both streams of
     // max event time, minus the 1h delay) passes the click's join window.

@@ -84,6 +84,28 @@ object StreamingOps {
         unix_timestamp(col("window.start")).as("win_start_s"),
         col("event_type"), col("n_events"))
 
+  /** T13: CHAINED stateful aggregations in one streaming query (Spark
+    * 4 multi-stateful-operator support): a 15-minute tumbling count per
+    * type re-aggregated into 1-hour totals, both windows event-time and
+    * append-mode. `window_time` re-derives an event-time column from the
+    * first window so the second agg windows on event time, not
+    * processing time. At scale this is the pre-aggregation ladder —
+    * fine-grain state stays small and the coarse rollup reads already
+    * reduced rows instead of raw events (state ∝ open windows, not
+    * stream length). A 1 h window emits only once the watermark passes
+    * its end, at which point every constituent 15 min window has
+    * necessarily been finalized — no partial rollups can emit. */
+  def chainedWindowCounts(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n15"))
+      .groupBy(window(window_time(col("window")), "1 hour"), col("event_type"))
+      .agg(sum(col("n15")).as("n_events"))
+      .select(
+        unix_timestamp(col("window.start")).as("win_start_s"),
+        col("event_type"), col("n_events"))
+
   /** T5: streaming dedup by key within the watermark horizon.
     * `dropDuplicatesWithinWatermark` (not plain `dropDuplicates`) so the
     * per-key dedup state is evicted once the watermark passes — plain

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.SurfaceR6
+
+/** Round-6 curation surface: repetition scoring, contamination detection,
+  * deterministic mixing — semantics + plan-shape assertions.
+  */
+class SurfaceR6Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("l12: known-repetition doc scores as expected") {
+    val dir = new java.io.File("target/tmp/l12_known").getAbsolutePath
+    // "a a a a b": 5 words, 2 uniq, top share 4/5; 2-grams are
+    // [a a, a a, a a, a b] -> 4 total, 2 distinct -> dup ratio 0.5
+    Seq((1L, "a a a a b", "en", "srcX", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SurfaceR6.l12Repetition(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(1) == 5 && row.getLong(2) == 2)
+    assert(row.getDouble(3) == 0.4 && row.getDouble(4) == 0.8 &&
+      row.getDouble(5) == 0.5, s"ratios: $row")
+  }
+
+  test("l13: benchmark gram set joins via broadcast, not shuffle") {
+    val p = plan(SurfaceR6.l13Contamination(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"no broadcast in contamination join plan:\n$p")
+  }
+
+  test("l14: membership is a pure function of doc_id — stable under repartition") {
+    val base = SurfaceR6.l14MixSample(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // recompute from a differently-partitioned scan; same rows must survive
+    val docs = Tables.documents(spark, sfDir).repartition(17, col("lang"))
+    val dir = new java.io.File("target/tmp/l14_repart").getAbsolutePath
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val re = SurfaceR6.l14MixSample(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(base == re, "mix membership changed under repartitioning")
+  }
+
+  test("l14: kept fraction tracks the per-lang weight") {
+    val docs = Tables.documents(spark, sfDir)
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = SurfaceR6.l14MixSample(spark, sfDir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val weights = Map("en" -> 1.0, "de" -> 0.6, "fr" -> 0.5,
+      "es" -> 0.4, "zh" -> 0.25)
+    weights.foreach { case (lang, w) =>
+      val frac = kept.getOrElse(lang, 0L).toDouble / total(lang)
+      assert(math.abs(frac - w) < 0.25,
+        s"$lang kept $frac, want ~$w (n=${total(lang)})")
+    }
+  }
+
+  test("x6: observed metrics equal the relational aggregates") {
+    val got = SurfaceR6.x6Observe(spark, sfDir).collect().head
+    val want = Tables.lineitem(spark, sfDir).agg(
+      count(lit(1)), Orc.r4(sum(col("l_quantity"))),
+      count(when(col("l_discount") > lit(0.05), 1))).collect().head
+    assert(got.getLong(0) == want.getLong(0) &&
+      got.getDouble(1) == want.getDouble(1) &&
+      got.getLong(2) == want.getLong(2), s"observe $got != agg $want")
+  }
+
+  test("s14b: XML file roundtrip preserves the table") {
+    val src = Tables.nation(spark, sfDir)
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val got = graft.queries.SurfaceR6b.s14bXmlFile(spark, sfDir)
+    assert(got.count() == src.count())
+    assert(got.except(src).isEmpty && src.except(got).isEmpty,
+      "XML roundtrip changed rows")
+  }
+
+  test("s15: binaryFile rows carry the expected deterministic payload hashes") {
+    val cs = "abcdefghijklmnop"
+    val want = (0 until 8).map { id =>
+      val content = s"file-$id:" +
+        (0 until 64).map(j => cs((id * 31 + j * 7) % 16)).mkString
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(content.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (f"bin_$id%02d.bin", content.length.toLong, md)
+    }.toSet
+    val got = graft.queries.SurfaceR6b.s15Binaryfile(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == want, s"binaryFile scan mismatch: $got")
+  }
+
+  test("m17: PCA components are orthonormal with descending variance") {
+    val emb = Tables.embeddings(spark, sfDir).select(
+      org.apache.spark.ml.functions.array_to_vector(col("embedding")).as("v"))
+    val model = new org.apache.spark.ml.feature.PCA()
+      .setK(2).setInputCol("v").setOutputCol("pc").fit(emb)
+    val pc = model.pc // 64 x 2, column-major
+    val colv = (k: Int) => Array.tabulate(pc.numRows)(i => pc(i, k))
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    assert(math.abs(dot(colv(0), colv(0)) - 1.0) < 1e-9)
+    assert(math.abs(dot(colv(1), colv(1)) - 1.0) < 1e-9)
+    assert(math.abs(dot(colv(0), colv(1))) < 1e-9, "components not orthogonal")
+    val ev = model.explainedVariance.toArray
+    assert(ev(0) >= ev(1) && ev(1) > 0, s"variance not descending: ${ev.toSeq}")
+  }
+
+  test("m18: emitted correlations agree with df.stat.corr") {
+    val got = graft.queries.SurfaceR6b.m18CorrMatrix(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 6 && got.values.forall(v => v >= -1.0 && v <= 1.0))
+    val li = Tables.lineitem(spark, sfDir)
+    val direct = li.stat.corr("l_quantity", "l_extendedprice")
+    val mine = got(("l_quantity", "l_extendedprice"))
+    assert(math.abs(direct - mine) < 1e-3, s"corr $mine vs stat.corr $direct")
+  }
+
+  test("t13: chained streaming agg equals the batch ladder under the same cutoff") {
+    val streamed = graft.queries.StreamingQueries.t13ChainedAgg(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val e = Tables.events(spark, sfDir)
+    val maxTs = e.agg(max(col("ts"))).head.getTimestamp(0).toInstant
+    val wm = maxTs.minusSeconds(30 * 60)
+    val batch = e
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("window.end") <= lit(java.sql.Timestamp.from(wm)))
+      .select(unix_timestamp(col("window.start")).as("s"), col("event_type"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty, "chained agg emitted nothing")
+    assert(streamed == batch,
+      s"stream minus batch: ${streamed -- batch}; batch minus stream: ${batch -- streamed}")
+  }
+
+  test("a21: GROUP BY ALL matches the explicit grouping list") {
+    val all = SurfaceR6.a21GroupByAll(spark, sfDir).collect().toSeq
+    val explicit = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_rows"), Orc.r4(sum(col("l_quantity"))).as("sum_qty"))
+      .orderBy("l_returnflag", "l_linestatus", "n_rows", "sum_qty")
+      .collect().toSeq
+    assert(all == explicit)
+  }
+}
