@@ -28,7 +28,8 @@ object SparkEntry {
       graft.queries.SurfaceR5.queries ++
       graft.queries.SurfaceR5b.queries ++
       graft.queries.SurfaceR6.queries ++
-      graft.queries.SurfaceR6b.queries
+      graft.queries.SurfaceR6b.queries ++
+      graft.queries.SurfaceR6c.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -47,7 +48,8 @@ object SparkEntry {
       graft.queries.SurfaceR5.oracleSql ++
       graft.queries.SurfaceR5b.oracleSql ++
       graft.queries.SurfaceR6.oracleSql ++
-      graft.queries.SurfaceR6b.oracleSql)
+      graft.queries.SurfaceR6b.oracleSql ++
+      graft.queries.SurfaceR6c.oracleSql)
       .map { case (k, v) => k -> Orc.round4Sql(v) }
 
   /** Headline bench subset — names and shapes match BASELINE.md. */

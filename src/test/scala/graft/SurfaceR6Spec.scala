@@ -138,6 +138,46 @@ class SurfaceR6Spec extends SparkSpec {
       s"stream minus batch: ${streamed -- batch}; batch minus stream: ${batch -- streamed}")
   }
 
+  test("lp12: kept chunks are exactly the distinct chunk population") {
+    val r = graft.queries.SurfaceR6c.lp12ChunkDedup(spark, sfDir)
+      .agg(sum(col("n_chunks")).as("total"), sum(col("n_dropped")).as("dropped"))
+      .head
+    val docs = Tables.documents(spark, sfDir)
+      .select(split(col("text"), " ").as("w")).where(size(col("w")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 3, 3), i -> array_join(slice(w, i + 1, 3), ' '))"))
+        .as("chunk"))
+    val distinctChunks = docs.select("chunk").distinct().count()
+    assert(r.getLong(0) - r.getLong(1) == distinctChunks,
+      s"kept ${r.getLong(0) - r.getLong(1)} != distinct $distinctChunks")
+    assert(r.getLong(1) > 0, "dedup is vacuous: zero dropped chunks")
+  }
+
+  test("m19: summarizer stats match a direct aggregate on dim 0") {
+    val got = graft.queries.SurfaceR6c.m19VectorStats(spark, sfDir)
+      .where(col("dim") === 0).head
+    val want = Tables.embeddings(spark, sfDir)
+      .select(col("embedding").getItem(0).cast("double").as("x"))
+      .agg(Orc.r4(avg(col("x"))).as("m"), Orc.r4(var_samp(col("x"))).as("v"))
+      .head
+    assert(got.getDouble(1) == want.getDouble(0) &&
+      got.getDouble(2) == want.getDouble(1),
+      s"dim0 stats $got != direct $want")
+  }
+
+  test("lg: pagerank conserves mass and fixes isolated nodes at 1-d") {
+    val ranks = graft.queries.SurfaceR6c.lgPagerank(spark, sfDir).cache()
+    val n = ranks.count()
+    val total = ranks.agg(sum("rank")).head.getDouble(0)
+    assert(total <= n + 1e-4, s"rank mass $total exceeds node count $n")
+    assert(ranks.where(col("rank") < 0.15 - 1e-4).isEmpty,
+      "rank below the (1-d) floor")
+    // candidate graph is non-empty on the fixtures, so some node must
+    // accumulate inflow above the floor
+    assert(ranks.where(col("rank") > 0.15 + 1e-4).count() > 0,
+      "no node above the floor: graph vacuous?")
+  }
+
   test("a21: GROUP BY ALL matches the explicit grouping list") {
     val all = SurfaceR6.a21GroupByAll(spark, sfDir).collect().toSeq
     val explicit = Tables.lineitem(spark, sfDir)
