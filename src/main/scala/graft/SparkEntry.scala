@@ -29,7 +29,8 @@ object SparkEntry {
       graft.queries.SurfaceR5b.queries ++
       graft.queries.SurfaceR6.queries ++
       graft.queries.SurfaceR6b.queries ++
-      graft.queries.SurfaceR6c.queries
+      graft.queries.SurfaceR6c.queries ++
+      graft.queries.SurfaceR6d.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -49,7 +50,8 @@ object SparkEntry {
       graft.queries.SurfaceR5b.oracleSql ++
       graft.queries.SurfaceR6.oracleSql ++
       graft.queries.SurfaceR6b.oracleSql ++
-      graft.queries.SurfaceR6c.oracleSql)
+      graft.queries.SurfaceR6c.oracleSql ++
+      graft.queries.SurfaceR6d.oracleSql)
       .map { case (k, v) => k -> Orc.round4Sql(v) }
 
   /** Headline bench subset — names and shapes match BASELINE.md. */

@@ -178,6 +178,23 @@ class SurfaceR6Spec extends SparkSpec {
       "no node above the floor: graph vacuous?")
   }
 
+  test("f17: every source maps to exactly one parsed host") {
+    val hosts = graft.queries.SurfaceR6d.f17UrlFuncs(spark, sfDir)
+      .select("host").distinct().count()
+    val sources = Tables.documents(spark, sfDir)
+      .select("source").distinct().count()
+    assert(hosts == sources, s"$hosts hosts != $sources sources")
+  }
+
+  test("m20: chi-square dof matches the category cardinalities") {
+    val r = graft.queries.SurfaceR6d.m20Chisquare(spark, sfDir).head
+    val li = Tables.lineitem(spark, sfDir)
+    val nf = li.select("l_returnflag").distinct().count()
+    val nl = li.select("l_linestatus").distinct().count()
+    assert(r.getLong(1) == (nf - 1) * (nl - 1), s"dof ${r.getLong(1)}")
+    assert(r.getDouble(0) > 0.0)
+  }
+
   test("a21: GROUP BY ALL matches the explicit grouping list") {
     val all = SurfaceR6.a21GroupByAll(spark, sfDir).collect().toSeq
     val explicit = Tables.lineitem(spark, sfDir)
