@@ -99,7 +99,27 @@ object StreamingQueries {
       "t13_sink", OutputMode.Append())
       .orderBy("win_start_s", "event_type")
 
+  /** T14: event-time-timer sessionization (transformWithState +
+    * RocksDB). The provider conf is set for this query and restored
+    * after — TWS requires the RocksDB state store. */
+  val t14TimerSessions: Q = (s, d) => {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try
+      StreamingOps.runToMemory(
+        StreamingOps.sessionCloseTimers(StreamingOps.eventsStream(s, d)),
+        "t14_sink", OutputMode.Update())
+        .orderBy("user_id", "sess_start_s")
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
+    "t14_timer_sessions" -> t14TimerSessions,
     "t13_chained_agg" -> t13ChainedAgg,
     "t9_stream_stream_join" -> t9StreamStreamJoin,
     "t12_stream_stream_outer" -> t12StreamStreamOuter,
@@ -113,6 +133,32 @@ object StreamingQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Timer-eviction cutoff: sessions closed by a later in-batch event
+    // always emit; each user's LAST session emits only if its timer
+    // (end + 10 min gap) expired under the final watermark (max event
+    // time − 5 min delay).
+    "t14_timer_sessions" ->
+      """WITH e AS (SELECT user_id, date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts
+        |           FROM events),
+        |m AS (SELECT user_id, ts,
+        |        CASE WHEN lag(ts) OVER w IS NULL
+        |               OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (SELECT user_id, ts,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                         ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m),
+        |sess AS (SELECT user_id, min(ts) AS st, max(ts) AS en, count(*) AS n
+        |         FROM g GROUP BY user_id, sid),
+        |wm AS (SELECT max(ts) - INTERVAL 5 MINUTE AS w FROM e),
+        |last AS (SELECT user_id, max(en) AS men FROM sess GROUP BY user_id)
+        |SELECT s.user_id AS user_id, CAST(epoch(st) AS BIGINT) AS sess_start_s,
+        |  CAST(epoch(en) AS BIGINT) AS sess_end_s, n AS n_events
+        |FROM sess s JOIN last l ON s.user_id = l.user_id
+        |WHERE s.en < l.men
+        |   OR s.en + INTERVAL 10 MINUTE < (SELECT w FROM wm)
+        |ORDER BY s.user_id, sess_start_s""".stripMargin,
     // Append-mode emission cutoff: a 1 h window is emitted iff the final
     // watermark (max event time − 30 min delay) has passed its end.
     "t13_chained_agg" ->

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming operators (SURVEY.md §2.9 T4–T8).
@@ -151,6 +151,71 @@ object StreamingOps {
       countState.update(n)
       Iterator((key, n))
     }
+  }
+
+  /** T14: EVENT-TIME TIMERS — sessionization where the CLOSE of a
+    * session is detected by a timer, not by a subsequent event: each
+    * user's open session registers a timer at (last event + gap); when
+    * the watermark passes it, `handleExpiredTimer` emits the session and
+    * clears state. This is the idle-timeout pattern (cart abandonment,
+    * connection expiry) that plain windowing can't express: the emission
+    * is triggered by the ABSENCE of events. Sessions closed by a later
+    * event in the same batch emit from `handleInputRows` directly.
+    * State per user = one open session + one timer, bounded by the
+    * watermark — the 100 TB posture is the same as T6 (RocksDB store,
+    * key-partitioned shuffle, no driver state). Timestamps are
+    * second-truncated on both engine sides so the ms-granular timer
+    * comparison can't straddle a fractional boundary the SQL oracle
+    * computes exactly. */
+  class SessionCloseProcessor(gapSec: Long)
+      extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long, Long)] {
+    // open session: (start_s, end_s, n_events)
+    @transient private var open: ValueState[(Long, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[(Long, Long, Long)](
+        "open", Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long, rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      val ts = rows.map(_._2).toArray.sorted
+      var out = List.empty[(Long, Long, Long, Long)]
+      var cur = if (open.exists()) Some(open.get()) else None
+      ts.foreach { t =>
+        cur = cur match {
+          case Some((s0, e0, n0)) if t - e0 < gapSec => Some((s0, t, n0 + 1))
+          case Some((s0, e0, n0)) =>
+            out ::= ((key, s0, e0, n0)); Some((t, t, 1L))
+          case None => Some((t, t, 1L))
+        }
+      }
+      val (s0, e0, n0) = cur.get
+      open.update((s0, e0, n0))
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer((e0 + gapSec) * 1000L)
+      out.reverse.iterator
+    }
+    override def handleExpiredTimer(
+        key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] =
+      if (open.exists()) {
+        val (s0, e0, n0) = open.get()
+        open.clear()
+        Iterator((key, s0, e0, n0))
+      } else Iterator.empty
+  }
+
+  def sessionCloseTimers(events: DataFrame, gapSec: Long = 600L,
+      watermark: String = "5 minutes"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withColumn("ts", date_trunc("second", col("ts")))
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as[Long], unix_timestamp(col("ts")).as[Long])
+      .groupByKey(_._1)
+      .transformWithState(new SessionCloseProcessor(gapSec),
+        TimeMode.EventTime(), OutputMode.Update())
+      .toDF("user_id", "sess_start_s", "sess_end_s", "n_events")
   }
 
   def runningUserCountsTWS(events: DataFrame): DataFrame = {

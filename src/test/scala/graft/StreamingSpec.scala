@@ -190,6 +190,40 @@ class StreamingSpec extends SparkSpec {
     assert(back.where(col("tier") === "gold").count() == 2)
   }
 
+  test("T14: event-time timer closes an idle session with NO further event for that key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val source = MemoryStream[(Timestamp, Long)]
+    val sessions = StreamingOps.sessionCloseTimers(
+      source.toDF().toDF("ts", "user_id"))
+    val q = sessions.writeStream.format("memory")
+      .queryName("t14_test_sink").outputMode(OutputMode.Update()).start()
+    try {
+      // user 7's session [10:00, 10:02]; timer registered at 10:12
+      source.addData((ts("2024-01-01 10:00:00"), 7L), (ts("2024-01-01 10:02:00"), 7L))
+      q.processAllAvailable()
+      // ONLY user 8 speaks; watermark -> 10:25 > 10:12, so user 7's
+      // timer fires even though user 7 never produced another event
+      source.addData((ts("2024-01-01 10:30:00"), 8L))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    def epoch(s: String) = ts(s).getTime / 1000
+    val rows = spark.table("t14_test_sink").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows == Set((7L, epoch("2024-01-01 10:00:00"),
+      epoch("2024-01-01 10:02:00"), 2L)),
+      s"expected only user 7's timer-closed session, got $rows")
+  }
+
   test("streaming query registry entries run end-to-end at sf0.001") {
     graft.queries.StreamingQueries.queries.foreach { case (name, fn) =>
       assert(fn(spark, sfDir).count() > 0, s"$name returned no rows")
