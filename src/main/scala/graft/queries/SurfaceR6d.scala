@@ -92,12 +92,33 @@ object SurfaceR6d {
   /** Scalar twin of [[Orc.r4]] for driver-side values. */
   private def r4d(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
 
+  // ---- Q17: exchange reuse ----
+
+  /** Q17: one aggregation consumed twice — the plan computes the
+    * groupBy ONCE and reuses its shuffle output for both branches
+    * (ReusedExchange), instead of scanning + shuffling lineitem twice.
+    * At 100 TB that halves the dominant cost of every
+    * "same rollup, two filters" report; the PlanSpec asserts the reuse
+    * node is actually present.
+    */
+  val q17ExchangeReuse: Q = (s, d) => {
+    val base = lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(r4(sum(col("l_quantity"))).as("qty"), count(lit(1)).as("n"))
+    val big = base.where(col("qty") > 150)
+      .select(lit("big").as("side"), col("l_orderkey"), col("qty"), col("n"))
+    val small = base.where(col("qty") < 30)
+      .select(lit("small").as("side"), col("l_orderkey"), col("qty"), col("n"))
+    big.union(small).orderBy("side", "l_orderkey")
+  }
+
   // ---- registry ----
 
   val queries: Map[String, Q] = Map(
     "f17_url_funcs" -> f17UrlFuncs,
     "f18_edit_distance" -> f18EditDistance,
-    "m20_chisquare" -> m20Chisquare)
+    "m20_chisquare" -> m20Chisquare,
+    "q17_exchange_reuse" -> q17ExchangeReuse)
 
   val oracleSql: Map[String, String] = Map(
     "f17_url_funcs" ->
@@ -112,6 +133,15 @@ object SurfaceR6d {
         |FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
         |WHERE levenshtein(a.n_name, b.n_name) <= 5
         |ORDER BY a_key, b_key""".stripMargin,
+    "q17_exchange_reuse" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, round(sum(l_quantity), 4) AS qty, count(*) AS n
+        |  FROM lineitem GROUP BY l_orderkey
+        |)
+        |SELECT 'big' AS side, l_orderkey, qty, n FROM base WHERE qty > 150
+        |UNION ALL
+        |SELECT 'small' AS side, l_orderkey, qty, n FROM base WHERE qty < 30
+        |ORDER BY side, l_orderkey""".stripMargin,
     "m20_chisquare" ->
       """WITH ct AS (
         |  SELECT l_returnflag AS f, l_linestatus AS l, count(*) AS o

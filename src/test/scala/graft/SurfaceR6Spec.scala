@@ -195,6 +195,16 @@ class SurfaceR6Spec extends SparkSpec {
     assert(r.getDouble(0) > 0.0)
   }
 
+  test("q17: the shared aggregate's exchange is computed once and reused") {
+    // AQE resolves exchange reuse at stage materialization, so inspect
+    // the FINAL adaptive plan (after execution), not the initial one.
+    val df = graft.queries.SurfaceR6d.q17ExchangeReuse(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"no exchange reuse in final plan:\n$p")
+  }
+
   test("a21: GROUP BY ALL matches the explicit grouping list") {
     val all = SurfaceR6.a21GroupByAll(spark, sfDir).collect().toSeq
     val explicit = Tables.lineitem(spark, sfDir)
