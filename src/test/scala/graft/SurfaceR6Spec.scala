@@ -205,6 +205,26 @@ class SurfaceR6Spec extends SparkSpec {
       s"no exchange reuse in final plan:\n$p")
   }
 
+  test("lt2: interpolation fills real gaps and stays inside the neighbor envelope") {
+    val rows = graft.queries.SurfaceR6e.lt2LinearInterp(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3)))
+    assert(rows.exists(_._4), "no filled cells: interpolation vacuous at this sf")
+    // every filled interior cell lies within [min, max] of its type's
+    // observed values (linear interpolation can't overshoot neighbors)
+    val byType = rows.groupBy(_._1)
+    byType.foreach { case (t, rs) =>
+      val obs = rs.filter(!_._4).flatMap(_._3)
+      if (obs.nonEmpty) {
+        val (lo, hi) = (obs.min, obs.max)
+        rs.filter(_._4).flatMap(_._3).foreach { v =>
+          assert(v >= lo - 1e-9 && v <= hi + 1e-9,
+            s"type $t interpolated $v outside [$lo, $hi]")
+        }
+      }
+    }
+  }
+
   test("a21: GROUP BY ALL matches the explicit grouping list") {
     val all = SurfaceR6.a21GroupByAll(spark, sfDir).collect().toSeq
     val explicit = Tables.lineitem(spark, sfDir)
