@@ -54,7 +54,21 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] rocksdb probe failed: ${e.getMessage}"); -1.0
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rocksdb_state_t6_sec":$stateSec,"sf":"$sfDir"}""")
+    // Probe 2 (also untimed vs BASELINE): the curation ladder a training
+    // pipeline actually runs — quality scoring, contamination, mixing,
+    // chunk dedup — timed as one pass at the bench SF so the cost of the
+    // round-6 surface is observed, not assumed.
+    val curationSec = try {
+      val t0 = System.nanoTime()
+      graft.queries.SurfaceR6.l12Repetition(spark, sfDir).count()
+      graft.queries.SurfaceR6.l13Contamination(spark, sfDir).count()
+      graft.queries.SurfaceR6.l14MixSample(spark, sfDir).count()
+      graft.queries.SurfaceR6c.lp12ChunkDedup(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] curation probe failed: ${e.getMessage}"); -1.0
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rocksdb_state_t6_sec":$stateSec,"curation_sec":$curationSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

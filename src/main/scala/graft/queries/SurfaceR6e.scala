@@ -58,6 +58,30 @@ object SurfaceR6e {
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
   }
 
+  // ---- X10: SQL scripting ----
+
+  /** X10: SQL scripting (BEGIN…END) — multi-statement procedural SQL
+    * with local variables, executed as one unit; the script returns its
+    * last statement's result. The data-derived threshold (mean discount)
+    * flows through a script variable instead of client-side string
+    * templating. Each statement is still a full Catalyst plan — the
+    * scripting layer adds control flow, not a bypass.
+    */
+  val x10SqlScripting: Q = (s, d) => {
+    lineitem(s, d).createOrReplaceTempView("graft_x10_lineitem")
+    s.conf.set("spark.sql.scripting.enabled", "true")
+    s.sql(Orc.round4Sql(
+      """BEGIN
+        |  DECLARE thr DOUBLE DEFAULT 0.0;
+        |  SET thr = (SELECT round(avg(l_discount), 4) FROM graft_x10_lineitem);
+        |  SELECT l_returnflag, count(*) AS n_rows,
+        |    round(sum(l_quantity), 4) AS sum_qty
+        |  FROM graft_x10_lineitem
+        |  WHERE l_discount > thr
+        |  GROUP BY l_returnflag ORDER BY l_returnflag;
+        |END""".stripMargin))
+  }
+
   // ---- LT2: minute-grid linear interpolation ----
 
   /** LT2: resample + linearly interpolate — average `value` per
@@ -103,6 +127,7 @@ object SurfaceR6e {
   val queries: Map[String, Q] = Map(
     "x8_parameterized_sql" -> x8ParameterizedSql,
     "x9_session_variables" -> x9SessionVariables,
+    "x10_sql_scripting" -> x10SqlScripting,
     "lt2_linear_interp" -> lt2LinearInterp)
 
   val oracleSql: Map[String, String] = Map(
@@ -117,6 +142,12 @@ object SurfaceR6e {
         |  round(sum(l_extendedprice), 4) AS sum_price
         |FROM lineitem
         |WHERE l_discount > 0.03
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "x10_sql_scripting" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem
+        |WHERE l_discount > (SELECT round(avg(l_discount), 4) FROM lineitem)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "lt2_linear_interp" ->
       """WITH obs AS (
