@@ -31,7 +31,8 @@ object SparkEntry {
       graft.queries.SurfaceR6b.queries ++
       graft.queries.SurfaceR6c.queries ++
       graft.queries.SurfaceR6d.queries ++
-      graft.queries.SurfaceR6e.queries
+      graft.queries.SurfaceR6e.queries ++
+      graft.queries.SurfaceR6f.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -53,7 +54,8 @@ object SparkEntry {
       graft.queries.SurfaceR6b.oracleSql ++
       graft.queries.SurfaceR6c.oracleSql ++
       graft.queries.SurfaceR6d.oracleSql ++
-      graft.queries.SurfaceR6e.oracleSql)
+      graft.queries.SurfaceR6e.oracleSql ++
+      graft.queries.SurfaceR6f.oracleSql)
       .map { case (k, v) => k -> Orc.round4Sql(v) }
 
   /** Headline bench subset — names and shapes match BASELINE.md. */

@@ -225,6 +225,35 @@ class SurfaceR6Spec extends SparkSpec {
     }
   }
 
+  test("m22: isotonic calibration is monotone non-decreasing in the feature") {
+    val pts = graft.queries.SurfaceR6f.m22Isotonic(spark, sfDir)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(pts.length > 1)
+    pts.sliding(2).foreach { case Array((x1, y1), (x2, y2)) =>
+      assert(x1 < x2 && y1 <= y2 + 1e-9,
+        s"calibration not monotone: ($x1,$y1) -> ($x2,$y2)")
+    }
+  }
+
+  test("s16: _metadata.row_index is dense and unique within each file") {
+    val dir = new java.io.File("target/tmp/s16_meta").getAbsolutePath
+    Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(dir)
+    val meta = spark.read.parquet(dir)
+      .select(col("_metadata.file_path").as("f"),
+        col("_metadata.row_index").as("i"))
+    val perFile = meta.groupBy("f")
+      .agg(count(lit(1)).as("n"), countDistinct("i").as("d"),
+        min("i").as("lo"), max("i").as("hi"))
+      .collect()
+    perFile.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) && r.getLong(3) == 0L &&
+        r.getLong(4) == r.getLong(1) - 1,
+        s"row_index not dense/unique in ${r.getString(0)}: $r")
+    }
+  }
+
   test("a21: GROUP BY ALL matches the explicit grouping list") {
     val all = SurfaceR6.a21GroupByAll(spark, sfDir).collect().toSeq
     val explicit = Tables.lineitem(spark, sfDir)
