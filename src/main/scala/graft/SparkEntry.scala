@@ -32,7 +32,11 @@ object SparkEntry {
       graft.queries.SurfaceR6c.queries ++
       graft.queries.SurfaceR6d.queries ++
       graft.queries.SurfaceR6e.queries ++
-      graft.queries.SurfaceR6f.queries
+      graft.queries.SurfaceR6f.queries ++
+      graft.queries.SurfaceR6g.queries ++
+      graft.queries.SurfaceR6h.queries ++
+      graft.queries.SurfaceR6i.queries ++
+      graft.queries.SurfaceR6j.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -55,7 +59,11 @@ object SparkEntry {
       graft.queries.SurfaceR6c.oracleSql ++
       graft.queries.SurfaceR6d.oracleSql ++
       graft.queries.SurfaceR6e.oracleSql ++
-      graft.queries.SurfaceR6f.oracleSql)
+      graft.queries.SurfaceR6f.oracleSql ++
+      graft.queries.SurfaceR6g.oracleSql ++
+      graft.queries.SurfaceR6h.oracleSql ++
+      graft.queries.SurfaceR6i.oracleSql ++
+      graft.queries.SurfaceR6j.oracleSql)
       .map { case (k, v) => k -> Orc.round4Sql(v) }
 
   /** Headline bench subset — names and shapes match BASELINE.md. */
