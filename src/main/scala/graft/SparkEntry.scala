@@ -36,7 +36,9 @@ object SparkEntry {
       graft.queries.SurfaceR6g.queries ++
       graft.queries.SurfaceR6h.queries ++
       graft.queries.SurfaceR6i.queries ++
-      graft.queries.SurfaceR6j.queries
+      graft.queries.SurfaceR6j.queries ++
+      graft.queries.SurfaceR6k.queries ++
+      graft.queries.SurfaceR6l.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -63,7 +65,9 @@ object SparkEntry {
       graft.queries.SurfaceR6g.oracleSql ++
       graft.queries.SurfaceR6h.oracleSql ++
       graft.queries.SurfaceR6i.oracleSql ++
-      graft.queries.SurfaceR6j.oracleSql)
+      graft.queries.SurfaceR6j.oracleSql ++
+      graft.queries.SurfaceR6k.oracleSql ++
+      graft.queries.SurfaceR6l.oracleSql)
       .map { case (k, v) => k -> Orc.round4Sql(v) }
 
   /** Headline bench subset — names and shapes match BASELINE.md. */

@@ -154,6 +154,25 @@ class SurfaceR6gSpec extends SparkSpec {
     assert(margin > 0.01, s"boundary margin $margin km too small")
   }
 
+  test("J12/LG2: candidate generation plans as equi-joins — no cartesian product, no BNLJ") {
+    Seq(
+      graft.queries.SurfaceR6i.j12GeoJoin(spark, sfDir),
+      graft.queries.SurfaceR6h.lg2Triangles(spark, sfDir)
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), "unexpected cartesian product")
+      // the only broadcast-nested-loop allowed anywhere near these ops is
+      // the kNN builder's bounded O(n²) stand-in, which lg2 keeps behind
+      // the edge cache; the triangle/radius joins themselves must be
+      // hash- or merge-based equi-joins
+      assert(plan.contains("Join"), "expected join operators in plan")
+    }
+    val geoPlan = graft.queries.SurfaceR6i.j12GeoJoin(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!geoPlan.contains("BroadcastNestedLoop"),
+      "geo radius join must bucket, never nested-loop")
+  }
+
   test("M23: the full normalized vector has unit L2 norm") {
     val nz = Tables.embeddings(spark, sfDir)
       .where(expr("aggregate(embedding, 0D, (a, x) -> a + cast(x as double) * cast(x as double))") > 0)
