@@ -39,7 +39,8 @@ object SparkEntry {
       graft.queries.SurfaceR6j.queries ++
       graft.queries.SurfaceR6k.queries ++
       graft.queries.SurfaceR6l.queries ++
-      graft.queries.SurfaceR6m.queries
+      graft.queries.SurfaceR6m.queries ++
+      graft.queries.SurfaceR6n.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -69,7 +70,8 @@ object SparkEntry {
       graft.queries.SurfaceR6j.oracleSql ++
       graft.queries.SurfaceR6k.oracleSql ++
       graft.queries.SurfaceR6l.oracleSql ++
-      graft.queries.SurfaceR6m.oracleSql)
+      graft.queries.SurfaceR6m.oracleSql ++
+      graft.queries.SurfaceR6n.oracleSql)
       .map { case (k, v) => k -> Orc.round4Sql(v) }
 
   /** Headline bench subset — names and shapes match BASELINE.md. */
