@@ -40,7 +40,8 @@ object SparkEntry {
       graft.queries.SurfaceR6k.queries ++
       graft.queries.SurfaceR6l.queries ++
       graft.queries.SurfaceR6m.queries ++
-      graft.queries.SurfaceR6n.queries
+      graft.queries.SurfaceR6n.queries ++
+      graft.queries.SurfaceR6o.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -71,7 +72,8 @@ object SparkEntry {
       graft.queries.SurfaceR6k.oracleSql ++
       graft.queries.SurfaceR6l.oracleSql ++
       graft.queries.SurfaceR6m.oracleSql ++
-      graft.queries.SurfaceR6n.oracleSql)
+      graft.queries.SurfaceR6n.oracleSql ++
+      graft.queries.SurfaceR6o.oracleSql)
       .map { case (k, v) => k -> Orc.round4Sql(v) }
 
   /** Headline bench subset — names and shapes match BASELINE.md. */
