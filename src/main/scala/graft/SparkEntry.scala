@@ -41,7 +41,8 @@ object SparkEntry {
       graft.queries.SurfaceR6l.queries ++
       graft.queries.SurfaceR6m.queries ++
       graft.queries.SurfaceR6n.queries ++
-      graft.queries.SurfaceR6o.queries
+      graft.queries.SurfaceR6o.queries ++
+      graft.queries.SurfaceR6p.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -73,7 +74,8 @@ object SparkEntry {
       graft.queries.SurfaceR6l.oracleSql ++
       graft.queries.SurfaceR6m.oracleSql ++
       graft.queries.SurfaceR6n.oracleSql ++
-      graft.queries.SurfaceR6o.oracleSql)
+      graft.queries.SurfaceR6o.oracleSql ++
+      graft.queries.SurfaceR6p.oracleSql)
       .map { case (k, v) => k -> Orc.round4Sql(v) }
 
   /** Headline bench subset — names and shapes match BASELINE.md. */
