@@ -80,21 +80,23 @@ object SurfaceR6c {
     * choosing a cluster's canonical document. Each iteration is one
     * equi-join + one aggregation on doc_id (two shuffles), so 10
     * iterations = a fixed pipeline of 20 shuffles regardless of corpus
-    * size; at 100 TB you'd persist+checkpoint each iteration to cut the
-    * lineage (here `cache` suffices) and pre-partition ranks and edges
-    * on doc_id so the join side of every iteration is co-located.
+    * size. Each iteration is pinned with an EAGER `localCheckpoint`
+    * (the operators/Components.scala idiom; on a cluster: `checkpoint`
+    * to DFS) so plan depth stays constant instead of growing 10 joins
+    * deep; at 100 TB additionally pre-partition ranks and edges on
+    * doc_id so the join side of every iteration is co-located.
     * Engine-specific float summation order makes the low decimals
     * run-dependent, so this is a law-spec entry (SurfaceR6Spec:
     * rank mass conservation, positivity, isolated-node fixpoint), not
     * an oracle row.
     */
   val lgPagerank: Q = (s, d) => {
-    val nodes = documents(s, d).select(col("doc_id")).cache()
+    val nodes = documents(s, d).select(col("doc_id")).localCheckpoint(true)
     val cand = graft.operators.TextOps.minHashCandidates(
       documents(s, d), "doc_id", "text")
     val edges = cand.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(cand.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .cache()
+      .localCheckpoint(true)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val damp = 0.85
     var ranks = nodes.select(col("doc_id"), lit(1.0).as("rank"))
@@ -103,10 +105,11 @@ object SurfaceR6c {
         .join(deg, "src")
         .select(col("dst"), (col("rank") / col("deg")).as("c"))
         .groupBy("dst").agg(sum("c").as("inflow"))
+      // eager localCheckpoint: constant plan depth across iterations
       ranks = nodes.join(contrib, nodes("doc_id") === contrib("dst"), "left")
         .select(nodes("doc_id"),
           (lit(1 - damp) + lit(damp) * coalesce(col("inflow"), lit(0.0))).as("rank"))
-        .cache()
+        .localCheckpoint(true)
     }
     ranks.select(col("doc_id"), r4(col("rank")).as("rank")).orderBy("doc_id")
   }

@@ -91,6 +91,15 @@ object SurfaceR6e {
     * then linear scans; the spine explode is per-type and never crosses
     * partitions. This is the dense-grid precursor to feature windows and
     * anomaly detection on sparse telemetry.
+    *
+    * Scale note: the forward neighbor (nv/nm) is computed with a RUNNING
+    * frame over the REVERSE sort (unboundedPreceding..currentRow on
+    * ORDER BY m DESC), which Spark evaluates incrementally in O(n) per
+    * partition. The naive `rowsBetween(currentRow, unboundedFollowing)`
+    * frame plans as UnboundedFollowingWindowFunctionFrame, which re-scans
+    * the partition remainder per row — O(n²) in the spine length (time
+    * span ÷ grid step), i.e. a cost set by the TIME SPAN, not the data
+    * scale, and it single-threads a 43k-row partition for minutes.
     */
   val lt2LinearInterp: Q = (s, d) => {
     val obs = events(s, d)
@@ -103,15 +112,18 @@ object SurfaceR6e {
         explode(sequence(col("lo"), col("hi"), lit(60L))).as("m"))
     val w = Window.partitionBy("event_type").orderBy("m")
     val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // forward fill = backward fill over the reverse ordering (O(n) running
+    // frame; see Scale note above)
+    val fwdRun = Window.partitionBy("event_type").orderBy(col("m").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     spine.join(obs, Seq("event_type", "m"), "left")
       .select(col("event_type"), col("m"), col("v"),
         last(col("v"), ignoreNulls = true).over(back).as("pv"),
         last(when(col("v").isNotNull, col("m")), ignoreNulls = true)
           .over(back).as("pm"),
-        first(col("v"), ignoreNulls = true).over(fwd).as("nv"),
-        first(when(col("v").isNotNull, col("m")), ignoreNulls = true)
-          .over(fwd).as("nm"))
+        last(col("v"), ignoreNulls = true).over(fwdRun).as("nv"),
+        last(when(col("v").isNotNull, col("m")), ignoreNulls = true)
+          .over(fwdRun).as("nm"))
       .select(col("event_type"), col("m"),
         r4(when(col("v").isNotNull, col("v"))
           .when(col("pv").isNull, col("nv"))

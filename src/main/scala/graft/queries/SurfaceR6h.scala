@@ -78,7 +78,10 @@ object SurfaceR6h {
     * on hub vertices, which changes nothing downstream.
     */
   val lg2Triangles: Q = (s, d) => {
-    val e = knnEdges(s, d).cache()
+    // eager localCheckpoint, not cache: blocks are reclaimed once the
+    // DataFrame is unreachable (a registry drive runs 229 queries in one
+    // session — CacheManager entries would accumulate for its lifetime)
+    val e = knnEdges(s, d).localCheckpoint(true)
     val e1 = e.select(col("s").as("a"), col("t").as("b"))
     val e2 = e.select(col("s").as("b2"), col("t").as("c2"))
     val e3 = e.select(col("s").as("a3"), col("t").as("c3"))
@@ -103,7 +106,8 @@ object SurfaceR6h {
     */
   val lg3Bfs: Q = (s, d) => {
     val und = knnEdges(s, d)
-    val adj = und.union(und.select(col("t").as("s"), col("s").as("t"))).cache()
+    val adj = und.union(und.select(col("t").as("s"), col("s").as("t")))
+      .localCheckpoint(true)
     val anchors = embeddings(s, d)
       .where(col("vec_id") % 2 === 0 && col("vec_id") % 50 === 0)
       .select(col("vec_id").as("v"))
@@ -113,7 +117,7 @@ object SurfaceR6h {
       val next = frontier.join(adj, col("v") === col("s"))
         .select(col("t").as("v")).distinct()
         .join(visited.select("v"), Seq("v"), "left_anti")
-        .cache()
+        .localCheckpoint(true)
       visited = visited.union(next.withColumn("dist", lit(i)))
       frontier = next
     }

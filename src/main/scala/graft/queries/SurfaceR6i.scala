@@ -97,7 +97,10 @@ object SurfaceR6i {
         r4(col("arr").getItem(0)).as("c0"),
         r4(col("arr").getItem(1)).as("c1"),
         r4(col("arr").getItem(2)).as("c2"),
-        expr("size(filter(arr, x -> x > 0.1))").as("n_big"))
+        // round to the house 1e-4 grid BEFORE the threshold so a
+        // component within 1 ulp of 0.1 can't flip the count between
+        // engines
+        expr("size(filter(arr, x -> round(x, 4) > 0.1))").as("n_big"))
       .orderBy("vec_id")
   }
 
@@ -181,6 +184,6 @@ object SurfaceR6i {
         |  round(x[1] / nrm, 4) AS c0,
         |  round(x[2] / nrm, 4) AS c1,
         |  round(x[3] / nrm, 4) AS c2,
-        |  CAST(len(list_filter(x, e -> e / nrm > 0.1)) AS INT) AS n_big
+        |  CAST(len(list_filter(x, e -> round(e / nrm, 4) > 0.1)) AS INT) AS n_big
         |FROM n ORDER BY vec_id""".stripMargin)
 }

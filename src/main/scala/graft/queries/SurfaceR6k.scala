@@ -111,7 +111,14 @@ object SurfaceR6k {
     * hash-comparable against plain count ordering — while the operator
     * itself remains the sketch a 100 TB pipeline would run (mergeable
     * state, no full groupBy materialization). Output re-sorted
-    * deterministically; count ties broken by item. */
+    * deterministically; count ties broken by item.
+    *
+    * PRECONDITION (fixture-contingent exactness): the event_type domain
+    * must have ≤ k = 5 distinct values. With > k values and a count tie
+    * exactly at the k-boundary, the sketch's pick and the oracle's
+    * LIMIT-style cut could legitimately select different items. A spec
+    * (SurfaceR6kSpec "x11 precondition") asserts the fixture domain
+    * stays ≤ k so drift fails loudly instead of flaking the oracle. */
   val x11ApproxTopK: Q = (s, d) =>
     events(s, d)
       .agg(expr("approx_top_k(event_type, 5)").as("tk"))

@@ -29,7 +29,13 @@ object SurfaceR6l {
     * exactly what the oracle checks.
     */
   val t16AvailableNow: Q = (s, d) => {
-    val dir = new java.io.File("target/tmp/t16_landing").getAbsolutePath
+    // unique tmpdir landing path + per-run sink name: CWD-relative paths
+    // and a fixed memory-sink name collide across working directories or
+    // concurrent drives sharing a JVM
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_t16_landing_$runId").getAbsolutePath
+    val sink = s"graft_t16_$runId"
     val src = documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
     src.write.mode("overwrite").parquet(dir)
     val stream = s.readStream.schema(src.schema)
@@ -37,10 +43,10 @@ object SurfaceR6l {
       .parquet(dir)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
-    val q = stream.writeStream.format("memory").queryName("graft_t16")
+    val q = stream.writeStream.format("memory").queryName(sink)
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    s.table("graft_t16").orderBy("lang")
+    s.table(sink).orderBy("lang")
   }
 
   // ---- F26: map higher-order functions ----

@@ -32,7 +32,10 @@ object SurfaceR6m {
     * exercises that mode.
     */
   val s18CsvMalformed: Q = (s, d) => {
-    val dir = Paths.get("target/tmp/s18_csv")
+    // tmpdir-unique landing path: CWD-relative paths collide across
+    // working directories or concurrent drives
+    val dir = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_s18_csv_${java.util.UUID.randomUUID().toString.take(8)}")
     Files.createDirectories(dir)
     val good = nation(s, d)
       .orderBy("n_nationkey")

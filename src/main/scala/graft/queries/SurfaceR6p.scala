@@ -80,7 +80,7 @@ object SurfaceR6p {
         |  WHERE doc_id % 3 = 0 GROUP BY h)
         |SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
         |FROM batch b JOIN docs d ON b.doc_id = d.doc_id
-        |WHERE b.h NOT IN (SELECT h FROM corpus)
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h)
         |ORDER BY d.doc_id""".stripMargin,
     "x12_sql_udf" ->
       """SELECT l_returnflag,
