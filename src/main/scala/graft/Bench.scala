@@ -68,7 +68,18 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] curation probe failed: ${e.getMessage}"); -1.0
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rocksdb_state_t6_sec":$stateSec,"curation_sec":$curationSec,"sf":"$sfDir"}""")
+    // Probe 3 (untimed vs BASELINE): the round-6/7 scale incident query.
+    // lt2's forward-fill was O(n²) (~9 min at sf0.01) until the reversed
+    // running-frame fix; timing it at bench SF every round keeps the fix
+    // observable — a regression here shows up as minutes, not a wobble.
+    val interpSec = try {
+      val t0 = System.nanoTime()
+      graft.queries.SurfaceR6e.lt2LinearInterp(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] interp probe failed: ${e.getMessage}"); -1.0
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rocksdb_state_t6_sec":$stateSec,"curation_sec":$curationSec,"interp_sec":$interpSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,7 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
-import java.util.concurrent.{Executors, TimeUnit}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare.
   *
@@ -10,15 +9,27 @@ import java.util.concurrent.{Executors, TimeUnit}
   *  - oracle_sql.json is written FIRST, before any query runs, so a
   *    mid-drive failure can never erase the oracle map;
   *  - per-query wall seconds are logged to stderr;
-  *  - SPARK_GRAFT_QUERY_BUDGET_S (optional) bounds each query's wall
-  *    time — on breach a watchdog cancels the query's job group, the
-  *    query is logged as TIMEOUT, and the drive CONTINUES.
+  *  - every query runs on a disposable worker thread under
+  *    SPARK_GRAFT_QUERY_BUDGET_S wall seconds (default 120; <=0
+  *    disables) — on breach the job group is cancelled AND the worker
+  *    thread interrupted (cancelJobGroup alone cannot unblock
+  *    driver-side waits like streaming awaitTermination or iterative
+  *    driver loops), the query is logged as TIMEOUT, and the drive
+  *    CONTINUES with the remaining queries;
+  *  - a timed-out or failed query's output directory is deleted, so the
+  *    driver sees a MISSING result (scored as absent) instead of a
+  *    partially-written parquet dir it would score as WRONG.
   */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val budgetS = sys.env.get("SPARK_GRAFT_QUERY_BUDGET_S").map(_.toLong)
+    // default budget 120 s/query: the watchdog must engage on driver
+    // runs without relying on the driver to export the env var (round-7
+    // verdict #8); slowest r07 query was <10 s at sf0.01, so 120 s only
+    // fires on a genuine wedge.
+    val budgetS = sys.env.get("SPARK_GRAFT_QUERY_BUDGET_S")
+      .map(_.toLong).orElse(Some(120L)).filter(_ > 0)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -46,9 +57,6 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    val watchdog = Executors.newSingleThreadScheduledExecutor { r =>
-      val t = new Thread(r, "graft-verify-watchdog"); t.setDaemon(true); t
-    }
     val sc = spark.sparkContext
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
@@ -56,33 +64,26 @@ object Verify {
     }
     selected.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      @volatile var timedOut = false
-      sc.setJobGroup(s"verify-$name", name, interruptOnCancel = true)
-      val timer = budgetS.map { b =>
-        watchdog.schedule(new Runnable {
-          def run(): Unit = { timedOut = true; sc.cancelJobGroup(s"verify-$name") }
-        }, b, TimeUnit.SECONDS)
-      }
-      try {
+      def wall = (System.nanoTime() - t0) / 1e9
+      QueryGuard.run(sc, s"verify-$name", budgetS) {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        // non-vacuity guard: q9b is the flagship value-bearing cosine
-        // query — threshold drift silently emptying it bit once in r01
-        if (name == "q9b_cosine_selfjoin_t038" &&
-            spark.read.parquet(s"$outDir/$name").isEmpty)
-          System.err.println(s"[verify] $name VACUOUS: 0 rows — threshold drift?")
-        System.err.println(f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
-      } catch { case e: Throwable =>
-        if (timedOut)
-          System.err.println(s"[verify] $name TIMEOUT after ${budgetS.get}s — skipped")
-        else
-          System.err.println(f"[verify] $name failed after ${(System.nanoTime() - t0) / 1e9}%.1fs: ${e.getMessage}")
-      } finally {
-        timer.foreach(_.cancel(false))
-        sc.clearJobGroup()
+      } match {
+        case QueryGuard.Ok =>
+          // non-vacuity guard: q9b is the flagship value-bearing cosine
+          // query — threshold drift silently emptying it bit once in r01
+          if (name == "q9b_cosine_selfjoin_t038" &&
+              spark.read.parquet(s"$outDir/$name").isEmpty)
+            System.err.println(s"[verify] $name VACUOUS: 0 rows — threshold drift?")
+          System.err.println(f"[verify] $name ok $wall%.1fs")
+        case QueryGuard.Timeout =>
+          QueryGuard.deleteRec(new java.io.File(s"$outDir/$name"))
+          System.err.println(s"[verify] $name TIMEOUT after ${budgetS.get}s — output removed, skipped")
+        case QueryGuard.Failed(e) =>
+          QueryGuard.deleteRec(new java.io.File(s"$outDir/$name"))
+          System.err.println(f"[verify] $name failed after $wall%.1fs: ${e.getMessage}")
       }
     }
-    watchdog.shutdownNow()
     spark.stop()
   }
 }

@@ -45,8 +45,22 @@ object SurfaceR6l {
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
     val q = stream.writeStream.format("memory").queryName(sink)
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    s.table(sink).orderBy("lang")
+    // bounded wait: an unbounded awaitTermination() is a driver-side
+    // hang no job-group cancel can unblock — if the drain wedges, stop
+    // the query and fail THIS query, not the whole drive
+    if (!q.awaitTermination(180000L)) {
+      q.stop()
+      throw new IllegalStateException("t16 AvailableNow drain did not terminate in 180s")
+    }
+    // the drained aggregate is tiny (one row per lang), so localize it,
+    // then drop the memory-sink table and the landing dir — repeated
+    // drives must not accumulate orphan temp dirs / sink tables for the
+    // JVM lifetime
+    val out = s.table(sink).orderBy("lang").collect().toSeq
+    val schema = s.table(sink).schema
+    s.catalog.dropTempView(sink)
+    graft.QueryGuard.deleteRec(new java.io.File(dir))
+    s.createDataFrame(s.sparkContext.parallelize(out, 1), schema).orderBy("lang")
   }
 
   // ---- F26: map higher-order functions ----

@@ -37,6 +37,11 @@ object SurfaceR6m {
     val dir = Paths.get(sys.props("java.io.tmpdir"),
       s"graft_s18_csv_${java.util.UUID.randomUUID().toString.take(8)}")
     Files.createDirectories(dir)
+    // the read below is LAZY — the landing file must survive until the
+    // caller consumes the DataFrame, so cleanup is JVM-exit (file
+    // registered after dir: deleteOnExit runs in reverse order)
+    dir.toFile.deleteOnExit()
+    dir.resolve("landing.csv").toFile.deleteOnExit()
     val good = nation(s, d)
       .orderBy("n_nationkey")
       .collect()

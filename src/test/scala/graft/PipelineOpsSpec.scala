@@ -38,6 +38,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.values.toSet == Set(0L), s"chain must collapse to 0: $got")
   }
 
+  test("cc: 100-node path converges under default maxIter (pointer doubling)") {
+    // Plain hash-min walks the min label ONE hop per round: a 100-node
+    // path needs ~100 rounds, far past maxIter=25, and throws. Pointer
+    // doubling doubles the label's reach each round (~log2(100) ≈ 7
+    // rounds), so this spec passes on HEAD and fails with the shortcut
+    // join removed — the regression guard for the O(log diameter) claim.
+    val n = 100L
+    val verts = (0L until n).toDF("id")
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Components.connectedComponents(verts, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n && got.values.toSet == Set(0L),
+      s"path must collapse to component 0: ${got.toSeq.sortBy(_._1).take(10)}...")
+  }
+
   test("cc: label is always the component minimum (planted clusters)") {
     // two clusters sharing no edges, ids deliberately interleaved
     val verts = Seq(10L, 11L, 12L, 20L, 21L, 22L).toDF("id")

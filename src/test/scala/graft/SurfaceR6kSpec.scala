@@ -39,6 +39,18 @@ class SurfaceR6kSpec extends SparkSpec {
     assert(out.count() == expected)
   }
 
+  test("x11 precondition: event_type domain stays within k=5") {
+    // x11's hash-comparability argument (SurfaceR6k.scala) is
+    // fixture-contingent: with > k distinct values and a count tie at
+    // the k-boundary the sketch's pick and the oracle's LIMIT cut could
+    // legitimately diverge. Fixture drift must fail HERE, loudly, not
+    // flake the oracle.
+    val distinct = Tables.events(spark, sfDir)
+      .select("event_type").distinct().count()
+    assert(distinct <= 5, s"event_type domain grew to $distinct (> k=5): " +
+      "x11's exactness precondition no longer holds")
+  }
+
   test("X11: approx_top_k is exact below maxItemsTracked") {
     val sk = SurfaceR6k.x11ApproxTopK(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
