@@ -79,7 +79,18 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] interp probe failed: ${e.getMessage}"); -1.0
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rocksdb_state_t6_sec":$stateSec,"curation_sec":$curationSec,"interp_sec":$interpSec,"sf":"$sfDir"}""")
+    // Probe 4 (untimed vs BASELINE): the round-8 PQ-ADC + re-rank ANN
+    // path — m seeded KMeans fits + encode + ADC join + exact re-rank.
+    // Model-fit cost dominates at bench SF; tracking it keeps the
+    // "compressed ANN is affordable" claim measured, not assumed.
+    val pqSec = try {
+      val t0 = System.nanoTime()
+      graft.queries.SurfaceR8.lpqPqAnn(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] pq probe failed: ${e.getMessage}"); -1.0
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rocksdb_state_t6_sec":$stateSec,"curation_sec":$curationSec,"interp_sec":$interpSec,"pq_sec":$pqSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

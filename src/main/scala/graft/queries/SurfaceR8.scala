@@ -1,0 +1,331 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Orc, Tables}
+import graft.operators.{GlobalRowId, ProductQuantizer}
+
+/** Round-8 additions: the two scale paths the registry still lacked —
+  * distributed global row numbering (no single-partition window) and
+  * product-quantization ANN (the memory-compressed embedding search).
+  *
+  * Reference: /root/reference is empty (SURVEY.md §0.1); contract area
+  * SURVEY.md §2.10 (pipeline utilities, similarity search).
+  */
+object SurfaceR8 {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** LP19: global 0-based example ids over the corpus by doc_id —
+    * result identical to `row_number() OVER (ORDER BY doc_id) − 1`
+    * (the oracle) but computed with range partitions + per-partition
+    * offsets; the only single-partition funnel is the numPartitions-row
+    * offset cumsum (asserted by SurfaceR8Spec). */
+  val lp19GlobalRowid: Q = (s, d) =>
+    GlobalRowId.withRowId(
+      documents(s, d).select("doc_id"), "doc_id", numPartitions = 8)
+      .select(col("doc_id"), col("rowid"))
+      .orderBy("doc_id")
+
+  /** LPQ: PQ-ADC shortlist + exact re-rank, top-10 for a deterministic
+    * 8-query batch — the production ANN shape over compressed codes.
+    * No SQL oracle (k-means model family); the seeded fits make the
+    * result stable, and SurfaceR8Spec bounds recall@10 against the
+    * exact brute-force baseline for both the raw ADC ranking and this
+    * re-ranked route. Exact cosine scores round through r4 like every
+    * other emitted double. */
+  val lpqPqAnn: Q = (s, d) => {
+    val corpus = embeddings(s, d)
+    val queries = corpus.where(col("vec_id") % 67 === 0)
+    ProductQuantizer.pqTopKRerank(queries, corpus, k = 10)
+      .select(col("q_id"), col("c_id"), col("rn"), Orc.r4(col("cos")).as("cos"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** L13b: contamination with a BLOOM-FILTER prefilter — the shape l13's
+    * doc-comment promises for when the eval-gram set outgrows the
+    * broadcast threshold. Spark ships distributed bloom build/probe
+    * expressions for its internal runtime filtering but leaves them
+    * unregistered; GraftExtensions surfaces them as `bloom_agg` /
+    * `bloom_might_contain`. The filter is built by a partial-merged
+    * aggregate over the bench grams (scalar subquery → embedded literal,
+    * effectively broadcast at a fraction of the hash-set size), probed as
+    * a pushed-down scan predicate on the corpus grams, and the EXACT join
+    * behind it removes the false positives — so the result is
+    * bit-identical to l13 (same DuckDB oracle) while the join's shuffle
+    * only carries rows the bloom let through. SurfaceR8Spec asserts the
+    * probe actually sits in the physical plan. */
+  val l13bContaminationBloom: Q = (s, d) => {
+    documents(s, d).createOrReplaceTempView("graft_r8_docs")
+    s.sql(
+      """WITH words AS (
+        |  SELECT doc_id, split(text, ' ') AS w FROM graft_r8_docs
+        |  WHERE length(text) > 0 AND size(split(text, ' ')) >= 3
+        |),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, explode(transform(sequence(0, size(w) - 3),
+        |      i -> array_join(slice(w, i + 1, 3), ' '))) AS g
+        |    FROM words)
+        |),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+        |SELECT t.doc_id, count(DISTINCT t.g) AS n_shared_grams
+        |FROM grams t JOIN bench b ON t.g = b.g
+        |WHERE t.doc_id % 97 <> 0
+        |  AND bloom_might_contain(
+        |        (SELECT bloom_agg(xxhash64(g), 100000L) FROM bench),
+        |        xxhash64(t.g))
+        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin)
+  }
+
+  /** DQ: Deequ-style data-quality constraint suite as ONE aggregation
+    * pass — completeness, key uniqueness, bounds, and accepted-values
+    * checks computed together (shared scan, partial-aggregated), then
+    * unpivoted to one row per constraint. At 100 TB the whole suite costs
+    * a single corpus scan regardless of how many constraints it carries —
+    * the property that makes per-ingest validation affordable. */
+  val dqConstraints: Q = (s, d) =>
+    lineitem(s, d)
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("l_quantity")).as("n_qty"),
+        countDistinct(col("l_orderkey") * 10 + col("l_linenumber")).as("n_key"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        sum(when(col("l_returnflag").isin("A", "N", "R"), 0L).otherwise(1L)).as("bad_flag"),
+        sum(when(col("l_extendedprice") < 0, 1L).otherwise(0L)).as("neg_price"))
+      .selectExpr(
+        """stack(5,
+          |  'completeness_l_quantity', CAST(n_qty AS DOUBLE) / n, n_qty = n,
+          |  'uniqueness_order_line',   CAST(n_key AS DOUBLE) / n, n_key = n,
+          |  'min_l_quantity_ge_1',     CAST(min_qty AS DOUBLE),   min_qty >= 1,
+          |  'accepted_returnflags',    CAST(bad_flag AS DOUBLE),  bad_flag = 0,
+          |  'nonneg_extendedprice',    CAST(neg_price AS DOUBLE), neg_price = 0
+          |) AS (check_name, metric, passed)""".stripMargin)
+      .select(col("check_name"), Orc.r4(col("metric")).as("metric"), col("passed"))
+      .orderBy("check_name")
+
+  /** LF2: fuzzy duplicate-key detection by BLOCKED edit distance — the
+    * entity-resolution shape, in the order that scales: (1) canonicalize
+    * to DISTINCT keys first (distinct names ≪ rows — here 64 vs 2000;
+    * at 100 TB, millions vs trillions), (2) fuzzy-match the distinct
+    * keys under a blocking equi-join (last name token) so the O(len²)
+    * Levenshtein verifier never runs all-pairs, (3) map member counts
+    * back per key. Exact-equal names are excluded (dist ≥ 1 — exact
+    * dedup is l1's job); the output is the candidate merge table a
+    * curation pass reviews. SurfaceR8Spec asserts no cartesian/BNLJ. */
+  val lf2FuzzyPairs: Q = (s, d) => {
+    val counts = part(s, d).groupBy("p_name").agg(count(lit(1)).as("n"))
+    val names = counts.select(col("p_name"), col("n"),
+      element_at(split(col("p_name"), " "), -1).as("blk"))
+    names.as("a").join(names.as("b"),
+        col("a.blk") === col("b.blk") &&
+        col("a.p_name") < col("b.p_name"))
+      .where(levenshtein(col("a.p_name"), col("b.p_name")).between(1, 3))
+      .select(
+        col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+        levenshtein(col("a.p_name"), col("b.p_name")).cast("long").as("dist"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .orderBy("name_a", "name_b")
+  }
+
+  /** M27: RobustScaler in column form — (x − median) / IQR per group,
+    * the outlier-insensitive cousin of m2/m10's scalers. Exact
+    * percentiles on both engines (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`), group stats broadcast back to the rows, output on
+    * a deterministic row subset. MLlib's RobustScaler (approxQuantile)
+    * is the at-scale variant; the column form is the oracle-checkable
+    * contract for its math. */
+  val m27RobustScaler: Q = (s, d) => {
+    val li = lineitem(s, d)
+    val stats = li.groupBy("l_returnflag").agg(
+      expr("percentile(l_quantity, 0.5D)").as("med"),
+      (expr("percentile(l_quantity, 0.75D)") -
+        expr("percentile(l_quantity, 0.25D)")).as("iqr"))
+    li.where(col("l_orderkey") % 199 === 0)
+      .join(broadcast(stats), "l_returnflag")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"),
+        Orc.r4((col("l_quantity") - col("med")) / col("iqr")).as("scaled"))
+      // (l_orderkey, l_linenumber) is NOT unique in the fixture (45,832
+      // distinct of 60,000 at sf0.01) — order by every output column so
+      // the order is total up to fully-identical rows (§5.3)
+      .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "scaled")
+  }
+
+  /** LPQ2: IVF-PQ ANN — the full IVFADC composition (coarse inverted
+    * file × product quantization × exact re-rank): candidates shrink by
+    * ~nprobe/nlist AND scoring runs over 16×-compressed codes; only the
+    * final shortlist touches raw vectors. No SQL oracle (two model
+    * families); seeded fits make it stable, and SurfaceR8Spec bounds
+    * recall@10 and asserts the candidate-set reduction is real. */
+  val lpq2IvfPqAnn: Q = (s, d) => {
+    val corpus = embeddings(s, d)
+    val queries = corpus.where(col("vec_id") % 67 === 0)
+    ProductQuantizer.ivfPqTopK(queries, corpus, k = 10, nlist = 16, nprobe = 8)
+      .select(col("q_id"), col("c_id"), col("rn"), Orc.r4(col("cos")).as("cos"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** T17: incremental aggregation via `foreachBatch` — the micro-batch
+    * MERGE pattern: each batch folds its partial aggregate into a
+    * persisted state table. Every merged quantity is associative AND
+    * exact (long count, long epoch-micros min/max, value pre-quantized
+    * to integer 1e-4 units before the long sum), so the final state
+    * provably equals the one-shot batch aggregate REGARDLESS of how the
+    * input was split into batches — the law SurfaceR8Spec checks by
+    * forcing one-file-per-trigger. The oracle is that batch aggregate.
+    * At 100 TB the state rewrite becomes a partitioned upsert (lp3) —
+    * the merge algebra is the part that must be exact, and is. */
+  val t17ForeachBatchMerge: Q = (s, d) => {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_t17_").toString
+    new java.io.File(dir).deleteOnExit()
+    // land the (nanos-shimmed) events as several files so AvailableNow
+    // actually exercises multi-batch merging on the oracle path
+    Tables.events(s, d).repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/landing")
+    val stream = s.readStream
+      .schema(Tables.events(s, d).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/landing")
+    var statePath: Option[String] = None
+    val q = stream.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val agg = b.groupBy("user_id").agg(
+          count(lit(1)).as("n_events"),
+          min(unix_micros(col("ts"))).as("first_us"),
+          max(unix_micros(col("ts"))).as("last_us"),
+          sum(floor(col("value") * 1e4 + 0.5).cast("long")).as("v4"))
+        val merged = statePath match {
+          case None => agg
+          case Some(p) => s.read.parquet(p).unionByName(agg)
+            .groupBy("user_id").agg(
+              sum("n_events").as("n_events"), min("first_us").as("first_us"),
+              max("last_us").as("last_us"), sum("v4").as("v4"))
+        }
+        val next = s"$dir/state_$id"
+        merged.write.mode("overwrite").parquet(next)
+        statePath = Some(next)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(180000)) { q.stop(); sys.error("t17 drain expired") }
+    s.read.parquet(statePath.getOrElse(sys.error("t17: no batch ran")))
+      .select(col("user_id"), col("n_events"), col("first_us"), col("last_us"),
+        Orc.r4(col("v4") / 10000.0).as("sum_value4"))
+      .orderBy("user_id")
+  }
+
+  /** X13: join-key skew diagnostic — the per-key row histogram that
+    * decides whether a shuffle join needs salting (x4) or AQE skew
+    * splitting before it runs. One groupBy + one scalar-sized re-agg;
+    * at 100 TB this runs on a sample or on `orders` stats, but the
+    * report shape is the same. */
+  val x13SkewStats: Q = (s, d) =>
+    orders(s, d).groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        avg("n").as("avg_n"),
+        expr("percentile(n, 0.5D)").as("p50_n"),
+        expr("percentile(n, 0.99D)").as("p99_n"),
+        max("n").as("max_n"))
+      .select(col("n_keys"), Orc.r4(col("avg_n")).as("avg_rows"),
+        Orc.r4(col("p50_n")).as("p50"), Orc.r4(col("p99_n")).as("p99"),
+        col("max_n").as("max_rows"),
+        Orc.r4(col("max_n") / col("avg_n")).as("skew_ratio"))
+
+  val queries: Map[String, Q] = Map(
+    "lp19_global_rowid" -> lp19GlobalRowid,
+    "lpq_pq_ann" -> lpqPqAnn,
+    "l13b_contamination_bloom" -> l13bContaminationBloom,
+    "dq_constraints" -> dqConstraints,
+    "lf2_fuzzy_pairs" -> lf2FuzzyPairs,
+    "m27_robust_scaler" -> m27RobustScaler,
+    "lpq2_ivfpq_ann" -> lpq2IvfPqAnn,
+    "t17_foreach_batch_merge" -> t17ForeachBatchMerge,
+    "x13_skew_stats" -> x13SkewStats)
+
+  val oracleSql: Map[String, String] = Map(
+    "lp19_global_rowid" ->
+      """SELECT doc_id,
+        |  row_number() OVER (ORDER BY doc_id) - 1 AS rowid
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // identical semantics to l13: the bloom is a prefilter, the exact
+    // join behind it makes the result equal to the no-bloom query
+    "l13b_contamination_bloom" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE length(text) > 0 AND len(string_split(text, ' ')) >= 3
+        |),
+        |g AS (
+        |  SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS g
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM words)
+        |),
+        |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0)
+        |SELECT t.doc_id, CAST(count(DISTINCT t.g) AS BIGINT) AS n_shared_grams
+        |FROM g t JOIN bench b ON t.g = b.g
+        |WHERE t.doc_id % 97 <> 0
+        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+    "dq_constraints" ->
+      """WITH m AS (
+        |  SELECT count(*) AS n, count(l_quantity) AS n_qty,
+        |    count(DISTINCT l_orderkey * 10 + l_linenumber) AS n_key,
+        |    min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |    sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END) AS bad_flag,
+        |    sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS neg_price
+        |  FROM lineitem)
+        |SELECT * FROM (
+        |  SELECT 'completeness_l_quantity' AS check_name,
+        |    round(CAST(n_qty AS DOUBLE) / n, 4) AS metric, n_qty = n AS passed FROM m
+        |  UNION ALL SELECT 'uniqueness_order_line',
+        |    round(CAST(n_key AS DOUBLE) / n, 4), n_key = n FROM m
+        |  UNION ALL SELECT 'min_l_quantity_ge_1',
+        |    round(CAST(min_qty AS DOUBLE), 4), min_qty >= 1 FROM m
+        |  UNION ALL SELECT 'accepted_returnflags',
+        |    round(CAST(bad_flag AS DOUBLE), 4), bad_flag = 0 FROM m
+        |  UNION ALL SELECT 'nonneg_extendedprice',
+        |    round(CAST(neg_price AS DOUBLE), 4), neg_price = 0 FROM m
+        |) ORDER BY check_name""".stripMargin,
+    "lf2_fuzzy_pairs" ->
+      """WITH p AS (
+        |  SELECT p_name, count(*) AS n,
+        |    string_split(p_name, ' ')[-1] AS blk
+        |  FROM part GROUP BY p_name)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+        |  a.n AS n_a, b.n AS n_b
+        |FROM p a JOIN p b ON a.blk = b.blk AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
+        |ORDER BY name_a, name_b""".stripMargin,
+    // the one-shot batch aggregate the incremental merge must equal;
+    // value pre-quantized to integer 1e-4 units exactly as Spark does,
+    // so the sum is associative and batch-boundary-independent
+    "t17_foreach_batch_merge" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us,
+        |  round(sum(CAST(floor(value * 1e4 + 0.5) AS BIGINT)) / 10000.0, 4) AS sum_value4
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "x13_skew_stats" ->
+      """WITH per AS (
+        |  SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey)
+        |SELECT count(*) AS n_keys, round(avg(n), 4) AS avg_rows,
+        |  round(quantile_cont(n, 0.5), 4) AS p50,
+        |  round(quantile_cont(n, 0.99), 4) AS p99,
+        |  max(n) AS max_rows, round(max(n) / avg(n), 4) AS skew_ratio
+        |FROM per""".stripMargin,
+    "m27_robust_scaler" ->
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_quantity, 0.5) AS med,
+        |    quantile_cont(l_quantity, 0.75) - quantile_cont(l_quantity, 0.25) AS iqr
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_orderkey, l_linenumber, li.l_returnflag, l_quantity,
+        |  round((l_quantity - med) / iqr, 4) AS scaled
+        |FROM lineitem li JOIN s ON li.l_returnflag = s.l_returnflag
+        |WHERE l_orderkey % 199 = 0
+        |ORDER BY l_orderkey, l_linenumber, li.l_returnflag, l_quantity, scaled""".stripMargin)
+}

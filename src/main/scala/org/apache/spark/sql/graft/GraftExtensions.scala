@@ -2,7 +2,8 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** SparkSessionExtensions injector: exposes the vector kernels to SQL.
@@ -78,7 +79,32 @@ object GraftExtensions {
       info("explode_ngrams",
         "explode_ngrams(text, n) - one row per word n-gram (custom Generator)"),
       (children: Seq[Expression]) =>
-        ExplodeNgrams(children(0), children(1))))
+        ExplodeNgrams(children(0), children(1))),
+    // Spark ships distributed bloom build/probe expressions for its own
+    // runtime row-level filtering but does not register them for users
+    // (4.1: UNRESOLVED_ROUTINE). Surfacing them here gives queries the
+    // semi-join-pushdown idiom directly: build the filter with a partial-
+    // merged aggregate over the small side, probe it as a scan predicate
+    // on the big side via a scalar subquery — the 100 TB shape for
+    // "membership against a set that outgrows the broadcast threshold".
+    (FunctionIdentifier("bloom_agg"),
+      info("bloom_agg",
+        "bloom_agg(xxhash64(col)[, est_items[, num_bits]]) - distributed bloom-filter build (binary)"),
+      (children: Seq[Expression]) =>
+        children match {
+          case Seq(c) => new aggregate.BloomFilterAggregate(c)
+          case Seq(c, n) => new aggregate.BloomFilterAggregate(c, n)
+          case Seq(c, n, b) => new aggregate.BloomFilterAggregate(c, n, b)
+          case _ => throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "USER_RAISED_EXCEPTION",
+            messageParameters = Map("errorMessage" ->
+              "bloom_agg expects 1 to 3 arguments"))
+        }),
+    (FunctionIdentifier("bloom_might_contain"),
+      info("bloom_might_contain",
+        "bloom_might_contain(bloom, xxhash64(col)) - bloom-filter probe; false => definitely absent"),
+      (children: Seq[Expression]) =>
+        BloomFilterMightContain(children(0), children(1))))
 
   /** Register the kernel functions on an already-running session. */
   def register(spark: SparkSession): Unit =
