@@ -193,22 +193,38 @@ object ProductQuantizer {
     train(corpus, m, ksub, dim, embCol, idCol, seed, fitSampleFraction)._1
   }
 
-  /** IVF-PQ — the full IVFADC composition (coarse inverted file +
-    * product-quantized scoring), the architecture behind FAISS-style
-    * billion-vector indexes: a KMeans coarse quantizer assigns every
-    * corpus vector to one of `nlist` cells; each query probes its
-    * `nprobe` nearest cells; ADC scoring then runs ONLY over codes of
-    * vectors in probed cells, so the candidate relation shrinks by
-    * ~nprobe/nlist on top of PQ's memory compression; the ADC shortlist
-    * is exact-re-ranked at the end. One honest divergence from the
-    * paper: codes quantize the RAW vectors, not cell residuals —
-    * residual encoding buys recall at identical plan shape and is noted
-    * as the upgrade path. Probe selection mirrors ivfTopKAgg: a narrow
-    * projection against the literal centroid array (nlist rows live
-    * driver-side after the fit) — no centroid join, no extra shuffle. */
-  /** The inverted-file stage of [[ivfPqTopK]] alone: (q_id, c_id)
+  /** Coarse-quantizer fit for the inverted file: nlist (cell, centroid,
+    * ||centroid||²) triples — index metadata that lives driver-side. */
+  private def coarseFit(
+      base: DataFrame, // (c_id, emb)
+      nlist: Int,
+      seed: Long,
+      fitSampleFraction: Double): Seq[(Int, Seq[Float], Double)] = {
+    val fitInput = if (fitSampleFraction < 1.0)
+      base.sample(withReplacement = false, fitSampleFraction, seed) else base
+    val coarse = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nlist).setSeed(seed + 1000).setFeaturesCol("features")
+      .fit(fitInput.select(
+        org.apache.spark.ml.functions.array_to_vector(col("emb")).as("features")))
+    coarse.clusterCenters.zipWithIndex.map { case (c, i) =>
+      val arr = c.toArray.map(_.toFloat)
+      (i, arr.toSeq, arr.map(x => x.toDouble * x).sum)
+    }.toSeq
+  }
+
+  /** Nearest-cell ranking as column algebra over the literal centroids:
+    * argsort by ||c||² − 2·v·c (the ||v||² term is rank-invariant). */
+  private def cellRanked(cents: Seq[(Int, Seq[Float], Double)])(
+      v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array_sort(transform(typedlit(cents), c =>
+      struct((c.getField("_3") - dotProduct(v, c.getField("_2")) * 2).as("d2"),
+        c.getField("_1").as("cell"))))
+
+  /** The inverted-file stage of [[ivfPqTopK]] alone: (q_id, c_id, cell)
     * candidate pairs from probing `nprobe` of `nlist` coarse cells —
-    * exposed so the pruning ratio is testable/observable on its own. */
+    * exposed so the pruning ratio is testable/observable on its own.
+    * `cell` is the CANDIDATE's cell (each corpus vector has exactly
+    * one, so (q_id, c_id) pairs are unique). */
   private[graft] def ivfCandidates(
       queries: DataFrame,
       corpus: DataFrame,
@@ -219,24 +235,7 @@ object ProductQuantizer {
       seed: Long = 42L,
       fitSampleFraction: Double = 1.0): DataFrame = {
     val base = corpus.select(col(idCol).as("c_id"), col(embCol).as("emb"))
-    val fitInput = if (fitSampleFraction < 1.0)
-      base.sample(withReplacement = false, fitSampleFraction, seed) else base
-    val coarse = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nlist).setSeed(seed + 1000).setFeaturesCol("features")
-      .fit(fitInput.select(
-        org.apache.spark.ml.functions.array_to_vector(col("emb")).as("features")))
-    val cents = coarse.clusterCenters.zipWithIndex.map { case (c, i) =>
-      val arr = c.toArray.map(_.toFloat)
-      (i, arr.toSeq, arr.map(x => x.toDouble * x).sum)
-    }.toSeq
-    val centCol = typedlit(cents)
-    // nearest-cell ranking as column algebra over the literal centroids:
-    // argsort by ||c||² − 2·v·c (the ||v||² term is rank-invariant);
-    // corpus → its single nearest cell, query → its nprobe nearest
-    val ranked = (v: org.apache.spark.sql.Column) =>
-      array_sort(transform(centCol, c =>
-        struct((c.getField("_3") - dotProduct(v, c.getField("_2")) * 2).as("d2"),
-          c.getField("_1").as("cell"))))
+    val ranked = cellRanked(coarseFit(base, nlist, seed, fitSampleFraction)) _
     val assigned = base.select(col("c_id"),
       ranked(col("emb")).getItem(0).getField("cell").as("cell"))
     val probes = queries
@@ -245,9 +244,24 @@ object ProductQuantizer {
         explode(slice(transform(ranked(col("emb")), s => s.getField("cell")),
           1, nprobe)).as("cell"))
     probes.join(assigned, "cell").where(col("q_id") =!= col("c_id"))
-      .select("q_id", "c_id")
+      .select("q_id", "c_id", "cell")
   }
 
+  /** IVF-PQ — the full IVFADC composition (coarse inverted file +
+    * product-quantized RESIDUAL scoring + exact re-rank), the
+    * architecture behind FAISS-style billion-vector indexes (Jégou et
+    * al., TPAMI 2011, §IV): a KMeans coarse quantizer assigns every
+    * corpus vector to one of `nlist` cells; PQ codebooks quantize the
+    * RESIDUAL v − centroid(cell(v)) — residuals are small, so the same
+    * ksub cells cover them far more finely than the raw space; each
+    * query probes its `nprobe` nearest cells and scores candidates by
+    * ADC against a per-(query, probed-cell) LUT of residual distances
+    * (nprobe·m·ksub rows per query — still broadcast-sized); the ADC
+    * shortlist is exact-re-ranked. Candidates shrink ~nprobe/nlist on
+    * top of the 16× code compression, and only the shortlist touches
+    * raw vectors. Probe selection and cell assignment are narrow
+    * projections against the literal centroid array — no centroid
+    * join, no extra shuffle. */
   def ivfPqTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -264,28 +278,49 @@ object ProductQuantizer {
     require(shortlist >= k, s"shortlist $shortlist < k $k")
     val dim = corpus.select(size(col(embCol))).head().getInt(0)
     val dsub = dim / m
-    val cand = ivfCandidates(queries, corpus, nlist, nprobe, idCol, embCol,
-      seed, fitSampleFraction)
 
-    // PQ codes + per-query LUT (same machinery as pqTopK)
-    val (codes, cbCol) = train(corpus, m, ksub, dim, embCol, idCol, seed, fitSampleFraction)
-    val qSubArr = array((0 until m).map(j => slice(col("emb"), j * dsub + 1, dsub)): _*)
-    val lut = queries
+    val base = corpus.select(col(idCol).as("c_id"), col(embCol).as("emb"))
+    val cents = coarseFit(base, nlist, seed, fitSampleFraction)
+    val ranked = cellRanked(cents) _
+    val cellMap = typedlit(cents.map(t => t._1 -> t._2).toMap)
+
+    // corpus side: cell + residual; PQ is trained and encoded on the
+    // residual space (same train() machinery, residual as the "vector")
+    val assigned = base
+      .withColumn("cell", ranked(col("emb")).getItem(0).getField("cell"))
+      .withColumn("resid",
+        zip_with(col("emb"), element_at(cellMap, col("cell")), (a, b) => a - b))
+    val (codes, cbCol) = train(
+      assigned.select(col("c_id"), col("resid")), m, ksub, dim, "resid", "c_id",
+      seed, fitSampleFraction)
+    val cells = assigned.select("c_id", "cell")
+
+    // query side: nprobe probed cells, one residual PER probed cell,
+    // LUT keyed by (q_id, cell, sub, code) — nprobe·m·ksub rows/query
+    val probes = queries
       .select(col(idCol).as("q_id"), col(embCol).as("emb"))
-      .select(col("q_id"), posexplode(qSubArr).as(Seq("sub", "qsub")))
-      .select(col("q_id"), col("sub"),
+      .select(col("q_id"), col("emb"),
+        explode(slice(transform(ranked(col("emb")), s => s.getField("cell")),
+          1, nprobe)).as("cell"))
+      .withColumn("qres",
+        zip_with(col("emb"), element_at(cellMap, col("cell")), (a, b) => a - b))
+    val qSubArr = array((0 until m).map(j => slice(col("qres"), j * dsub + 1, dsub)): _*)
+    val lut = probes
+      .select(col("q_id"), col("cell"), posexplode(qSubArr).as(Seq("sub", "qsub")))
+      .select(col("q_id"), col("cell"), col("sub"),
         explode(transform(element_at(cbCol, col("sub")), c =>
           struct(c.getField("_1").as("code"),
             (c.getField("_3") - dotProduct(col("qsub"), c.getField("_2")) * 2).as("d"))))
           .as("e"))
-      .select(col("q_id"), col("sub"), col("e.code").as("code"), col("e.d").as("d"))
+      .select(col("q_id"), col("cell"), col("sub"),
+        col("e.code").as("code"), col("e.d").as("d"))
 
-    // inverted-file restriction: only codes of vectors in probed cells
-    // reach the ADC join, then the m-term sum and the bounded heap as
-    // in pqTopK
-    val adc = cand
-      .join(codes, "c_id")
-      .join(broadcast(lut), Seq("q_id", "sub", "code"))
+    // ADC: codes of probed-cell candidates ⋈ the residual LUT on
+    // (q_id, cell, sub, code) — the cell key picks the right residual
+    // table; then the m-term sum and the bounded heap as in pqTopK
+    val adc = codes.join(cells, "c_id")
+      .join(broadcast(lut), Seq("cell", "sub", "code"))
+      .where(col("q_id") =!= col("c_id"))
       .groupBy("q_id", "c_id")
       .agg(sum("d").as("adist"))
       .groupBy("q_id")
@@ -343,6 +378,38 @@ object ProductQuantizer {
       .select(col("e.key").as("sub"), explode(col("e.value")).as("c"))
       .select(col("sub"), col("c._1").as("code"),
         col("c._2").as("centroid"), col("c._3").as("cnorm2"))
+
+  /** Append NEW vectors to a persisted index: encode them against the
+    * STORED codebook (broadcast join + per-(id, sub) argmin — no refit,
+    * no touch of existing codes) and append to `path/codes`. This is
+    * the daily-ingest path: codebooks are fit rarely (quantizer drift
+    * is slow), encode cost is one narrow pass over the new batch, and
+    * the code table only ever grows by appended files. Ties in the
+    * argmin break by code, matching the literal-codebook encoder
+    * exactly (asserted by SurfaceR8Spec). */
+  def appendToIndex(
+      newVectors: DataFrame,
+      path: String,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): Unit = {
+    val spark = newVectors.sparkSession
+    val cb = spark.read.parquet(s"$path/codebook")
+    val m = cb.agg(countDistinct(col("sub"))).head().getLong(0).toInt
+    val dim = newVectors.select(size(col(embCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by stored m=$m")
+    val dsub = dim / m
+    val subArr = array((0 until m).map(j => slice(col("emb"), j * dsub + 1, dsub)): _*)
+    newVectors
+      .select(col(idCol).as("c_id"), col(embCol).as("emb"))
+      .select(col("c_id"), posexplode(subArr).as(Seq("sub", "subvec")))
+      .join(broadcast(cb), "sub")
+      .select(col("c_id"), col("sub"),
+        struct((col("cnorm2") - dotProduct(col("subvec"), col("centroid")) * 2).as("d2"),
+          col("code").as("code")).as("cand"))
+      .groupBy("c_id", "sub")
+      .agg(min(col("cand")).getField("code").as("code"))
+      .write.mode("append").parquet(s"$path/codes")
+  }
 
   /** Query a persisted index: LUT from the stored codebook (broadcast
     * join — no literal, no refit), ADC over the stored code table,

@@ -220,6 +220,93 @@ object SurfaceR8 {
       .orderBy("user_id")
   }
 
+  /** The md5-nibble hash-uniform in (0,1): bucket 0..4095 from three
+    * hex nibbles (the same portable-SQL idiom as lp10/l14), shifted by
+    * +0.5 so u is never 0 or 1. Identical text runs on both engines.
+    * The numerator and divisor are CAST to DOUBLE explicitly: Spark
+    * parses bare `0.5`/`4096.0` literals as DECIMAL and would divide at
+    * 7-digit decimal scale (u = 0.9334717 ≠ 0.9334716796875), shifting
+    * ln(u) by ~2e-8 and flipping rounded sort keys vs DuckDB's double
+    * math — found by an actual oracle mismatch at sf0.01. */
+  private def hashUniformSql(idCol: String, salt: String): String = {
+    def nib(k: Int) =
+      s"(instr('0123456789abcdef', substr(md5($idCol || '$salt'), $k, 1)) - 1)"
+    s"((CAST(${nib(1)} * 256 + ${nib(2)} * 16 + ${nib(3)} AS DOUBLE) + 0.5)" +
+      " / CAST(4096 AS DOUBLE))"
+  }
+
+  /** LP20: deterministic weighted sampling without replacement —
+    * Efraimidis–Spirakis exponential keys: rank by ln(u)/w descending
+    * (monotone-equivalent to u^(1/w)), where u is a pure hash function
+    * of (id, salt) and w the sampling weight (n_chars: longer docs
+    * proportionally likelier). Probability-proportional-to-weight with
+    * NO RNG state: membership survives repartitioning, retries and
+    * re-ingestion, and the whole draw is one narrow projection + one
+    * per-group top-k — the 100 TB training-mix sampler. Keys are
+    * rounded (r8) before ranking with an id tiebreak so the order is
+    * identical across engines (§5.3). */
+  val lp20WeightedSample: Q = (s, d) => {
+    val key = Orc.rN(
+      log(expr(hashUniformSql("doc_id", "wsample"))) / col("n_chars"), 8)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("skey").desc, col("doc_id").asc)
+    documents(s, d)
+      .where(col("n_chars") > 0)
+      .select(col("lang"), col("doc_id"), col("n_chars"), key.as("skey"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 5)
+      .select(col("lang"), col("doc_id"), col("n_chars"), col("skey"), col("rn"))
+      .orderBy("lang", "rn")
+  }
+
+  /** Q19: ordered funnel analysis — users who did view, THEN click,
+    * THEN purchase (strict event-time order, each step's clock starting
+    * at the previous step's first qualifying instant). The classic
+    * product-analytics query, expressed as three cascaded min-aggregates
+    * with inequality joins on per-user scalars — each stage is a
+    * groupBy + broadcast-joinable (one row per user) probe, no window
+    * over the raw stream. Timestamps compare as epoch MICROS on both
+    * engines (the fixture is ns-precision parquet; Spark's shim
+    * truncates to µs, so comparing raw ns on the oracle side could
+    * diverge — §5.3). */
+  val q19Funnel: Q = (s, d) => {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tu"))
+    val v = e.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("tu").as("t1"))
+    val c = e.join(v, "user_id")
+      .where(col("event_type") === "click" && col("tu") > col("t1"))
+      .groupBy("user_id").agg(min("tu").as("t2"))
+    val p = e.join(c, "user_id")
+      .where(col("event_type") === "purchase" && col("tu") > col("t2"))
+      .groupBy("user_id").agg(min("tu").as("t3"))
+    v.agg(count(lit(1)).as("n_users")).select(lit("f1_view").as("step"), col("n_users"))
+      .unionAll(c.agg(count(lit(1)).as("n_users"))
+        .select(lit("f2_view_click").as("step"), col("n_users")))
+      .unionAll(p.agg(count(lit(1)).as("n_users"))
+        .select(lit("f3_view_click_purchase").as("step"), col("n_users")))
+      .orderBy("step")
+  }
+
+  /** Q20: retention cohorts — users grouped by first-seen day, counted
+    * on each subsequent activity day-offset (0..7). Day arithmetic on
+    * integer epoch-day numbers (µs div 86400e6), no timezone/date-type
+    * crossings; two hash aggs + one broadcast-sized join (one row per
+    * user on the cohort side). */
+  val q20Retention: Q = (s, d) => {
+    val e = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+    val f = e.groupBy("user_id").agg(min("day").as("cohort"))
+    e.join(f, "user_id")
+      .select(col("user_id"), col("cohort"), (col("day") - col("cohort")).as("day_offset"))
+      .where(col("day_offset") <= 7)
+      .distinct()
+      .groupBy("cohort", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort", "day_offset")
+  }
+
   /** X13: join-key skew diagnostic — the per-key row histogram that
     * decides whether a shuffle join needs salting (x4) or AQE skew
     * splitting before it runs. One groupBy + one scalar-sized re-agg;
@@ -246,6 +333,9 @@ object SurfaceR8 {
     "lf2_fuzzy_pairs" -> lf2FuzzyPairs,
     "m27_robust_scaler" -> m27RobustScaler,
     "lpq2_ivfpq_ann" -> lpq2IvfPqAnn,
+    "lp20_weighted_sample" -> lp20WeightedSample,
+    "q19_funnel" -> q19Funnel,
+    "q20_retention" -> q20Retention,
     "t17_foreach_batch_merge" -> t17ForeachBatchMerge,
     "x13_skew_stats" -> x13SkewStats)
 
@@ -309,6 +399,38 @@ object SurfaceR8 {
         |  epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us,
         |  round(sum(CAST(floor(value * 1e4 + 0.5) AS BIGINT)) / 10000.0, 4) AS sum_value4
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "lp20_weighted_sample" ->
+      s"""WITH keyed AS (
+         |  SELECT lang, doc_id, n_chars,
+         |    round(ln(${hashUniformSql("doc_id", "wsample")}) / n_chars, 8) AS skey
+         |  FROM documents WHERE n_chars > 0
+         |),
+         |ranked AS (
+         |  SELECT lang, doc_id, n_chars, skey,
+         |    row_number() OVER (PARTITION BY lang ORDER BY skey DESC, doc_id ASC) AS rn
+         |  FROM keyed
+         |)
+         |SELECT lang, doc_id, n_chars, skey, CAST(rn AS BIGINT) AS rn
+         |FROM ranked WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
+    "q19_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),
+        |v AS (SELECT user_id, min(tu) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.tu) AS t2 FROM e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.tu > v.t1 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.tu) AS t3 FROM e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.tu > c.t2 GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT 'f1_view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM v
+        |  UNION ALL SELECT 'f2_view_click', CAST(count(*) AS BIGINT) FROM c
+        |  UNION ALL SELECT 'f3_view_click_purchase', CAST(count(*) AS BIGINT) FROM p
+        |) ORDER BY step""".stripMargin,
+    "q20_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY user_id),
+        |a AS (SELECT DISTINCT e.user_id, f.cohort, e.day - f.cohort AS day_offset
+        |      FROM e JOIN f USING (user_id) WHERE e.day - f.cohort <= 7)
+        |SELECT cohort, day_offset, CAST(count(*) AS BIGINT) AS n_users
+        |FROM a GROUP BY cohort, day_offset ORDER BY cohort, day_offset""".stripMargin,
     "x13_skew_stats" ->
       """WITH per AS (
         |  SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey)
