@@ -131,6 +131,56 @@ object SurfaceR8 {
       .orderBy("name_a", "name_b")
   }
 
+  /** LF3: Jaro–Winkler fuzzy pairs — the second entity-resolution
+    * verifier next to lf2's Levenshtein: where edit distance counts
+    * keystrokes, Jaro–Winkler rewards shared prefixes, the right metric
+    * for catalog names ("aromatic azure" vs "aromatic beige"). The
+    * kernel is the custom codegen expression `jaro_winkler` (no Scala
+    * UDF — the verifier stays inside whole-stage codegen), semantics
+    * pinned to DuckDB's `jaro_winkler_similarity` so the oracle compares
+    * the actual similarity values, not just the pair set. Same scale
+    * order as lf2: DISTINCT keys first, then a first-token blocking
+    * equi-join (prefix similarity needs a shared prefix, so the block
+    * key and the metric agree) — never all-pairs. Both engines filter on
+    * the r8-ROUNDED similarity so the threshold cut is knife-edge-free
+    * (§5.3). */
+  val lf3JaroPairs: Q = (s, d) => {
+    val names = part(s, d).select(col("p_name")).distinct()
+      .select(col("p_name"), element_at(split(col("p_name"), " "), 1).as("blk"))
+    names.as("a").join(names.as("b"),
+        col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name"))
+      .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+        Orc.rN(expr("jaro_winkler(a.p_name, b.p_name)"), 8).as("jw"))
+      .where(col("jw") >= 0.8)
+      .orderBy("name_a", "name_b")
+  }
+
+  /** M28: MAD outlier report — the robust z-score in aggregate form:
+    * med = median(value), mad = median(|value − med|) per group, rows
+    * flagged when |value − med| > 3·mad. The robust cousin of a
+    * mean/stddev gate: one extreme value moves a mean arbitrarily but
+    * moves a median at most one rank, so the fence itself cannot be
+    * dragged by the outliers it is meant to catch. Two grouped exact
+    * percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`) with the
+    * group stats broadcast back; med/mad pass through the r8 grid BEFORE
+    * the fence compare so both engines cut on identical values (§5.3). */
+  val m28MadOutliers: Q = (s, d) => {
+    val e = Tables.events(s, d).select(col("event_type"), col("value"))
+    val med = e.groupBy("event_type")
+      .agg(Orc.rN(expr("percentile(value, 0.5D)"), 8).as("med"))
+    val dev = e.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("med"),
+        abs(col("value") - col("med")).as("adev"))
+    val mad = dev.groupBy("event_type")
+      .agg(Orc.rN(expr("percentile(adev, 0.5D)"), 8).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("adev") > lit(3.0) * col("mad"), 1L).otherwise(0L)).as("n_outliers"),
+        Orc.r4(min("med")).as("med"), Orc.r4(min("mad")).as("mad"))
+      .orderBy("event_type")
+  }
+
   /** M27: RobustScaler in column form — (x − median) / IQR per group,
     * the outlier-insensitive cousin of m2/m10's scalers. Exact
     * percentiles on both engines (Spark `percentile` ≡ DuckDB
@@ -331,6 +381,8 @@ object SurfaceR8 {
     "l13b_contamination_bloom" -> l13bContaminationBloom,
     "dq_constraints" -> dqConstraints,
     "lf2_fuzzy_pairs" -> lf2FuzzyPairs,
+    "lf3_jaro_pairs" -> lf3JaroPairs,
+    "m28_mad_outliers" -> m28MadOutliers,
     "m27_robust_scaler" -> m27RobustScaler,
     "lpq2_ivfpq_ann" -> lpq2IvfPqAnn,
     "lp20_weighted_sample" -> lp20WeightedSample,
@@ -391,6 +443,35 @@ object SurfaceR8 {
         |FROM p a JOIN p b ON a.blk = b.blk AND a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
         |ORDER BY name_a, name_b""".stripMargin,
+    // the custom codegen jaro_winkler pins DuckDB's exact semantics;
+    // both engines filter on the r8-rounded value so the 0.8 cut is
+    // knife-edge-free
+    "lf3_jaro_pairs" ->
+      """WITH p AS (
+        |  SELECT DISTINCT p_name, string_split(p_name, ' ')[1] AS blk
+        |  FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  round(jaro_winkler_similarity(a.p_name, b.p_name), 8) AS jw
+        |FROM p a JOIN p b ON a.blk = b.blk AND a.p_name < b.p_name
+        |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 8) >= 0.8
+        |ORDER BY name_a, name_b""".stripMargin,
+    // med/mad pass through the r8 grid BEFORE the 3*mad fence on both
+    // engines, so the outlier count compares identical values
+    "m28_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, round(quantile_cont(value, 0.5), 8) AS med
+        |  FROM events GROUP BY event_type),
+        |dev AS (
+        |  SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, round(quantile_cont(adev, 0.5), 8) AS mad
+        |  FROM dev GROUP BY event_type)
+        |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN d.adev > 3.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  round(min(d.med), 4) AS med, round(min(m.mad), 4) AS mad
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
     // the one-shot batch aggregate the incremental merge must equal;
     // value pre-quantized to integer 1e-4 units exactly as Spark does,
     // so the sum is associative and batch-boundary-independent

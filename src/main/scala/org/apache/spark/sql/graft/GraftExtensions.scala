@@ -100,6 +100,11 @@ object GraftExtensions {
             messageParameters = Map("errorMessage" ->
               "bloom_agg expects 1 to 3 arguments"))
         }),
+    (FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler",
+        "jaro_winkler(a, b) - Jaro-Winkler string similarity in [0,1]"),
+      (children: Seq[Expression]) =>
+        JaroWinkler.JaroWinklerSimilarity(children(0), children(1))),
     (FunctionIdentifier("bloom_might_contain"),
       info("bloom_might_contain",
         "bloom_might_contain(bloom, xxhash64(col)) - bloom-filter probe; false => definitely absent"),
