@@ -181,6 +181,72 @@ object SurfaceR8 {
       .orderBy("event_type")
   }
 
+  /** LS3: sparse TF-IDF cosine top-k via an inverted-index join — the
+    * at-scale TEXT similarity path, complementing the dense-embedding
+    * family (l3/l4/l5/lpq): docs become (doc_id, term, weight) postings;
+    * candidate pairs arise ONLY from the term-postings equi-join, so
+    * docs sharing no term never meet — the inverted index IS the
+    * blocking structure, no all-pairs stage exists at any scale. High-df
+    * terms are pruned RELATIVE to corpus size (df ≤ 90% of docs, as
+    * integer arithmetic — §5.3 decimal trap) exactly as production
+    * inverted indexes drop stopwords: they contribute near-0 idf weight
+    * but quadratic join fanout. (The synthetic fixture's 31-token
+    * vocabulary keeps every term under that cutoff — the prune is
+    * load-bearing on a Zipfian corpus, vacuous here, and an absolute
+    * cutoff like df ≤ 100 empties this fixture entirely: its LEAST
+    * common token appears in >100 docs.) Per-pair dot products are one
+    * partial-agg sum over shared terms; norms are a per-doc agg joined
+    * back. Weight formula text identical to l9 (same smoothed idf).
+    * Ranking cuts on the r8-rounded cosine with an id tiebreak (§5.3). */
+  val ls3TfidfTopk: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+    val docs = documents(s, d)
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val wts = tf.join(dfreq, "tok").crossJoin(broadcast(n))
+      .where(col("df") * 10 <= col("n_docs") * 9)
+      .select(col("doc_id"), col("tok"),
+        (col("tf") * (log((col("n_docs") + 1) / (col("df") + 1.0)) + 1)).as("w"))
+    val norms = wts.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val dots = wts.where(col("doc_id") % 53 === 0).as("q")
+      .join(wts.as("c"),
+        col("q.tok") === col("c.tok") && col("q.doc_id") =!= col("c.doc_id"))
+      .groupBy(col("q.doc_id").as("q_id"), col("c.doc_id").as("c_id"))
+      .agg(sum(col("q.w") * col("c.w")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("q_id"), col("nrm").as("nrm_q")), "q_id")
+      .join(norms.select(col("doc_id").as("c_id"), col("nrm").as("nrm_c")), "c_id")
+      .select(col("q_id"), col("c_id"),
+        Orc.rN(col("dot") / (col("nrm_q") * col("nrm_c")), 8).as("cos8"))
+      .withColumn("rn", row_number().over(
+        w.partitionBy("q_id").orderBy(col("cos8").desc, col("c_id").asc)).cast("long"))
+      .where(col("rn") <= 3)
+      .select(col("q_id"), col("c_id"), col("rn"), Orc.r4(col("cos8")).as("cos"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** Q21: gaps-and-islands — longest run of consecutive active days per
+    * user, plus the island count. The classic streak analysis: distinct
+    * (user, day) grid, then `day − row_number()` is constant within a
+    * consecutive run (the island key), so streaks reduce to two hash
+    * aggs after one per-user window — no self-join, no recursion. Day
+    * arithmetic on integer epoch-day numbers (µs div 86400e6), as q20. */
+  val q21Streaks: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+    val days = Tables.events(s, d)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    days
+      .withColumn("grp",
+        col("day") - row_number().over(w.partitionBy("user_id").orderBy("day")))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(max("len").as("longest"), count(lit(1)).as("n_streaks"))
+      .orderBy("user_id")
+  }
+
   /** M27: RobustScaler in column form — (x − median) / IQR per group,
     * the outlier-insensitive cousin of m2/m10's scalers. Exact
     * percentiles on both engines (Spark `percentile` ≡ DuckDB
@@ -383,6 +449,8 @@ object SurfaceR8 {
     "lf2_fuzzy_pairs" -> lf2FuzzyPairs,
     "lf3_jaro_pairs" -> lf3JaroPairs,
     "m28_mad_outliers" -> m28MadOutliers,
+    "ls3_tfidf_topk" -> ls3TfidfTopk,
+    "q21_streaks" -> q21Streaks,
     "m27_robust_scaler" -> m27RobustScaler,
     "lpq2_ivfpq_ann" -> lpq2IvfPqAnn,
     "lp20_weighted_sample" -> lp20WeightedSample,
@@ -455,6 +523,40 @@ object SurfaceR8 {
         |FROM p a JOIN p b ON a.blk = b.blk AND a.p_name < b.p_name
         |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 8) >= 0.8
         |ORDER BY name_a, name_b""".stripMargin,
+    // weight formula text identical to l9's oracle (proven bit-exact);
+    // ranking cuts on the r8-rounded cosine with an id tiebreak
+    "ls3_tfidf_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT tok, count(*) AS df
+        |          FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |w AS (SELECT doc_id, tok, tf * (ln((n_docs + 1) / (df + 1.0)) + 1) AS w
+        |      FROM tf JOIN dfreq USING (tok) CROSS JOIN n WHERE df * 10 <= n_docs * 9),
+        |norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+        |dots AS (SELECT q.doc_id AS q_id, c.doc_id AS c_id, sum(q.w * c.w) AS dot
+        |         FROM w q JOIN w c ON q.tok = c.tok AND q.doc_id != c.doc_id
+        |         WHERE q.doc_id % 53 = 0 GROUP BY 1, 2),
+        |scored AS (SELECT q_id, c_id, round(dot / (nq.nrm * nc.nrm), 8) AS cos8
+        |           FROM dots JOIN norms nq ON dots.q_id = nq.doc_id
+        |                     JOIN norms nc ON dots.c_id = nc.doc_id),
+        |ranked AS (SELECT q_id, c_id, cos8,
+        |             row_number() OVER (PARTITION BY q_id
+        |                                ORDER BY cos8 DESC, c_id ASC) AS rn
+        |           FROM scored)
+        |SELECT q_id, c_id, CAST(rn AS BIGINT) AS rn, round(cos8, 4) AS cos
+        |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+    "q21_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |g AS (SELECT user_id, day,
+        |        day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |      FROM days),
+        |runs AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(max(len) AS BIGINT) AS longest,
+        |  CAST(count(*) AS BIGINT) AS n_streaks
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
     // med/mad pass through the r8 grid BEFORE the 3*mad fence on both
     // engines, so the outlier count compares identical values
     "m28_mad_outliers" ->

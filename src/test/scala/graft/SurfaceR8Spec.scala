@@ -292,6 +292,68 @@ class SurfaceR8Spec extends SparkSpec {
     assert(weighted != unweighted, "weights had no effect on the sample")
   }
 
+  // ---- LS3: inverted-index TF-IDF top-k ----
+
+  test("ls3: neighbors rank by descending cosine and agree with a dense recompute") {
+    val rows = SurfaceR8.ls3TfidfTopk(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getLong(2))
+      assert(byRank.map(_.getLong(2)).toSeq == (1L to byRank.size).toSeq)
+      // cosine non-increasing down the ranks
+      assert(byRank.map(_.getDouble(3)).toSeq.sliding(2).forall {
+        case Seq(a, b) => a >= b; case _ => true })
+      assert(rs.forall(r => r.getDouble(3) >= -1.0001 && r.getDouble(3) <= 1.0001))
+    }
+    // the top-1 neighbor for one query doc must equal the argmax of a
+    // driver-side dense TF-IDF cosine over the same weights
+    val q0 = rows.map(_.getLong(0)).min
+    val got1 = rows.filter(r => r.getLong(0) == q0 && r.getLong(2) == 1L).head.getLong(1)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .as[(Long, Seq[String])].collect()
+    val nDocs = docs.size
+    val df = docs.flatMap { case (_, ts) => ts.distinct }.groupBy(identity).view.mapValues(_.size)
+    def wvec(ts: Seq[String]) = ts.groupBy(identity).collect {
+      case (t, g) if df(t) * 10 <= nDocs * 9 =>
+        t -> g.size * (math.log((nDocs + 1) / (df(t) + 1.0)) + 1)
+    }
+    def cos(a: Map[String, Double], b: Map[String, Double]) = {
+      val dot = a.keysIterator.filter(b.contains).map(k => a(k) * b(k)).sum
+      val na = math.sqrt(a.values.map(x => x * x).sum)
+      val nb = math.sqrt(b.values.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    val qv = wvec(docs.find(_._1 == q0).get._2)
+    val best = docs.filter(d => d._1 != q0 && cos(qv, wvec(d._2)) > 0)
+      .maxBy(d => (cos(qv, wvec(d._2)), -d._1))._1
+    assert(got1 == best, s"ls3 top-1 for doc $q0 is $got1, dense recompute says $best")
+  }
+
+  // ---- Q21: gaps-and-islands ----
+
+  test("q21: streak lengths are consistent with each user's day set") {
+    val rows = SurfaceR8.q21Streaks(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val daySets = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct().as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { r =>
+      val (u, longest, nStreaks) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val days = daySets(u).toSeq.sorted
+      // recompute islands directly from the day set
+      val runs = days.foldLeft(List.empty[Int]) { (acc, d) =>
+        acc match {
+          case h :: t if days.contains(d - 1) => (h + 1) :: t
+          case _ => 1 :: acc
+        }
+      }
+      assert(longest == runs.max.toLong, s"user $u longest")
+      assert(nStreaks == runs.size.toLong, s"user $u islands")
+    }
+  }
+
   // ---- T17: foreachBatch incremental merge ----
 
   test("t17: multi-batch incremental merge equals the one-shot batch aggregate") {
