@@ -58,13 +58,22 @@ object ProductQuantizer {
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
     val base = corpus.select(col(idCol).as("c_id"), col(embCol).as("emb"))
-    val fitInput = if (fitSampleFraction < 1.0)
-      base.sample(withReplacement = false, fitSampleFraction, seed) else base
+    val fitInput = (if (fitSampleFraction < 1.0)
+      base.sample(withReplacement = false, fitSampleFraction, seed) else base)
+      .select(col("emb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // m independent sub-quantizers; each fit sees only its dsub slice.
-    // The m-iteration driver loop is bounded by the constant m, not data.
+    // The m-iteration driver loop is bounded by the constant m, not
+    // data. The fits run CONCURRENTLY (independent seeds, results
+    // order-independent): each KMeans underutilizes the cluster during
+    // its driver-side reseed/convergence steps, and m concurrent jobs
+    // fill those gaps — the fair scheduler interleaves them. The shared
+    // fit input is persisted once above so the m fits re-slice cached
+    // rows instead of re-scanning parquet m times.
+    import scala.collection.parallel.CollectionConverters._
     val codebooks: Map[Int, Seq[(Int, Seq[Float], Double)]] =
-      (0 until m).map { j =>
+      (0 until m).par.map { j =>
         val feats = fitInput.select(
           array_to_vector(slice(col("emb"), j * dsub + 1, dsub)).as("features"))
         val km = new org.apache.spark.ml.clustering.KMeans()
@@ -74,7 +83,8 @@ object ProductQuantizer {
           val arr = c.toArray.map(_.toFloat)
           (i, arr.toSeq, arr.map(x => x.toDouble * x).sum)
         }.toSeq
-      }.toMap
+      }.seq.toMap
+    fitInput.unpersist(blocking = false)
     val cbCol = typedlit(codebooks)
 
     // encode: (id, sub, subvec) → argmin_code ||subvec − c||². The
