@@ -247,6 +247,44 @@ object SurfaceR8 {
       .orderBy("user_id")
   }
 
+  /** A29: pre-aggregated sketch cube — the 100 TB "compute daily, query
+    * any window" idiom: per-day HLL sketches of the user set are built
+    * once and PERSISTED (binary sketch column in parquet), then any
+    * later window query merges stored sketches instead of rescanning
+    * raw events — a distinct count over an arbitrary day range costs
+    * O(days), not O(rows). This query exercises the full lifecycle:
+    * build → write → read back → per-day estimate AND cross-day
+    * `hll_union_agg` merge. Output carries the EXACT counts (oracle-
+    * checkable) plus `est_ok` bound flags the oracle pins to literal
+    * TRUE — so the driver verifies the sketch estimates stay within 5%
+    * without needing DuckDB to reproduce datasketches internals. The
+    * merged row rides day = -1. Tmpdir lifecycle follows s18 (unique
+    * path, JVM-exit cleanup — the returned frame reads lazily). */
+  val a29SketchRollup: Q = (s, d) => {
+    val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_a29_cube_${java.util.UUID.randomUUID().toString.take(8)}")
+    dir.toFile.deleteOnExit()
+    val days = Tables.events(s, d)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+    days.groupBy("day")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        countDistinct(col("user_id")).as("n_exact"))
+      .write.mode("overwrite").parquet(dir.toString)
+    val cube = s.read.parquet(dir.toString)
+    val okCol = (est: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =>
+      abs(est.cast("double") - exact) <= exact * 0.05d
+    val perDay = cube.select(col("day"), col("n_exact"),
+      okCol(hll_sketch_estimate(col("sk")), col("n_exact")).as("est_ok"))
+    val merged = cube.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
+      lit(1).as("one"))
+    val totalExact = days.agg(countDistinct(col("user_id")).as("n_exact"))
+    val total = merged.crossJoin(totalExact)
+      .select(lit(-1L).as("day"), col("n_exact"),
+        okCol(col("est"), col("n_exact")).as("est_ok"))
+    perDay.unionAll(total).orderBy("day")
+  }
+
   /** M27: RobustScaler in column form — (x − median) / IQR per group,
     * the outlier-insensitive cousin of m2/m10's scalers. Exact
     * percentiles on both engines (Spark `percentile` ≡ DuckDB
@@ -451,6 +489,7 @@ object SurfaceR8 {
     "m28_mad_outliers" -> m28MadOutliers,
     "ls3_tfidf_topk" -> ls3TfidfTopk,
     "q21_streaks" -> q21Streaks,
+    "a29_sketch_rollup" -> a29SketchRollup,
     "m27_robust_scaler" -> m27RobustScaler,
     "lpq2_ivfpq_ann" -> lpq2IvfPqAnn,
     "lp20_weighted_sample" -> lp20WeightedSample,
@@ -557,6 +596,18 @@ object SurfaceR8 {
         |SELECT user_id, CAST(max(len) AS BIGINT) AS longest,
         |  CAST(count(*) AS BIGINT) AS n_streaks
         |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // exact counts compared directly; est_ok pinned to literal TRUE —
+    // the driver thereby verifies Spark's sketch estimates stay within
+    // the 5% bound without DuckDB reproducing datasketches internals
+    "a29_sketch_rollup" ->
+      """WITH d AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, user_id FROM events)
+        |SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |  true AS est_ok
+        |FROM d GROUP BY day
+        |UNION ALL
+        |SELECT -1, CAST(count(DISTINCT user_id) AS BIGINT), true FROM d
+        |ORDER BY day""".stripMargin,
     // med/mad pass through the r8 grid BEFORE the 3*mad fence on both
     // engines, so the outlier count compares identical values
     "m28_mad_outliers" ->

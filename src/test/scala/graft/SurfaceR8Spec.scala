@@ -354,6 +354,28 @@ class SurfaceR8Spec extends SparkSpec {
     }
   }
 
+  // ---- A29: persisted sketch cube ----
+
+  test("a29: merged stored sketches equal the direct full-corpus sketch, bounds all green") {
+    val rows = SurfaceR8.a29SketchRollup(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(2)), "an est_ok bound flag is false")
+    val mergedRow = rows.filter(_.getLong(0) == -1L)
+    assert(mergedRow.length == 1)
+    // merge law: union of per-day sketches must give the SAME estimate
+    // as one sketch built over the whole corpus in a single pass
+    val e = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+    val viaUnion = e.groupBy("day").agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))).head().getLong(0)
+    val direct = e.agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))))
+      .head().getLong(0)
+    assert(viaUnion == direct, s"sketch merge law violated: $viaUnion != $direct")
+    // the per-day row set must cover every active day exactly once
+    val nDays = e.select("day").distinct().count()
+    assert(rows.length.toLong == nDays + 1)
+  }
+
   // ---- T17: foreachBatch incremental merge ----
 
   test("t17: multi-batch incremental merge equals the one-shot batch aggregate") {
