@@ -374,6 +374,64 @@ object SurfaceR8 {
       .orderBy("user_id")
   }
 
+  /** T18: idempotent foreachBatch — exactly-once OUTPUT on top of
+    * foreachBatch's at-least-once delivery contract. A restart replays
+    * the in-flight micro-batch with the SAME batchId; a sink that
+    * applies it twice double-counts. The fix is the standard ledger
+    * gate: the sink records applied batchIds next to the state (in
+    * production, in the same transaction — a Delta/JDBC txn table;
+    * here, alongside the state files) and drops re-offered ids. After
+    * the drain, this query SIMULATES the restart replay — re-offering
+    * an already-applied batchId carrying the full landing data — and
+    * the final state must still equal the one-shot batch aggregate
+    * (same oracle as t17), which it cannot if the gate is broken: the
+    * replay would double-merge every row. */
+  val t18IdempotentMerge: Q = (s, d) => {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_t18_").toString
+    new java.io.File(dir).deleteOnExit()
+    Tables.events(s, d).repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/landing")
+    var statePath: Option[String] = None
+    val applied = scala.collection.mutable.Set[Long]()
+    def applyBatch(b: DataFrame, id: Long): Unit = {
+      if (applied.contains(id)) return // replayed batch: exactly-once gate
+      val agg = b.groupBy("user_id").agg(
+        count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us"),
+        sum(floor(col("value") * 1e4 + 0.5).cast("long")).as("v4"))
+      val merged = statePath match {
+        case None => agg
+        case Some(p) => s.read.parquet(p).unionByName(agg)
+          .groupBy("user_id").agg(
+            sum("n_events").as("n_events"), min("first_us").as("first_us"),
+            max("last_us").as("last_us"), sum("v4").as("v4"))
+      }
+      val next = s"$dir/state_$id"
+      merged.write.mode("overwrite").parquet(next)
+      statePath = Some(next)
+      applied += id
+    }
+    val q = s.readStream
+      .schema(Tables.events(s, d).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/landing")
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) => applyBatch(b, id) }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(180000)) { q.stop(); sys.error("t18 drain expired") }
+    // the restart replay: batch 0 re-offered, here carrying the WHOLE
+    // landing set — if the ledger gate is broken the state double-counts
+    // every row and the oracle compare fails loudly
+    applyBatch(s.read.parquet(s"$dir/landing"), 0L)
+    s.read.parquet(statePath.getOrElse(sys.error("t18: no batch ran")))
+      .select(col("user_id"), col("n_events"), col("first_us"), col("last_us"),
+        Orc.r4(col("v4") / 10000.0).as("sum_value4"))
+      .orderBy("user_id")
+  }
+
   /** The md5-nibble hash-uniform in (0,1): bucket 0..4095 from three
     * hex nibbles (the same portable-SQL idiom as lp10/l14), shifted by
     * +0.5 so u is never 0 or 1. Identical text runs on both engines.
@@ -496,6 +554,7 @@ object SurfaceR8 {
     "q19_funnel" -> q19Funnel,
     "q20_retention" -> q20Retention,
     "t17_foreach_batch_merge" -> t17ForeachBatchMerge,
+    "t18_idempotent_merge" -> t18IdempotentMerge,
     "x13_skew_stats" -> x13SkewStats)
 
   val oracleSql: Map[String, String] = Map(
@@ -629,6 +688,12 @@ object SurfaceR8 {
     // value pre-quantized to integer 1e-4 units exactly as Spark does,
     // so the sum is associative and batch-boundary-independent
     "t17_foreach_batch_merge" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us,
+        |  round(sum(CAST(floor(value * 1e4 + 0.5) AS BIGINT)) / 10000.0, 4) AS sum_value4
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // identical target state to t17: the replayed batch must be a no-op
+    "t18_idempotent_merge" ->
       """SELECT user_id, count(*) AS n_events,
         |  epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us,
         |  round(sum(CAST(floor(value * 1e4 + 0.5) AS BIGINT)) / 10000.0, 4) AS sum_value4

@@ -421,6 +421,17 @@ class SurfaceR8Spec extends SparkSpec {
     assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 7))
   }
 
+  // ---- T18: idempotent foreachBatch ----
+
+  test("t18: replayed batch is a no-op — state equals t17's and the batch aggregate") {
+    // t18 re-offers batch 0 with the full landing data after the drain;
+    // equality with t17 (no replay) proves the ledger gate absorbed it
+    val replayed = SurfaceR8.t18IdempotentMerge(spark, sfDir).collect().toSeq
+    val clean = SurfaceR8.t17ForeachBatchMerge(spark, sfDir).collect().toSeq
+    assert(replayed.nonEmpty && replayed == clean,
+      "replayed-batch state diverges from the clean incremental state")
+  }
+
   // ---- X13: skew diagnostic ----
 
   test("x13: skew report is internally consistent") {
