@@ -432,6 +432,60 @@ object SurfaceR8 {
       .orderBy("user_id")
   }
 
+  /** Q22: last-touch attribution — every purchase credited to the
+    * user's most recent click at-or-before it. The as-of semantics (J8)
+    * restated as ONE forward-fill window instead of a join: clicks and
+    * purchases interleave on the per-user event-time order and
+    * `last(click_id) IGNORE NULLS` carries the latest click forward, so
+    * the cost is one shuffle on user_id + an O(n) running frame — no
+    * band join, no per-purchase probe. Ties at the same truncated µs
+    * resolve clicks-first then event_id (the total order is explicit on
+    * both engines — §5.3); purchases with no prior click keep NULL
+    * attribution (never silently dropped). */
+  val q22Attribution: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("tu").asc, col("k").asc, col("event_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.events(s, d)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tu"),
+        when(col("event_type") === "click", 0).otherwise(1).as("k"))
+      .withColumn("attr_click",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("attr_tu",
+        last(when(col("event_type") === "click", col("tu")), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("tu").as("purchase_us"), col("attr_click"),
+        (col("tu") - col("attr_tu")).as("gap_us"))
+      .orderBy("purchase_id")
+  }
+
+  /** M29: chi-square test of independence — event_type × weekday
+    * contingency table, the classic "is behavior day-dependent" gate.
+    * χ² = Σ (O−E)²/E with E = row·col/N, built from ONE groupBy count
+    * plus broadcast-sized marginal re-aggs; weekday from pure integer
+    * epoch-day arithmetic ((day + 4) mod 7 — 1970-01-01 was a Thursday),
+    * no date-type crossings (§5.3). MlChi2Spec cross-checks the
+    * statistic against MLlib's ChiSquareTest. */
+  val m29Chi2: Q = (s, d) => {
+    val obs = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("(unix_micros(ts) div 86400000000 + 4) % 7").as("wd"))
+      .groupBy("event_type", "wd").agg(count(lit(1)).as("o"))
+    val rowTot = obs.groupBy("event_type").agg(sum("o").as("rt"))
+    val colTot = obs.groupBy("wd").agg(sum("o").as("ct"))
+    val n = obs.agg(sum("o").as("n"))
+    obs.join(broadcast(rowTot), "event_type").join(broadcast(colTot), "wd")
+      .crossJoin(broadcast(n))
+      .select((col("o") - col("rt") * col("ct") / col("n")).as("dev"),
+        (col("rt") * col("ct") / col("n")).as("e"))
+      .agg(Orc.r4(sum(col("dev") * col("dev") / col("e"))).as("chi2"),
+        count(lit(1)).as("n_cells"))
+  }
+
   /** The md5-nibble hash-uniform in (0,1): bucket 0..4095 from three
     * hex nibbles (the same portable-SQL idiom as lp10/l14), shifted by
     * +0.5 so u is never 0 or 1. Identical text runs on both engines.
@@ -555,6 +609,8 @@ object SurfaceR8 {
     "q20_retention" -> q20Retention,
     "t17_foreach_batch_merge" -> t17ForeachBatchMerge,
     "t18_idempotent_merge" -> t18IdempotentMerge,
+    "q22_attribution" -> q22Attribution,
+    "m29_chi2" -> m29Chi2,
     "x13_skew_stats" -> x13SkewStats)
 
   val oracleSql: Map[String, String] = Map(
@@ -655,6 +711,37 @@ object SurfaceR8 {
         |SELECT user_id, CAST(max(len) AS BIGINT) AS longest,
         |  CAST(count(*) AS BIGINT) AS n_streaks
         |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // same clicks-first-then-event_id total order inside the window as
+    // the Spark side; purchases without a prior click keep NULLs
+    "q22_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tu,
+        |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS k
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |w AS (
+        |  SELECT event_id, user_id, event_type, tu,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY tu, k, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS attr_click,
+        |    last_value(CASE WHEN event_type = 'click' THEN tu END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY tu, k, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS attr_tu
+        |  FROM e)
+        |SELECT event_id AS purchase_id, user_id, tu AS purchase_us,
+        |  attr_click, tu - attr_tu AS gap_us
+        |FROM w WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin,
+    // integer weekday arithmetic, double division on both engines
+    "m29_chi2" ->
+      """WITH obs AS (
+        |  SELECT event_type, (epoch_us(ts) // 86400000000 + 4) % 7 AS wd,
+        |    count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, sum(o) AS rt FROM obs GROUP BY 1),
+        |ct AS (SELECT wd, sum(o) AS ct FROM obs GROUP BY 1),
+        |n AS (SELECT sum(o) AS n FROM obs)
+        |SELECT round(sum((o - rt * ct / n) * (o - rt * ct / n) / (rt * ct / n)), 4) AS chi2,
+        |  CAST(count(*) AS BIGINT) AS n_cells
+        |FROM obs JOIN rt USING (event_type) JOIN ct USING (wd) CROSS JOIN n""".stripMargin,
     // exact counts compared directly; est_ok pinned to literal TRUE —
     // the driver thereby verifies Spark's sketch estimates stay within
     // the 5% bound without DuckDB reproducing datasketches internals

@@ -432,6 +432,52 @@ class SurfaceR8Spec extends SparkSpec {
       "replayed-batch state diverges from the clean incremental state")
   }
 
+  // ---- Q22: last-touch attribution ----
+
+  test("q22: attribution picks the latest click at-or-before each purchase") {
+    val rows = SurfaceR8.q22Attribution(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tu"))
+      .as[(Long, Long, String, Long)].collect()
+    val clicksByUser = e.filter(_._3 == "click").groupBy(_._2)
+    rows.foreach { r =>
+      val (pid, uid, ptu) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val cands = clicksByUser.getOrElse(uid, Array.empty).filter(_._4 <= ptu)
+      if (r.isNullAt(3)) {
+        assert(cands.isEmpty, s"purchase $pid: attribution NULL but clicks exist")
+      } else {
+        // latest click time, event_id tiebreak — must match the window's pick
+        val want = cands.maxBy(c => (c._4, c._1))._1
+        assert(r.getLong(3) == want, s"purchase $pid attributed ${r.getLong(3)}, want $want")
+        assert(r.getLong(4) >= 0, "gap must be non-negative")
+      }
+    }
+  }
+
+  // ---- M29: chi-square independence ----
+
+  test("m29: chi2 statistic matches MLlib's ChiSquareTest on the same contingency table") {
+    val row = SurfaceR8.m29Chi2(spark, sfDir).head()
+    val got = row.getDouble(0)
+    // MLlib wants (label, features) points: one per event, weekday as
+    // the single feature, event_type indexed as the label
+    val pts = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("(unix_micros(ts) div 86400000000 + 4) % 7").as("wd"))
+      .as[(String, Long)].collect()
+    val labels = pts.map(_._1).distinct.sorted.zipWithIndex.toMap
+    val df = pts.toSeq.toDF("t", "wd")
+      .select(udf((t: String) => labels(t).toDouble).apply(col("t")).as("label"),
+        col("wd").cast("double").as("f"))
+      .select(col("label"),
+        org.apache.spark.ml.functions.array_to_vector(array(col("f"))).as("features"))
+    val stat = org.apache.spark.ml.stat.ChiSquareTest.test(df, "features", "label")
+      .select("statistics").head().getAs[org.apache.spark.ml.linalg.Vector](0)(0)
+    assert(math.abs(got - stat) <= 5e-4, s"chi2 $got vs MLlib $stat")
+  }
+
   // ---- X13: skew diagnostic ----
 
   test("x13: skew report is internally consistent") {
