@@ -432,6 +432,46 @@ object SurfaceR8 {
       .orderBy("user_id")
   }
 
+  /** Q23: A/B experiment readout — deterministic hash assignment (the
+    * same md5-nibble uniform as lp10/lp20: variant is a pure function
+    * of user_id, so assignment survives reprocessing and joins across
+    * days without an assignment table) + per-user conversion + the
+    * two-proportion pooled z statistic. The u < 0.5 cut can never sit
+    * on the hash grid (u = (k+0.5)/4096), so the split is knife-edge-
+    * free by construction. Conversion = FIRST-DAY purchase (within 24h
+    * of the user's first event): "ever purchased" is degenerate on this
+    * fixture — every sf0.01 user has a purchase, making p = 1 and the
+    * pooled variance 0 (found as an ANSI DIVIDE_BY_ZERO, not a wrong
+    * number). The z denominator is guarded to NULL when a degenerate
+    * p ∈ {0,1} ever recurs, on BOTH engines, so the readout degrades
+    * loudly-but-validly instead of erroring. One groupBy per user + one
+    * scalar agg. */
+  val q23AbTest: Q = (s, d) => {
+    val u = expr(hashUniformSql("user_id", "ab"))
+    val conv = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "purchase",
+          unix_micros(col("ts")))).as("pt"),
+        min(unix_micros(col("ts"))).as("t0"))
+      .select(col("user_id"),
+        when(col("pt").isNotNull &&
+          col("pt") - col("t0") <= 86400000000L, 1L).otherwise(0L).as("conv"))
+      .withColumn("va", u < 0.5d)
+    val p = (col("c_a") + col("c_b")) / (col("n_a") + col("n_b"))
+    val se = sqrt(p * (lit(1.0) - p) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    conv.agg(
+        sum(when(col("va"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("va"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("va"), col("conv")).otherwise(0L)).as("c_a"),
+        sum(when(!col("va"), col("conv")).otherwise(0L)).as("c_b"))
+      .select(col("n_a"), col("n_b"), col("c_a"), col("c_b"),
+        Orc.rN(col("c_a") / col("n_a"), 6).as("rate_a"),
+        Orc.rN(col("c_b") / col("n_b"), 6).as("rate_b"),
+        Orc.r4(when(se > 0.0d,
+          (col("c_a") / col("n_a") - col("c_b") / col("n_b")) / se)).as("z"))
+  }
+
   /** Q22: last-touch attribution — every purchase credited to the
     * user's most recent click at-or-before it. The as-of semantics (J8)
     * restated as ONE forward-fill window instead of a join: clicks and
@@ -610,6 +650,7 @@ object SurfaceR8 {
     "t17_foreach_batch_merge" -> t17ForeachBatchMerge,
     "t18_idempotent_merge" -> t18IdempotentMerge,
     "q22_attribution" -> q22Attribution,
+    "q23_ab_test" -> q23AbTest,
     "m29_chi2" -> m29Chi2,
     "x13_skew_stats" -> x13SkewStats)
 
@@ -730,6 +771,38 @@ object SurfaceR8 {
         |SELECT event_id AS purchase_id, user_id, tu AS purchase_us,
         |  attr_click, tu - attr_tu AS gap_us
         |FROM w WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin,
+    // the same hash-uniform fragment (DOUBLE-cast per §5.3); BIGINT/
+    // BIGINT divides as double on both engines
+    "q23_ab_test" ->
+      s"""WITH per AS (
+         |  SELECT user_id,
+         |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS pt,
+         |    min(epoch_us(ts)) AS t0
+         |  FROM events GROUP BY user_id),
+         |conv AS (
+         |  SELECT user_id,
+         |    CASE WHEN pt IS NOT NULL AND pt - t0 <= 86400000000
+         |         THEN 1 ELSE 0 END AS conv,
+         |    ${hashUniformSql("user_id", "ab")} < 0.5 AS va
+         |  FROM per),
+         |agg AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN va THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN NOT va THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |    CAST(sum(CASE WHEN va THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+         |    CAST(sum(CASE WHEN NOT va THEN conv ELSE 0 END) AS BIGINT) AS c_b
+         |  FROM conv),
+         |stat AS (
+         |  SELECT *,
+         |    sqrt(((c_a + c_b) / (n_a + n_b)) *
+         |         (1.0 - (c_a + c_b) / (n_a + n_b)) *
+         |         (1.0 / n_a + 1.0 / n_b)) AS se
+         |  FROM agg)
+         |SELECT n_a, n_b, c_a, c_b,
+         |  round(c_a / n_a, 6) AS rate_a,
+         |  round(c_b / n_b, 6) AS rate_b,
+         |  round(CASE WHEN se > 0 THEN (c_a / n_a - c_b / n_b) / se END, 4) AS z
+         |FROM stat""".stripMargin,
     // integer weekday arithmetic, double division on both engines
     "m29_chi2" ->
       """WITH obs AS (

@@ -456,6 +456,31 @@ class SurfaceR8Spec extends SparkSpec {
     }
   }
 
+  // ---- Q23: A/B readout ----
+
+  test("q23: hash split partitions all users, conversions reconcile, z matches recompute") {
+    val r = SurfaceR8.q23AbTest(spark, sfDir).head()
+    val (nA, nB, cA, cB) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    // first-day conversion, recomputed directly
+    val converted = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("pt"),
+        min(unix_micros(col("ts"))).as("t0"))
+      .where(col("pt").isNotNull && col("pt") - col("t0") <= 86400000000L)
+      .count()
+    assert(nA + nB == users, "variants must partition the user set")
+    assert(cA + cB == converted, "conversions must reconcile")
+    assert(nA > 0 && nB > 0, "hash split left a variant empty")
+    assert(cA + cB < users, "conversion definition is degenerate again (p = 1)")
+    val p = (cA + cB).toDouble / (nA + nB)
+    if (p > 0 && p < 1) {
+      val z = (cA.toDouble / nA - cB.toDouble / nB) /
+        math.sqrt(p * (1 - p) * (1.0 / nA + 1.0 / nB))
+      assert(math.abs(r.getDouble(6) - z) <= 1e-4, s"z ${r.getDouble(6)} vs $z")
+    } else assert(r.isNullAt(6), "z must be NULL when pooled variance is 0")
+  }
+
   // ---- M29: chi-square independence ----
 
   test("m29: chi2 statistic matches MLlib's ChiSquareTest on the same contingency table") {
