@@ -30,7 +30,8 @@ class ExtensionsSpec extends SparkSpec {
     // here we only assert the injector accepts the extension point
     assert(GraftExtensions.functions.map(_._1.funcName).sorted ==
       Seq("bloom_agg", "bloom_might_contain", "cosine_sim", "dot_product",
-        "explode_ngrams", "heavy_hitters", "l2_norm", "top_k_by_score"))
+        "explode_ngrams", "heavy_hitters", "jaro_winkler", "l2_norm",
+        "top_k_by_score"))
   }
 
   test("custom aggregates are callable from plain SQL") {
