@@ -472,6 +472,30 @@ object SurfaceR8 {
           (col("c_a") / col("n_a") - col("c_b") / col("n_b")) / se)).as("z"))
   }
 
+  /** LT7: OHLC resample bars — the time-series downsampling shape
+    * (open/high/low/close per instrument per bucket): one hash agg,
+    * no window, no self-join. Open/close need a TOTAL event order;
+    * ties at the same truncated µs are broken by event_id via a
+    * zero-padded string key (`%020d%020d`) — lexicographic order on
+    * fixed-width decimal strings equals numeric order on the (tu,
+    * event_id) pair, and min_by/arg_min take one scalar key on both
+    * engines (DuckDB arg_min has no composite-key overload — found at
+    * design time, §5.3). */
+  val lt7OhlcBars: Q = (s, d) => {
+    val e = Tables.events(s, d).select(col("event_type"),
+      unix_micros(col("ts")).as("tu"), col("event_id"), col("value"))
+      .withColumn("hr", expr("tu div 3600000000"))
+      .withColumn("k", format_string("%020d%020d", col("tu"), col("event_id")))
+    e.groupBy("event_type", "hr").agg(
+        count(lit(1)).as("n"),
+        Orc.r4(min_by(col("value"), col("k"))).as("open"),
+        Orc.r4(max("value")).as("high"),
+        Orc.r4(min("value")).as("low"),
+        Orc.r4(max_by(col("value"), col("k"))).as("close"),
+        Orc.r4(avg("value")).as("avg_value"))
+      .orderBy("event_type", "hr")
+  }
+
   /** Q22: last-touch attribution — every purchase credited to the
     * user's most recent click at-or-before it. The as-of semantics (J8)
     * restated as ONE forward-fill window instead of a join: clicks and
@@ -649,6 +673,7 @@ object SurfaceR8 {
     "q20_retention" -> q20Retention,
     "t17_foreach_batch_merge" -> t17ForeachBatchMerge,
     "t18_idempotent_merge" -> t18IdempotentMerge,
+    "lt7_ohlc_bars" -> lt7OhlcBars,
     "q22_attribution" -> q22Attribution,
     "q23_ab_test" -> q23AbTest,
     "m29_chi2" -> m29Chi2,
@@ -752,6 +777,22 @@ object SurfaceR8 {
         |SELECT user_id, CAST(max(len) AS BIGINT) AS longest,
         |  CAST(count(*) AS BIGINT) AS n_streaks
         |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the same zero-padded (tu, event_id) string key on both engines;
+    // avg is the only order-sensitive double sum and rides the r4 grid
+    "lt7_ohlc_bars" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS tu, event_id, value,
+        |    epoch_us(ts) // 3600000000 AS hr,
+        |    printf('%020d%020d', epoch_us(ts), event_id) AS k
+        |  FROM events)
+        |SELECT event_type, hr, CAST(count(*) AS BIGINT) AS n,
+        |  round(arg_min(value, k), 4) AS open,
+        |  round(max(value), 4) AS high,
+        |  round(min(value), 4) AS low,
+        |  round(arg_max(value, k), 4) AS close,
+        |  round(avg(value), 4) AS avg_value
+        |FROM e GROUP BY event_type, hr
+        |ORDER BY event_type, hr""".stripMargin,
     // same clicks-first-then-event_id total order inside the window as
     // the Spark side; purchases without a prior click keep NULLs
     "q22_attribution" ->

@@ -503,6 +503,51 @@ class SurfaceR8Spec extends SparkSpec {
     assert(math.abs(got - stat) <= 5e-4, s"chi2 $got vs MLlib $stat")
   }
 
+  // ---- LT7: OHLC bars ----
+
+  test("lt7: bar invariants hold and open/close match the per-bucket extremes by time") {
+    val rows = SurfaceR8.lt7OhlcBars(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (high, low) = (r.getDouble(4), r.getDouble(5))
+      val (open, close) = (r.getDouble(3), r.getDouble(6))
+      assert(low <= high)
+      assert(open >= low - 1e-9 && open <= high + 1e-9)
+      assert(close >= low - 1e-9 && close <= high + 1e-9)
+    }
+    // one bucket cross-checked against a driver-side recompute
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_type"), unix_micros(col("ts")).as("tu"),
+        col("event_id"), col("value"))
+      .as[(String, Long, Long, Double)].collect()
+    val (t0, hr0) = (rows.head.getString(0), rows.head.getLong(1))
+    val bucket = e.filter(x => x._1 == t0 && x._2 / 3600000000L == hr0)
+    val byKey = bucket.sortBy(x => (x._2, x._3))
+    assert(rows.head.getDouble(3) == math.rint(byKey.head._4 * 1e4) / 1e4, "open")
+    assert(rows.head.getDouble(6) == math.rint(byKey.last._4 * 1e4) / 1e4, "close")
+  }
+
+  // ---- plan shapes: the 100x questions for the analytics batch ----
+
+  test("q22 plan: attribution is window-only — no join operator anywhere") {
+    val plan = SurfaceR8.q22Attribution(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"attribution must not join:\n$plan")
+    assert(plan.contains("Window"), "expected the forward-fill window")
+  }
+
+  test("m28/m29 plans: group stats come back via broadcast, never a shuffled join") {
+    for ((name, df) <- Seq(
+        "m28" -> SurfaceR8.m28MadOutliers(spark, sfDir),
+        "m29" -> SurfaceR8.m29Chi2(spark, sfDir))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+        s"$name: expected broadcast joins")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name: scalar-sized stats must not shuffle-join:\n$plan")
+    }
+  }
+
   // ---- X13: skew diagnostic ----
 
   test("x13: skew report is internally consistent") {
