@@ -90,7 +90,35 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] pq probe failed: ${e.getMessage}"); -1.0
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rocksdb_state_t6_sec":$stateSec,"curation_sec":$curationSec,"interp_sec":$interpSec,"pq_sec":$pqSec,"sf":"$sfDir"}""")
+    // Probe 5 (untimed vs BASELINE): the round-8 product-analytics
+    // family — funnel, retention, streaks, attribution, A/B, OHLC,
+    // MAD, chi-square — all window/hash-agg shapes that must stay
+    // sub-second-ish at bench SF.
+    val analyticsSec = try {
+      val t0 = System.nanoTime()
+      graft.queries.SurfaceR8.q19Funnel(spark, sfDir).count()
+      graft.queries.SurfaceR8.q20Retention(spark, sfDir).count()
+      graft.queries.SurfaceR8.q21Streaks(spark, sfDir).count()
+      graft.queries.SurfaceR8.q22Attribution(spark, sfDir).count()
+      graft.queries.SurfaceR8.q23AbTest(spark, sfDir).count()
+      graft.queries.SurfaceR8.lt7OhlcBars(spark, sfDir).count()
+      graft.queries.SurfaceR8.m28MadOutliers(spark, sfDir).count()
+      graft.queries.SurfaceR8.m29Chi2(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] analytics probe failed: ${e.getMessage}"); -1.0
+    }
+    // Probe 6 (untimed vs BASELINE): the inverted-index sparse top-k —
+    // the one new query whose join fanout grows with corpus size, so
+    // its bench-SF cost is measured rather than assumed.
+    val ls3Sec = try {
+      val t0 = System.nanoTime()
+      graft.queries.SurfaceR8.ls3TfidfTopk(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] ls3 probe failed: ${e.getMessage}"); -1.0
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rocksdb_state_t6_sec":$stateSec,"curation_sec":$curationSec,"interp_sec":$interpSec,"pq_sec":$pqSec,"analytics_sec":$analyticsSec,"ls3_sec":$ls3Sec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
