@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 import graft.{Orc, Tables}
 
 /** Remaining inventory rows (SURVEY.md §2): approximate aggregates
-  * (A3/A9 — no-oracle by design, bounds-tested in specs), partition-local
-  * sort (O3), and an explicit parquet sink round-trip (S4).
+  * (A3/A9 — driver-verified via exact values + pinned envelope flags,
+  * plus bounds specs), partition-local sort (O3), and an explicit
+  * parquet sink round-trip (S4).
   */
 object Hardening {
   import Orc.r4
@@ -15,25 +16,43 @@ object Hardening {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** A3 (rows-only): HLL approximate distinct vs exact, side by side.
-    * Different HLL implementations never hash-match across engines; the
-    * spec asserts the ±5% envelope instead. */
+  /** A3: HLL approximate distinct, DRIVER-VERIFIED via the pinned-flag
+    * pattern (a29's): different HLL implementations never value-match
+    * across engines, but the EXACT count is bit-checkable and the
+    * estimate's envelope flag is pinned to literal TRUE in the oracle —
+    * so the driver verifies the estimate stays inside ±10% (2 absolute
+    * at tiny groups; default rsd 5% is a standard deviation, not a
+    * bound) every round instead of trusting a spec that ran once. */
   val a3ApproxDistinct: Q = (s, d) =>
     orders(s, d)
       .groupBy("o_orderpriority")
       .agg(
-        approx_count_distinct(col("o_custkey")).as("approx_custs"),
+        approx_count_distinct(col("o_custkey")).as("approx"),
         countDistinct(col("o_custkey")).as("exact_custs"))
+      .select(col("o_orderpriority"), col("exact_custs"),
+        (abs(col("approx") - col("exact_custs")) <=
+          greatest(lit(2L), (col("exact_custs") * 0.10d).cast("long"))).as("approx_ok"))
       .orderBy("o_orderpriority")
 
-  /** A9 (rows-only): approximate percentiles; spec asserts rank-error
-    * bounds against the exact percentile. */
+  /** A9: approximate percentile, DRIVER-VERIFIED like a3: the exact
+    * p50 is bit-checked; the approx value's flag uses the ALGORITHM'S
+    * guarantee (accuracy = 1000 → rank error ≤ 1/1000), so approx must
+    * land inside the exact 0.495–0.505 percentile band: 5x the
+    * guaranteed rank slack, because the approx answer is a RAW data
+    * value while `percentile` interpolates — at tiny groups the
+    * +/-0.001 band can exclude a correctly-ranked answer (seen at
+    * sf0.001). Holds by construction, independent of seeds or
+    * partitioning. */
   val a9ApproxPercentile: Q = (s, d) =>
     lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
-        r4(expr("percentile_approx(l_extendedprice, 0.5, 1000)")).as("p50_approx"),
+        expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("approx"),
+        expr("percentile(l_extendedprice, 0.495D)").as("lo"),
+        expr("percentile(l_extendedprice, 0.505D)").as("hi"),
         r4(expr("percentile(l_extendedprice, 0.5)")).as("p50_exact"))
+      .select(col("l_returnflag"), col("p50_exact"),
+        (col("approx") >= col("lo") && col("approx") <= col("hi")).as("approx_ok"))
       .orderBy("l_returnflag")
 
   /** O3: sortWithinPartitions (partition-local order is an execution
@@ -234,6 +253,23 @@ object Hardening {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // exact counts bit-checked; the estimate envelope flag is pinned to
+    // literal TRUE (a29 pattern — driver-verified without DuckDB
+    // reproducing Spark's HLL)
+    "a3_approx_distinct" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+        |  true AS approx_ok
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    // exact p50 bit-checked (percentile == quantile_cont); the approx
+    // flag holds by the GK-sketch rank-error guarantee
+    "a9_approx_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+        |  true AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "d1_decimal_agg" ->
       """SELECT l_returnflag,
         | CAST(CAST(sum(CAST(floor(l_extendedprice * 1e2 + 0.5) / 1e2 AS DECIMAL(12,2)))
