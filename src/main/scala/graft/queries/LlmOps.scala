@@ -248,8 +248,19 @@ object LlmOps {
     val docs = documents(s, d)
     val langs = Seq("en", "de", "fr", "es", "zh") // fixture strata
     val fractions = langs.map(l => l -> 0.5).toMap
-    docs.stat.sampleBy("lang", fractions, 42L)
+    // driver-verified via the pinned-flag pattern: exact stratum totals
+    // bit-checked, and the seeded draw's fraction pinned inside a
+    // 4-sigma binomial band around the target 0.5 (plus 2% absolute
+    // slack for tiny strata) — deterministic for a fixed seed, so the
+    // flag cannot flake
+    val sampled = docs.stat.sampleBy("lang", fractions, 42L)
       .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+    docs.where(col("lang").isin(langs: _*))
+      .groupBy("lang").agg(count(lit(1)).as("n_total"))
+      .join(sampled, Seq("lang"), "left")
+      .select(col("lang"), col("n_total"),
+        (abs(coalesce(col("n_sampled"), lit(0L)) / col("n_total") - 0.5d) <=
+          lit(4.0) * sqrt(lit(0.25) / col("n_total")) + lit(0.02)).as("frac_ok"))
       .orderBy("lang")
   }
 
@@ -344,6 +355,12 @@ object LlmOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // exact stratum totals bit-checked; the seeded draw's fraction flag
+    // is pinned to literal TRUE (a29 pattern)
+    "lp2_stratified_sample" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_total, true AS frac_ok
+        |FROM documents WHERE lang IN ('en', 'de', 'fr', 'es', 'zh')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "l1_exact_dedup" ->
       """SELECT sha256(text) AS content_sha256, min(doc_id) AS keep_id,
         | count(*) AS n_copies

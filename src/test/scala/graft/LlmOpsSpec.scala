@@ -191,11 +191,18 @@ class LlmOpsSpec extends SparkSpec {
 
   test("stratified sample: deterministic under a seed, near target fractions") {
     val q = graft.queries.LlmOps.queries("lp2_stratified_sample")
-    val once = q(spark, sfDir).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val again = q(spark, sfDir).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(once == again, "sampleBy must be deterministic for a fixed seed")
-    val totals = graft.Tables.documents(spark, sfDir)
+    val rows = q(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r => assert(r.getBoolean(2), s"frac_ok false: $r") }
+    // the underlying draw, recomputed directly: deterministic + in band
+    val docs = graft.Tables.documents(spark, sfDir)
+    val fractions = Seq("en", "de", "fr", "es", "zh").map(_ -> 0.5).toMap
+    def draw() = docs.stat.sampleBy("lang", fractions, 42L)
       .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (once, again) = (draw(), draw())
+    assert(once == again, "sampleBy must be deterministic for a fixed seed")
+    val totals = docs.groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     once.foreach { case (lang, n) =>
       val frac = n.toDouble / totals(lang)
