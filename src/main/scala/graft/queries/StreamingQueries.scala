@@ -58,6 +58,32 @@ object StreamingQueries {
       .groupBy("user_id").agg(max("n_events").as("n_events"))
       .orderBy("user_id")
 
+  /** T6b: the same running per-user counts through the Spark 4
+    * `transformWithState` StatefulProcessor — typed named ValueState
+    * with optional TTL, the at-scale successor to
+    * flatMapGroupsWithState (state off-heap in RocksDB, which this
+    * operator REQUIRES: the provider conf is set for the run and
+    * restored after). Oracle identical to t6: the last update per user
+    * must equal the batch count regardless of batching. */
+  val t6bTwsCounts: Q = (s, d) => {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      StreamingOps.runToMemory(
+        StreamingOps.runningUserCountsTWS(StreamingOps.eventsStream(s, d)),
+        "t6b_sink", OutputMode.Update())
+        .groupBy("user_id").agg(max("n_events").as("n_events"))
+        .orderBy("user_id")
+      // the stream has fully drained inside runToMemory; the batch agg
+      // above reads the memory sink and no longer needs the provider
+    } finally prev match {
+      case Some(p) => s.conf.set(key, p)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** T7: stream–static join against the customer dim. */
   val t7StreamStaticJoin: Q = (s, d) =>
     StreamingOps.runToMemory(
@@ -127,6 +153,7 @@ object StreamingQueries {
     "t2b_stream_sliding" -> t2bStreamSliding,
     "t5_stream_dedup" -> t5StreamDedup,
     "t6_stateful_counts" -> t6StatefulCounts,
+    "t6b_tws_counts" -> t6bTwsCounts,
     "t7_stream_static_join" -> t7StreamStaticJoin,
     "t8_append_sink" -> t8AppendSink,
     "t11_stream_session" -> t11StreamSession,
@@ -222,6 +249,10 @@ object StreamingQueries {
       """SELECT event_type, count(DISTINCT event_id) AS n_unique
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "t6_stateful_counts" ->
+      """SELECT user_id, count(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // identical batch-equivalence target through transformWithState
+    "t6b_tws_counts" ->
       """SELECT user_id, count(*) AS n_events
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "t7_stream_static_join" ->
