@@ -73,4 +73,14 @@ object QueryGuard {
       Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
     f.delete()
   }
+
+  /** JVM-exit cleanup for a POPULATED scratch directory. `deleteOnExit`
+    * cannot do this — `File.delete` refuses a non-empty directory, so
+    * registering just the dir (the a29/t17/t18 first cut) silently
+    * leaks it with everything Spark wrote inside. A shutdown hook with
+    * the recursive delete actually reclaims the tree; the query results
+    * are long since localized by then (memory sink / returned frame
+    * consumed within the drive). */
+  def deleteRecOnExit(dir: java.io.File): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(dir)))
 }

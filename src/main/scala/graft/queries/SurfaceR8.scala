@@ -263,7 +263,7 @@ object SurfaceR8 {
   val a29SketchRollup: Q = (s, d) => {
     val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft_a29_cube_${java.util.UUID.randomUUID().toString.take(8)}")
-    dir.toFile.deleteOnExit()
+    graft.QueryGuard.deleteRecOnExit(dir.toFile)
     val days = Tables.events(s, d)
       .select(expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
     days.groupBy("day")
@@ -336,7 +336,7 @@ object SurfaceR8 {
   val t17ForeachBatchMerge: Q = (s, d) => {
     import org.apache.spark.sql.streaming.Trigger
     val dir = java.nio.file.Files.createTempDirectory("graft_t17_").toString
-    new java.io.File(dir).deleteOnExit()
+    graft.QueryGuard.deleteRecOnExit(new java.io.File(dir))
     // land the (nanos-shimmed) events as several files so AvailableNow
     // actually exercises multi-batch merging on the oracle path
     Tables.events(s, d).repartition(4)
@@ -389,7 +389,7 @@ object SurfaceR8 {
   val t18IdempotentMerge: Q = (s, d) => {
     import org.apache.spark.sql.streaming.Trigger
     val dir = java.nio.file.Files.createTempDirectory("graft_t18_").toString
-    new java.io.File(dir).deleteOnExit()
+    graft.QueryGuard.deleteRecOnExit(new java.io.File(dir))
     Tables.events(s, d).repartition(4)
       .write.mode("overwrite").parquet(s"$dir/landing")
     var statePath: Option[String] = None
