@@ -496,6 +496,74 @@ object SurfaceR8 {
       .orderBy("event_type", "hr")
   }
 
+  /** W11: moving median — `percentile` as a WINDOW aggregate over a
+    * 5-row trailing frame: the robust smoother (one spike moves a
+    * moving average arbitrarily, a moving median at most one rank).
+    * Spark window-izes any aggregate expression, so this is the same
+    * exact-percentile kernel as a8/m27 inside a running frame; DuckDB
+    * mirrors it with `quantile_cont(...) OVER`. Frame membership is
+    * pinned by the (tu, event_id) total order (§5.3). */
+  val w11MovingMedian: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("tu").asc, col("event_id").asc)
+      .rowsBetween(-4, 0)
+    Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("tu"),
+        col("event_id"), col("value"))
+      .where(col("user_id") < 30)
+      .withColumn("mov_med", Orc.r4(expr("percentile(value, 0.5D)").over(w)))
+      .select(col("user_id"), col("tu"), col("event_id"),
+        Orc.r4(col("value")).as("value4"), col("mov_med"))
+      .orderBy("user_id", "tu", "event_id")
+  }
+
+  /** LT8: time-weighted average (TWAP) — each observation weighted by
+    * how long it remained current (lead(tu) − tu), the standard guard
+    * against irregular sampling: a sensor that reports once an hour and
+    * once a second must not let the chatty second dominate. One window
+    * for the durations + one hash agg; the last observation per user
+    * has no forward duration and is excluded on both engines. */
+  val lt8Twap: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("tu").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("tu"),
+        col("event_id"), col("value"))
+      .withColumn("dur", lead(col("tu"), 1).over(w) - col("tu"))
+      .where(col("dur").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        Orc.r4(sum(col("value") * col("dur")) / sum(col("dur"))).as("twap"),
+        Orc.r4(avg(col("value"))).as("avg_value"))
+      .orderBy("user_id")
+  }
+
+  /** LP23: token-budget corpus selection — the curation endgame: given
+    * a training-token budget, keep the highest-quality documents that
+    * fit. Quality = lexical diversity (distinct words / words, the
+    * simplest non-degenerate per-doc score both engines compute
+    * identically); selection = greedy by (score desc, doc_id) with a
+    * running token cumsum capped at the budget — the knapsack-greedy
+    * that data curation actually ships. The global-order cumsum funnels
+    * through one partition HERE; at 100 TB the same selection runs on
+    * lp19's range-partitioned offsets (rank boundaries from a sampled
+    * CDF), which is why lp19 exists. Score rides the r8 grid BEFORE
+    * ranking so both engines cut the same prefix (§5.3). */
+  val lp23TokenBudgetSelect: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id").asc)
+    documents(s, d)
+      .where(col("n_chars") > 0)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        Orc.rN(size(array_distinct(split(col("text"), " "))) /
+          size(split(col("text"), " ")), 8).as("score"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("cum_tokens") <= 5000L)
+      .orderBy("rk")
+  }
+
   /** Q22: last-touch attribution — every purchase credited to the
     * user's most recent click at-or-before it. The as-of semantics (J8)
     * restated as ONE forward-fill window instead of a join: clicks and
@@ -674,6 +742,9 @@ object SurfaceR8 {
     "t17_foreach_batch_merge" -> t17ForeachBatchMerge,
     "t18_idempotent_merge" -> t18IdempotentMerge,
     "lt7_ohlc_bars" -> lt7OhlcBars,
+    "w11_moving_median" -> w11MovingMedian,
+    "lt8_twap" -> lt8Twap,
+    "lp23_token_budget_select" -> lp23TokenBudgetSelect,
     "q22_attribution" -> q22Attribution,
     "q23_ab_test" -> q23AbTest,
     "m29_chi2" -> m29Chi2,
@@ -777,6 +848,45 @@ object SurfaceR8 {
         |SELECT user_id, CAST(max(len) AS BIGINT) AS longest,
         |  CAST(count(*) AS BIGINT) AS n_streaks
         |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // percentile == quantile_cont inside identical ROWS frames
+    "w11_moving_median" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tu, event_id, value
+        |  FROM events WHERE user_id < 30)
+        |SELECT user_id, tu, event_id, round(value, 4) AS value4,
+        |  round(quantile_cont(value, 0.5) OVER (
+        |    PARTITION BY user_id ORDER BY tu, event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS mov_med
+        |FROM e ORDER BY user_id, tu, event_id""".stripMargin,
+    // last observation per user carries no forward duration: excluded
+    // on both engines
+    "lt8_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tu, event_id, value,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) - epoch_us(ts) AS dur
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value * dur) / sum(dur), 4) AS twap,
+        |  round(avg(value), 4) AS avg_value
+        |FROM e WHERE dur IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // identical r8-rounded score and (score desc, doc_id) greedy order
+    "lp23_token_budget_select" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    round(len(list_distinct(string_split(text, ' '))) /
+        |          len(string_split(text, ' ')), 8) AS score
+        |  FROM documents WHERE n_chars > 0),
+        |ranked AS (
+        |  SELECT doc_id, n_tokens, score,
+        |    CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+        |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+        |  FROM scored)
+        |SELECT doc_id, n_tokens, score, cum_tokens, rk
+        |FROM ranked WHERE cum_tokens <= 5000 ORDER BY rk""".stripMargin,
     // the same zero-padded (tu, event_id) string key on both engines;
     // avg is the only order-sensitive double sum and rides the r4 grid
     "lt7_ohlc_bars" ->

@@ -548,6 +548,68 @@ class SurfaceR8Spec extends SparkSpec {
     }
   }
 
+  // ---- W11 / LT8 / LP23 ----
+
+  test("w11: moving median lies within its frame's min/max for a recomputed user") {
+    val rows = SurfaceR8.w11MovingMedian(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val u = rows.head.getLong(0)
+    val series = rows.filter(_.getLong(0) == u)
+      .sortBy(r => (r.getLong(1), r.getLong(2))).map(_.getDouble(3))
+    val meds = rows.filter(_.getLong(0) == u)
+      .sortBy(r => (r.getLong(1), r.getLong(2))).map(_.getDouble(4))
+    series.indices.foreach { i =>
+      val frame = series.slice(math.max(0, i - 4), i + 1)
+      assert(meds(i) >= frame.min - 1e-9 && meds(i) <= frame.max + 1e-9,
+        s"median out of frame range at row $i")
+    }
+  }
+
+  test("lt8: twap matches a driver recompute and diverges from the plain mean") {
+    val rows = SurfaceR8.lt8Twap(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val u = rows.head.getLong(0)
+    val obs = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tu"),
+        col("event_id"), col("value"))
+      .where(col("user_id") === u)
+      .as[(Long, Long, Long, Double)].collect()
+      .sortBy(x => (x._2, x._3))
+    val durs = obs.sliding(2).collect { case Array(a, b) => (a._4, b._2 - a._2) }.toSeq
+    val twap = durs.map { case (v, d) => v * d }.sum / durs.map(_._2).sum
+    assert(math.abs(rows.head.getDouble(2) - twap) <= 1e-3,
+      s"twap ${rows.head.getDouble(2)} vs recompute $twap")
+    // with irregular gaps the time weighting must actually matter somewhere
+    assert(rows.exists(r => math.abs(r.getDouble(2) - r.getDouble(3)) > 1e-3),
+      "twap == mean everywhere — durations had no effect")
+  }
+
+  test("lp23: budget respected, greedy order maximal (next doc would overflow)") {
+    val rows = SurfaceR8.lp23TokenBudgetSelect(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).sum <= 5000L, "token budget exceeded")
+    val scores = rows.sortBy(_.getLong(4)).map(_.getDouble(2))
+    assert(scores.sliding(2).forall { case Array(a, b) => a >= b; case _ => true },
+      "selection must be in descending score order")
+    // maximality: the first EXCLUDED doc in greedy order must overflow
+    val docs = Tables.documents(spark, sfDir).where(col("n_chars") > 0)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"),
+        (size(array_distinct(split(col("text"), " "))) /
+          size(split(col("text"), " "))).as("score"))
+      .as[(Long, Long, Double)].collect()
+      .sortBy(x => (-math.rint(x._3 * 1e8) / 1e8, x._1))
+    val kept = rows.map(_.getLong(0)).toSet
+    // prefix property: the kept set is EXACTLY the greedy-order prefix
+    assert(docs.take(rows.length).map(_._1).toSet == kept,
+      "selection is not the greedy-order prefix")
+    val firstExcluded = docs.find(d => !kept.contains(d._1))
+    firstExcluded.foreach { d =>
+      assert(rows.map(_.getLong(1)).sum + d._2 > 5000L,
+        s"doc ${d._1} fits the budget but was excluded")
+    }
+  }
+
   // ---- X13: skew diagnostic ----
 
   test("x13: skew report is internally consistent") {
