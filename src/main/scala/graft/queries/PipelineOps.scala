@@ -39,6 +39,29 @@ object PipelineOps {
       .orderBy("vec_id")
   }
 
+  /** LP24: near-dup-aware train/test split — the leakage guard: a plain
+    * per-doc hash split can put two near-duplicates on opposite sides
+    * of the train/test boundary, and the model then "generalizes" to
+    * its own training data. Assigning the split by the CLUSTER label
+    * (hash-gated md5 on the component's canonical id, the lp10 idiom)
+    * makes straddling impossible BY CONSTRUCTION: every member of a
+    * component shares the label, so it shares the split. Output is the
+    * full assignment; the oracle recomputes clusters with the shared
+    * recursive CTE and applies the identical gate. */
+  val lp24ClusterSafeSplit: Q = (s, d) => {
+    val e = embeddings(s, d)
+    val edges = Similarity
+      .exactNearDupPairs(e, threshold = 0.95, nlist = 8)
+      .select(col("a_id"), col("b_id"))
+    Components.connectedComponents(e.select(col("vec_id")), edges)
+      .select(col("id").as("vec_id"), col("lbl").as("cluster_id"))
+      .withColumn("split",
+        when(expr(
+          "(instr('0123456789abcdef', substr(md5(cluster_id || 'csplit'), 1, 1)) - 1)") < 13,
+          "train").otherwise("test"))
+      .orderBy("vec_id")
+  }
+
   /** Cluster-level dedup stats: one representative (the min id) per
     * component; everything else is a drop candidate. Unlike ld (pairwise
     * b-side drop), this is transitive-closure-correct: A~B~C collapses
@@ -352,6 +375,7 @@ object PipelineOps {
 
   val queries: Map[String, Q] = Map(
     "lc_dup_clusters" -> lcDupClusters,
+    "lp24_cluster_safe_split" -> lp24ClusterSafeSplit,
     "lc2_cluster_dedup" -> lc2ClusterDedup,
     "q13_recursive_cte" -> q13RecursiveCte,
     "j9b_band_join_binned" -> j9bBandJoinBinned,
@@ -393,6 +417,14 @@ object PipelineOps {
     "lc_dup_clusters" ->
       s"""$ccOracleCtes
          |SELECT id AS vec_id, lbl AS cluster_id FROM comp ORDER BY vec_id""".stripMargin,
+    // identical cluster closure + identical md5 gate on the label; a
+    // split that could straddle a component cannot match this oracle
+    "lp24_cluster_safe_split" ->
+      s"""$ccOracleCtes
+         |SELECT id AS vec_id, lbl AS cluster_id,
+         |  CASE WHEN (instr('0123456789abcdef', substr(md5(lbl || 'csplit'), 1, 1)) - 1) < 13
+         |       THEN 'train' ELSE 'test' END AS split
+         |FROM comp ORDER BY vec_id""".stripMargin,
     "lc2_cluster_dedup" ->
       s"""$ccOracleCtes
          |SELECT count(DISTINCT lbl) AS n_clusters,

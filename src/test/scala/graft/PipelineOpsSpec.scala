@@ -265,4 +265,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(nClusters + nDropped == nTotal,
       "every non-representative is dropped exactly once")
   }
+
+  test("lp24: no near-dup cluster straddles the train/test boundary") {
+    val rows = PipelineOps.lp24ClusterSafeSplit(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.foreach { case (c, members) =>
+      assert(members.map(_.getString(2)).distinct.length == 1,
+        s"cluster $c straddles the split")
+    }
+    val splits = rows.map(_.getString(2)).toSet
+    assert(splits == Set("train", "test"), s"both splits must be populated: $splits")
+    val trainFrac = rows.count(_.getString(2) == "train").toDouble / rows.length
+    assert(trainFrac > 0.6 && trainFrac < 0.95, s"train fraction $trainFrac off target")
+    // the leakage the guard prevents, on a planted duplicate (sf0.001
+    // has no natural near-dup pairs): an exact copy under a different
+    // id must land in its original's cluster and therefore its split
+    val e = Tables.embeddings(spark, sfDir)
+    val donor = e.orderBy("vec_id").limit(1)
+      .select(lit(999999L).as("vec_id"), col("embedding"))
+    val planted = e.select(col("vec_id"), col("embedding")).unionAll(donor)
+    val edges = graft.operators.Similarity
+      .exactNearDupPairs(planted, threshold = 0.95, nlist = 8)
+      .select(col("a_id"), col("b_id"))
+    val comp = graft.operators.Components
+      .connectedComponents(planted.select(col("vec_id")), edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val origId = e.orderBy("vec_id").limit(1).collect().head.getLong(0)
+    assert(comp(999999L) == comp(origId),
+      "planted duplicate did not join its original's cluster")
+  }
 }
