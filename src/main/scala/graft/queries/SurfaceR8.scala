@@ -227,6 +227,43 @@ object SurfaceR8 {
       .orderBy("q_id", "rn")
   }
 
+  /** LS4: BM25 ranking — the standard retrieval scorer on top of ls3's
+    * inverted index: idf = ln((N − df + 0.5)/(df + 0.5) + 1) (Lucene's
+    * positive-floored form), tf saturation k1 = 1.2, length
+    * normalization b = 0.75 against the average doc length. The query
+    * is data-derived deterministically (the two RAREST tokens — df
+    * asc, token asc — so the probe is discriminative on any corpus);
+    * scoring touches only the postings of those terms, never the
+    * corpus. Every fractional constant is written CAST-to-DOUBLE-safe
+    * (§5.3 decimal trap); ranking cuts on the r8-rounded score with a
+    * doc_id tiebreak. */
+  val ls4Bm25Topk: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val docs = documents(s, d)
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      avg(size(split(col("text"), " "))).as("avgdl"))
+    val dl = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+    val qterms = dfreq.orderBy(col("df").asc, col("tok").asc).limit(2)
+      .select(col("tok"), col("df"))
+    val scored = tf.join(broadcast(qterms), "tok")
+      .join(dl, "doc_id").crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log((col("n_docs") - col("df") + 0.5d) / (col("df") + 0.5d) + 1.0d) *
+          (col("tf") * 2.2d) /
+          (col("tf") + ((col("dl") / col("avgdl")) * 0.75d + 0.25d) * 1.2d))
+          .as("term_score"))
+      .groupBy("doc_id").agg(Orc.rN(sum("term_score"), 8).as("score"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 20)
+      .select(col("doc_id"), col("score"), col("rk"))
+      .orderBy("rk")
+  }
+
   /** Q21: gaps-and-islands — longest run of consecutive active days per
     * user, plus the island count. The classic streak analysis: distinct
     * (user, day) grid, then `day − row_number()` is constant within a
@@ -595,6 +632,45 @@ object SurfaceR8 {
       .orderBy("purchase_id")
   }
 
+  /** J15: as-of NEAREST join — completes the j8 family (backward /
+    * forward / tolerance / native) with the bidirectional variant:
+    * every purchase pairs with the click MINIMIZING |Δt|, ties to the
+    * backward side. Same window-only shape as q22 (no band join): one
+    * backward forward-fill + one forward backward-fill per user, then a
+    * three-way CASE on the two gaps. A same-µs click sorts before the
+    * purchase (k-order), so it is caught by the backward fill at gap 0
+    * — which the tie rule would pick anyway. */
+  val j15AsofNearest: Q = (s, d) => {
+    val W = org.apache.spark.sql.expressions.Window
+    val base = W.partitionBy("user_id")
+      .orderBy(col("tu").asc, col("k").asc, col("event_id").asc)
+    val wb = base.rowsBetween(W.unboundedPreceding, 0)
+    val wf = base.rowsBetween(0, W.unboundedFollowing)
+    val clickId = when(col("event_type") === "click", col("event_id"))
+    val clickTu = when(col("event_type") === "click", col("tu"))
+    Tables.events(s, d)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tu"),
+        when(col("event_type") === "click", 0).otherwise(1).as("k"))
+      .withColumn("b_click", last(clickId, ignoreNulls = true).over(wb))
+      .withColumn("b_tu", last(clickTu, ignoreNulls = true).over(wb))
+      .withColumn("f_click", first(clickId, ignoreNulls = true).over(wf))
+      .withColumn("f_tu", first(clickTu, ignoreNulls = true).over(wf))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        when(col("b_click").isNotNull &&
+            (col("f_click").isNull ||
+             col("tu") - col("b_tu") <= col("f_tu") - col("tu")), col("b_click"))
+          .otherwise(col("f_click")).as("nearest_click"),
+        when(col("b_click").isNotNull &&
+            (col("f_click").isNull ||
+             col("tu") - col("b_tu") <= col("f_tu") - col("tu")),
+            col("tu") - col("b_tu"))
+          .otherwise(col("f_tu") - col("tu")).as("gap_us"))
+      .orderBy("purchase_id")
+  }
+
   /** M29: chi-square test of independence — event_type × weekday
     * contingency table, the classic "is behavior day-dependent" gate.
     * χ² = Σ (O−E)²/E with E = row·col/N, built from ONE groupBy count
@@ -732,6 +808,7 @@ object SurfaceR8 {
     "lf3_jaro_pairs" -> lf3JaroPairs,
     "m28_mad_outliers" -> m28MadOutliers,
     "ls3_tfidf_topk" -> ls3TfidfTopk,
+    "ls4_bm25_topk" -> ls4Bm25Topk,
     "q21_streaks" -> q21Streaks,
     "a29_sketch_rollup" -> a29SketchRollup,
     "m27_robust_scaler" -> m27RobustScaler,
@@ -746,6 +823,7 @@ object SurfaceR8 {
     "lt8_twap" -> lt8Twap,
     "lp23_token_budget_select" -> lp23TokenBudgetSelect,
     "q22_attribution" -> q22Attribution,
+    "j15_asof_nearest" -> j15AsofNearest,
     "q23_ab_test" -> q23AbTest,
     "m29_chi2" -> m29Chi2,
     "x13_skew_stats" -> x13SkewStats)
@@ -838,6 +916,64 @@ object SurfaceR8 {
         |           FROM scored)
         |SELECT q_id, c_id, CAST(rn AS BIGINT) AS rn, round(cos8, 4) AS cos
         |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+    // every fractional constant CAST to DOUBLE on the DuckDB side too:
+    // bare 2.2/1.2 literals would multiply at exact DECIMAL precision
+    // there while Spark rounds to double first (the 5.3 trap mirrored)
+    "ls4_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT tok, count(*) AS df
+        |          FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),
+        |stats AS (SELECT count(*) AS n_docs,
+        |            avg(len(string_split(text, ' '))) AS avgdl FROM documents),
+        |dl AS (SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+        |q AS (SELECT tok, df FROM dfreq ORDER BY df ASC, tok ASC LIMIT 2),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    ln((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))
+        |       + CAST(1 AS DOUBLE)) *
+        |    (tf * CAST(2.2 AS DOUBLE)) /
+        |    (tf + CAST(1.2 AS DOUBLE) *
+        |      (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl)) AS term_score
+        |  FROM tf JOIN q USING (tok) JOIN dl ON tf.doc_id = dl.doc_id
+        |  CROSS JOIN stats),
+        |agg AS (SELECT doc_id, round(sum(term_score), 8) AS score
+        |        FROM scored GROUP BY doc_id),
+        |ranked AS (SELECT doc_id, score,
+        |             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+        |           FROM agg)
+        |SELECT doc_id, score, rk FROM ranked WHERE rk <= 20 ORDER BY rk""".stripMargin,
+    // every fractional constant CAST to DOUBLE on the DuckDB side too:
+    // bare 2.2/1.2 literals would multiply at exact DECIMAL precision
+    // there while Spark rounds to double first (the 5.3 trap mirrored)
+    "ls4_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT tok, count(*) AS df
+        |          FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),
+        |stats AS (SELECT count(*) AS n_docs,
+        |            avg(len(string_split(text, ' '))) AS avgdl FROM documents),
+        |dl AS (SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+        |q AS (SELECT tok, df FROM dfreq ORDER BY df ASC, tok ASC LIMIT 2),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    ln((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))
+        |       + CAST(1 AS DOUBLE)) *
+        |    (tf * CAST(2.2 AS DOUBLE)) /
+        |    (tf + CAST(1.2 AS DOUBLE) *
+        |      (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl)) AS term_score
+        |  FROM tf JOIN q USING (tok) JOIN dl ON tf.doc_id = dl.doc_id
+        |  CROSS JOIN stats),
+        |agg AS (SELECT doc_id, round(sum(term_score), 8) AS score
+        |        FROM scored GROUP BY doc_id),
+        |ranked AS (SELECT doc_id, score,
+        |             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+        |           FROM agg)
+        |SELECT doc_id, score, rk FROM ranked WHERE rk <= 20 ORDER BY rk""".stripMargin,
     "q21_streaks" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
@@ -954,6 +1090,35 @@ object SurfaceR8 {
          |  round(c_b / n_b, 6) AS rate_b,
          |  round(CASE WHEN se > 0 THEN (c_a / n_a - c_b / n_b) / se END, 4) AS z
          |FROM stat""".stripMargin,
+    // same window pair; the CASE mirrors Spark's tie-to-backward rule
+    "j15_asof_nearest" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tu,
+        |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS k
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |w AS (
+        |  SELECT event_id, user_id, event_type, tu,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY tu, k, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b_click,
+        |    last_value(CASE WHEN event_type = 'click' THEN tu END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY tu, k, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b_tu,
+        |    first_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY tu, k, event_id
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f_click,
+        |    first_value(CASE WHEN event_type = 'click' THEN tu END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY tu, k, event_id
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f_tu
+        |  FROM e)
+        |SELECT event_id AS purchase_id, user_id,
+        |  CASE WHEN b_click IS NOT NULL
+        |         AND (f_click IS NULL OR tu - b_tu <= f_tu - tu)
+        |       THEN b_click ELSE f_click END AS nearest_click,
+        |  CASE WHEN b_click IS NOT NULL
+        |         AND (f_click IS NULL OR tu - b_tu <= f_tu - tu)
+        |       THEN tu - b_tu ELSE f_tu - tu END AS gap_us
+        |FROM w WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin,
     // integer weekday arithmetic, double division on both engines
     "m29_chi2" ->
       """WITH obs AS (

@@ -481,6 +481,62 @@ class SurfaceR8Spec extends SparkSpec {
     } else assert(r.isNullAt(6), "z must be NULL when pooled variance is 0")
   }
 
+  // ---- LS4: BM25 ----
+
+  test("ls4: scores descend and the top doc matches a driver BM25 recompute") {
+    val rows = SurfaceR8.ls4Bm25Topk(spark, sfDir).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val scores = rows.sortBy(_.getLong(2)).map(_.getDouble(1))
+    assert(scores.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    // driver-side recompute over the same two rarest query terms
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .as[(Long, Seq[String])].collect()
+    val n = docs.length
+    val avgdl = docs.map(_._2.size).sum.toDouble / n
+    val df = docs.flatMap(_._2.distinct).groupBy(identity).view.mapValues(_.size)
+    val qterms = df.toSeq.sortBy { case (t, c) => (c, t) }.take(2)
+    def bm25(toks: Seq[String]): Double = qterms.map { case (t, dfT) =>
+      val tf = toks.count(_ == t)
+      if (tf == 0) 0.0
+      else math.log((n - dfT + 0.5) / (dfT + 0.5) + 1.0) * (tf * 2.2) /
+        (tf + ((toks.size / avgdl) * 0.75 + 0.25) * 1.2)
+    }.sum
+    val best = docs.filter(d => bm25(d._2) > 0)
+      .maxBy(d => (math.rint(bm25(d._2) * 1e8) / 1e8, -d._1))._1
+    assert(rows.sortBy(_.getLong(2)).head.getLong(0) == best,
+      s"ls4 top-1 ${rows.sortBy(_.getLong(2)).head.getLong(0)}, recompute says $best")
+  }
+
+  // ---- J15: as-of nearest ----
+
+  test("j15: nearest click minimizes |gap|, ties to the backward side") {
+    val rows = SurfaceR8.j15AsofNearest(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tu"))
+      .as[(Long, Long, String, Long)].collect()
+    val clicksByUser = e.filter(_._3 == "click").groupBy(_._2)
+    rows.foreach { r =>
+      val (pid, uid) = (r.getLong(0), r.getLong(1))
+      val ptu = e.find(_._1 == pid).get._4
+      val cands = clicksByUser.getOrElse(uid, Array.empty)
+      if (r.isNullAt(2)) assert(cands.isEmpty)
+      else {
+        val got = r.getLong(2)
+        val gotGap = r.getLong(3)
+        val minGap = cands.map(c => math.abs(c._4 - ptu)).min
+        assert(gotGap == minGap, s"purchase $pid: gap $gotGap != min $minGap")
+        val gotC = cands.find(_._1 == got).get
+        assert(math.abs(gotC._4 - ptu) == minGap)
+        // tie rule: if a backward candidate achieves the min, got must be backward
+        if (cands.exists(c => c._4 <= ptu && ptu - c._4 == minGap))
+          assert(gotC._4 <= ptu, s"purchase $pid: tie must go backward")
+      }
+    }
+  }
+
   // ---- M29: chi-square independence ----
 
   test("m29: chi2 statistic matches MLlib's ChiSquareTest on the same contingency table") {
