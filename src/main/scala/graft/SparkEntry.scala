@@ -44,7 +44,8 @@ object SparkEntry {
       graft.queries.SurfaceR6o.queries ++
       graft.queries.SurfaceR6p.queries ++
       graft.queries.SurfaceR8.queries ++
-      graft.queries.SurfaceR8b.queries
+      graft.queries.SurfaceR8b.queries ++
+      graft.queries.SurfaceR8c.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -79,7 +80,8 @@ object SparkEntry {
       graft.queries.SurfaceR6o.oracleSql ++
       graft.queries.SurfaceR6p.oracleSql ++
       graft.queries.SurfaceR8.oracleSql ++
-      graft.queries.SurfaceR8b.oracleSql)
+      graft.queries.SurfaceR8b.oracleSql ++
+      graft.queries.SurfaceR8c.oracleSql)
       .map { case (k, v) => k -> Orc.round4Sql(v) }
 
   /** Headline bench subset — names and shapes match BASELINE.md. */

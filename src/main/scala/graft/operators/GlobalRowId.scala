@@ -40,8 +40,19 @@ object GlobalRowId {
       df: DataFrame,
       key: String,
       numPartitions: Int = 32,
+      outCol: String = "rowid"): DataFrame =
+    withRowIdCols(df, Seq(key), numPartitions, outCol)
+
+  /** Multi-column variant: ordinal by the lexicographic order of `keys`
+    * (pass enough trailing tie-break columns to make the tuple unique —
+    * same caveat as the single-key form). Used by a30's equi-depth
+    * histogram, where the sort key is (value, pk...) rather than a pk. */
+  def withRowIdCols(
+      df: DataFrame,
+      keys: Seq[String],
+      numPartitions: Int = 32,
       outCol: String = "rowid"): DataFrame = {
-    val ranged = df.repartitionByRange(numPartitions, col(key))
+    val ranged = df.repartitionByRange(numPartitions, keys.map(col): _*)
       .withColumn("_pid", spark_partition_id())
     val offsets = ranged
       .groupBy("_pid").agg(count(lit(1)).as("_n"))
@@ -52,7 +63,7 @@ object GlobalRowId {
           lit(0L)))
       .select("_pid", "_off")
     val local = row_number()
-      .over(Window.partitionBy("_pid").orderBy(col(key)))
+      .over(Window.partitionBy("_pid").orderBy(keys.map(col): _*))
     ranged
       .withColumn("_local", local)
       .join(broadcast(offsets), "_pid")

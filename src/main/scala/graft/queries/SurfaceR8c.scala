@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Orc, Tables}
+import graft.operators.GlobalRowId
+
+/** Round-8 batch 3: tokenizer-training statistics, batch sessionization,
+  * exact equi-depth binning, and prefix-filtered set-similarity join.
+  *
+  * Reference: /root/reference is empty (SURVEY.md §0.1); contract areas
+  * SURVEY.md §2 (A aggregates, W windows, L text pipeline) and §2.13.
+  */
+object SurfaceR8c {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** LT10: adjacent-token pair frequencies — the inner statistic of one
+    * BPE merge iteration (the pair chosen next by a tokenizer trainer
+    * is exactly the argmax of this table). explode + map-side-combined
+    * hash aggregation; the top-20 is a TakeOrdered, never a global
+    * sort. At 100 TB this is the shape tokenizer training actually
+    * runs per merge round, keyed by a vocabulary ≪ corpus. */
+  val lt10BpePairs: Q = (s, d) => {
+    documents(s, d).createOrReplaceTempView("graft_r8c_docs")
+    s.sql(
+      """WITH w AS (
+        |  SELECT split(text, ' ') AS t FROM graft_r8c_docs
+        |  WHERE size(split(text, ' ')) >= 2),
+        |pr AS (
+        |  SELECT explode(transform(sequence(0, size(t) - 2),
+        |    i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2)))) AS pair
+        |  FROM w),
+        |c AS (SELECT pair, count(*) AS n FROM pr GROUP BY pair)
+        |SELECT pair, n FROM c ORDER BY n DESC, pair LIMIT 20""".stripMargin)
+  }
+
+  /** Q26: batch sessionization — the gap-based islands assignment every
+    * event pipeline needs in batch form (t3/t11 are the streaming
+    * twins). One window pass per user marks session starts (gap >
+    * 12 h — sized to the fixture's 7.3 h median inter-event gap), a
+    * running sum numbers them, one hash aggregation emits per-session
+    * stats. All integer microsecond arithmetic — exact on both
+    * engines. Partitioned by user_id: scales to any corpus whose
+    * single-user history fits an executor (the same contract as every
+    * per-entity window). */
+  val q26Sessionize: Q = (s, d) => {
+    val e = events(s, d).select(col("user_id"), col("event_id"),
+      expr("unix_micros(ts)").as("tu"))
+    val w = Window.partitionBy("user_id").orderBy(col("tu"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("prev", lag(col("tu"), 1).over(w))
+      .withColumn("ns",
+        when(col("prev").isNull || col("tu") - col("prev") > lit(43200000000L), 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum("ns").over(run))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_events"),
+        min("tu").as("start_us"), max("tu").as("end_us"))
+      .withColumn("dur_us", col("end_us") - col("start_us"))
+      .orderBy("user_id", "sid")
+  }
+
+  /** A30: exact equi-depth histogram (decile bins of l_extendedprice)
+    * WITHOUT the single-partition ntile window. The textbook
+    * `ntile(10) OVER (ORDER BY price)` funnels the corpus through one
+    * task; here the global ordinal comes from [[GlobalRowId]]'s
+    * range-partition + offset scheme (only a numPartitions-row cumsum
+    * is ever single-partition) and the bucket is computed from the
+    * ordinal by ntile's own size formula (first N mod k buckets get
+    * one extra row), so the result is cell-identical to the oracle's
+    * ntile. m11_quantile_disc is the approx-quantile twin; this is the
+    * exact one, driver-checked. */
+  val a30EquidepthHist: Q = (s, d) => {
+    val base = lineitem(s, d).select(
+      col("l_extendedprice").as("p"), col("l_orderkey"), col("l_linenumber"))
+    val withId = GlobalRowId.withRowIdCols(
+      base, Seq("p", "l_orderkey", "l_linenumber"), numPartitions = 32)
+    val n = base.agg(count(lit(1)).as("N"))
+    withId.crossJoin(broadcast(n))
+      .selectExpr("p", "rowid", "N div 10 AS q", "N % 10 AS r")
+      .selectExpr("p",
+        """CAST(CASE WHEN rowid < r * (q + 1) THEN rowid div (q + 1)
+          |     ELSE r + (rowid - r * (q + 1)) div q END + 1 AS BIGINT)
+          |  AS bucket""".stripMargin)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min("p").as("lo"), max("p").as("hi"))
+      .orderBy("bucket")
+  }
+
+  /** LJ2: exact Jaccard similarity self-join (threshold 0.95) by PREFIX
+    * FILTERING — the all-pairs/PPJoin candidate scheme. Tokens get a
+    * global rarity rank (df asc — the rank window runs over the
+    * vocabulary, which is ≪ corpus); a doc of m distinct tokens keeps
+    * only its m − ⌈t·m⌉ + 1 rarest as its prefix, and two docs can
+    * reach Jaccard ≥ t only if their prefixes share a token — so
+    * candidate generation is an equi-join on prefix tokens, never
+    * all-pairs (the oracle IS brute-force all-pairs, so any recall
+    * loss fails the hash compare loudly). Candidates are then verified
+    * exactly via an intersection count join on (doc, token). */
+  val lj2PrefixJaccard: Q = (s, d) => {
+    val thr = 0.95
+    val toks = documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .where(length(col("tok")) > 0)
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("m"))
+    val ranked = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      .withColumn("r", row_number().over(Window.orderBy("df", "tok")))
+    val pref = toks.join(ranked, "tok").join(sizes, "doc_id")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("doc_id").orderBy("r")))
+      .where(col("pos") <= (col("m") - ceil(col("m") * lit(thr)) + 1L))
+      .select(col("doc_id"), col("tok"))
+    val cand = pref.toDF("a_id", "tok")
+      .join(pref.toDF("b_id", "tok"), "tok")
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val inter = cand
+      .join(toks.toDF("a_id", "tok"), "a_id")
+      .join(toks.toDF("b_id", "tok"), Seq("b_id", "tok"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
+    val j = col("i").cast("double") /
+      (col("ma") + col("mb") - col("i")).cast("double")
+    inter
+      .join(sizes.toDF("a_id", "ma"), "a_id")
+      .join(sizes.toDF("b_id", "mb"), "b_id")
+      .where(j >= lit(thr))
+      .select(col("a_id"), col("b_id"), Orc.r4(j).as("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
+  // ---- registry ----
+
+  val queries: Map[String, Q] = Map(
+    "lt10_bpe_pairs" -> lt10BpePairs,
+    "q26_sessionize" -> q26Sessionize,
+    "a30_equidepth_hist" -> a30EquidepthHist,
+    "lj2_prefix_jaccard" -> lj2PrefixJaccard)
+
+  val oracleSql: Map[String, String] = Map(
+    "lt10_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |pr AS (
+        |  SELECT unnest(list_transform(range(len(t) - 1),
+        |    i -> t[CAST(i + 1 AS INT)] || ' ' || t[CAST(i + 2 AS INT)])) AS pair
+        |  FROM w),
+        |c AS (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM pr GROUP BY pair)
+        |SELECT pair, n FROM c ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    "q26_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tu FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, tu,
+        |    CASE WHEN lag(tu) OVER w IS NULL
+        |           OR tu - lag(tu) OVER w > 43200000000 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)),
+        |s AS (
+        |  SELECT user_id, tu,
+        |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY tu, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM f)
+        |SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events,
+        |  min(tu) AS start_us, max(tu) AS end_us,
+        |  max(tu) - min(tu) AS dur_us
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin,
+    "a30_equidepth_hist" ->
+      """WITH t AS (
+        |  SELECT l_extendedprice AS p,
+        |    ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+        |      AS bucket
+        |  FROM lineitem)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+        |  min(p) AS lo, max(p) AS hi
+        |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "lj2_prefix_jaccard" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(list_distinct(string_split(text, ' ')), x -> len(x) > 0)
+        |      AS toks
+        |  FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  round(len(list_intersect(a.toks, b.toks)) /
+        |    CAST(len(a.toks) + len(b.toks)
+        |         - len(list_intersect(a.toks, b.toks)) AS DOUBLE), 4) AS jaccard
+        |FROM tk a JOIN tk b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.toks, b.toks)) /
+        |    CAST(len(a.toks) + len(b.toks)
+        |         - len(list_intersect(a.toks, b.toks)) AS DOUBLE) >= 95e-2
+        |ORDER BY a_id, b_id""".stripMargin)
+}
