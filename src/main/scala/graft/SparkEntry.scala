@@ -45,7 +45,8 @@ object SparkEntry {
       graft.queries.SurfaceR6p.queries ++
       graft.queries.SurfaceR8.queries ++
       graft.queries.SurfaceR8b.queries ++
-      graft.queries.SurfaceR8c.queries
+      graft.queries.SurfaceR8c.queries ++
+      graft.queries.SurfaceR8d.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -81,7 +82,8 @@ object SparkEntry {
       graft.queries.SurfaceR6p.oracleSql ++
       graft.queries.SurfaceR8.oracleSql ++
       graft.queries.SurfaceR8b.oracleSql ++
-      graft.queries.SurfaceR8c.oracleSql)
+      graft.queries.SurfaceR8c.oracleSql ++
+      graft.queries.SurfaceR8d.oracleSql)
       .map { case (k, v) => k -> Orc.round4Sql(v) }
 
   /** Headline bench subset — names and shapes match BASELINE.md. */

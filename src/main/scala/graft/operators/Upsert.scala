@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** MERGE-style upsert as a composition of built-in operators: the result
@@ -44,5 +45,27 @@ object Upsert {
         if (keys.contains(c)) coalesce(col(s"_u_$c"), col(s"_b_$c")).as(c)
         else when(matched, col(s"_u_$c")).otherwise(col(s"_b_$c")).as(c)
       }: _*)
+  }
+
+  /** Apply a CDC changelog: keep, per key, the payload of the
+    * highest-`seqCol` change whose `opCol` is not `"D"` — i.e. replay
+    * INSERT/UPDATE/DELETE in sequence order and materialize the final
+    * table. One window pass keyed by the primary key (the same shuffle
+    * a MERGE would pay), cost ∝ changelog size, never the history:
+    * the standard compaction step for ingesting a Debezium-style feed.
+    * Ties on (key, seq) are broken by preferring the later op in
+    * `opCol` descending ('U' > 'I' > 'D' is NOT assumed — pass unique
+    * seqs per key; the tiebreak only pins determinism). */
+  def applyCdc(
+      changes: DataFrame,
+      keys: Seq[String],
+      seqCol: String,
+      opCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(seqCol).desc, col(opCol).desc)
+    changes
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1 && col(opCol) =!= "D")
+      .drop("_rn", seqCol, opCol)
   }
 }
