@@ -46,7 +46,8 @@ object SparkEntry {
       graft.queries.SurfaceR8.queries ++
       graft.queries.SurfaceR8b.queries ++
       graft.queries.SurfaceR8c.queries ++
-      graft.queries.SurfaceR8d.queries
+      graft.queries.SurfaceR8d.queries ++
+      graft.queries.SurfaceR8e.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -83,7 +84,8 @@ object SparkEntry {
       graft.queries.SurfaceR8.oracleSql ++
       graft.queries.SurfaceR8b.oracleSql ++
       graft.queries.SurfaceR8c.oracleSql ++
-      graft.queries.SurfaceR8d.oracleSql)
+      graft.queries.SurfaceR8d.oracleSql ++
+      graft.queries.SurfaceR8e.oracleSql)
       .map { case (k, v) => k -> Orc.round4Sql(v) }
 
   /** Headline bench subset — names and shapes match BASELINE.md. */
