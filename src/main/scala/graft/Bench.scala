@@ -108,6 +108,34 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] analytics probe failed: ${e.getMessage}"); -1.0
     }
+    // Probe 5b (untimed vs BASELINE): the round-8 sequence/series batch
+    // — sweep-line concurrency, Markov transitions, sessionization,
+    // rolling z-score, ACF, BPE pairs, ABC classing. All delta-agg /
+    // per-entity-window shapes; measured so a frame regression (the lt2
+    // class of bug) in any of them shows up as minutes here.
+    val seqAnalyticsSec = try {
+      val t0 = System.nanoTime()
+      graft.queries.SurfaceR8b.q24OpenOrders(spark, sfDir).count()
+      graft.queries.SurfaceR8b.q25Markov(spark, sfDir).count()
+      graft.queries.SurfaceR8b.lt9RollingZscore(spark, sfDir).count()
+      graft.queries.SurfaceR8c.q26Sessionize(spark, sfDir).count()
+      graft.queries.SurfaceR8c.lt10BpePairs(spark, sfDir).count()
+      graft.queries.SurfaceR8e.lt11Acf(spark, sfDir).count()
+      graft.queries.SurfaceR8e.q27AbcPareto(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] seq-analytics probe failed: ${e.getMessage}"); -1.0
+    }
+    // Probe 5c (untimed vs BASELINE): prefix-filtered exact Jaccard —
+    // its candidate count is data-dependent (near-dup density), so the
+    // cost is measured rather than assumed.
+    val lj2Sec = try {
+      val t0 = System.nanoTime()
+      graft.queries.SurfaceR8c.lj2PrefixJaccard(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] lj2 probe failed: ${e.getMessage}"); -1.0
+    }
     // Probe 6 (untimed vs BASELINE): the inverted-index sparse top-k —
     // the one new query whose join fanout grows with corpus size, so
     // its bench-SF cost is measured rather than assumed.
@@ -118,7 +146,7 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] ls3 probe failed: ${e.getMessage}"); -1.0
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rocksdb_state_t6_sec":$stateSec,"curation_sec":$curationSec,"interp_sec":$interpSec,"pq_sec":$pqSec,"analytics_sec":$analyticsSec,"ls3_sec":$ls3Sec,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rocksdb_state_t6_sec":$stateSec,"curation_sec":$curationSec,"interp_sec":$interpSec,"pq_sec":$pqSec,"analytics_sec":$analyticsSec,"seq_analytics_sec":$seqAnalyticsSec,"lj2_sec":$lj2Sec,"ls3_sec":$ls3Sec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
