@@ -47,7 +47,8 @@ object SparkEntry {
       graft.queries.SurfaceR8b.queries ++
       graft.queries.SurfaceR8c.queries ++
       graft.queries.SurfaceR8d.queries ++
-      graft.queries.SurfaceR8e.queries
+      graft.queries.SurfaceR8e.queries ++
+      graft.queries.SurfaceR8f.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -85,7 +86,8 @@ object SparkEntry {
       graft.queries.SurfaceR8b.oracleSql ++
       graft.queries.SurfaceR8c.oracleSql ++
       graft.queries.SurfaceR8d.oracleSql ++
-      graft.queries.SurfaceR8e.oracleSql)
+      graft.queries.SurfaceR8e.oracleSql ++
+      graft.queries.SurfaceR8f.oracleSql)
       .map { case (k, v) => k -> Orc.round4Sql(v) }
 
   /** Headline bench subset — names and shapes match BASELINE.md. */
