@@ -48,7 +48,8 @@ object SparkEntry {
       graft.queries.SurfaceR8c.queries ++
       graft.queries.SurfaceR8d.queries ++
       graft.queries.SurfaceR8e.queries ++
-      graft.queries.SurfaceR8f.queries
+      graft.queries.SurfaceR8f.queries ++
+      graft.queries.SurfaceR8g.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -87,7 +88,8 @@ object SparkEntry {
       graft.queries.SurfaceR8c.oracleSql ++
       graft.queries.SurfaceR8d.oracleSql ++
       graft.queries.SurfaceR8e.oracleSql ++
-      graft.queries.SurfaceR8f.oracleSql)
+      graft.queries.SurfaceR8f.oracleSql ++
+      graft.queries.SurfaceR8g.oracleSql)
       .map { case (k, v) => k -> Orc.round4Sql(v) }
 
   /** Headline bench subset — names and shapes match BASELINE.md. */
