@@ -50,7 +50,8 @@ object SparkEntry {
       graft.queries.SurfaceR8e.queries ++
       graft.queries.SurfaceR8f.queries ++
       graft.queries.SurfaceR8g.queries ++
-      graft.queries.SurfaceR8h.queries
+      graft.queries.SurfaceR8h.queries ++
+      graft.queries.SurfaceR8i.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -91,7 +92,8 @@ object SparkEntry {
       graft.queries.SurfaceR8e.oracleSql ++
       graft.queries.SurfaceR8f.oracleSql ++
       graft.queries.SurfaceR8g.oracleSql ++
-      graft.queries.SurfaceR8h.oracleSql)
+      graft.queries.SurfaceR8h.oracleSql ++
+      graft.queries.SurfaceR8i.oracleSql)
       .map { case (k, v) => k -> Orc.round4Sql(v) }
 
   /** Headline bench subset — names and shapes match BASELINE.md. */

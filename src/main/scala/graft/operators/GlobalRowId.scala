@@ -52,8 +52,14 @@ object GlobalRowId {
       keys: Seq[String],
       numPartitions: Int = 32,
       outCol: String = "rowid"): DataFrame = {
+    // Eagerly materialized for the same reason as PrefixSum: the
+    // offsets subtree and the rank subtree must see ONE boundary
+    // sample, not two — ReuseExchange usually dedupes the range
+    // shuffle, but correctness must not hinge on it (a divergent
+    // resample was observed on PrefixSum's identical structure).
     val ranged = df.repartitionByRange(numPartitions, keys.map(col): _*)
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true)
     val offsets = ranged
       .groupBy("_pid").agg(count(lit(1)).as("_n"))
       .withColumn("_off",
