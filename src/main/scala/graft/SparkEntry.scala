@@ -51,7 +51,8 @@ object SparkEntry {
       graft.queries.SurfaceR8f.queries ++
       graft.queries.SurfaceR8g.queries ++
       graft.queries.SurfaceR8h.queries ++
-      graft.queries.SurfaceR8i.queries
+      graft.queries.SurfaceR8i.queries ++
+      graft.queries.SurfaceR8j.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -93,7 +94,8 @@ object SparkEntry {
       graft.queries.SurfaceR8f.oracleSql ++
       graft.queries.SurfaceR8g.oracleSql ++
       graft.queries.SurfaceR8h.oracleSql ++
-      graft.queries.SurfaceR8i.oracleSql)
+      graft.queries.SurfaceR8i.oracleSql ++
+      graft.queries.SurfaceR8j.oracleSql)
       .map { case (k, v) => k -> Orc.round4Sql(v) }
 
   /** Headline bench subset — names and shapes match BASELINE.md. */
