@@ -52,7 +52,8 @@ object SparkEntry {
       graft.queries.SurfaceR8g.queries ++
       graft.queries.SurfaceR8h.queries ++
       graft.queries.SurfaceR8i.queries ++
-      graft.queries.SurfaceR8j.queries
+      graft.queries.SurfaceR8j.queries ++
+      graft.queries.SurfaceR8k.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -95,7 +96,8 @@ object SparkEntry {
       graft.queries.SurfaceR8g.oracleSql ++
       graft.queries.SurfaceR8h.oracleSql ++
       graft.queries.SurfaceR8i.oracleSql ++
-      graft.queries.SurfaceR8j.oracleSql)
+      graft.queries.SurfaceR8j.oracleSql ++
+      graft.queries.SurfaceR8k.oracleSql)
       .map { case (k, v) => k -> Orc.round4Sql(v) }
 
   /** Headline bench subset — names and shapes match BASELINE.md. */
