@@ -67,10 +67,35 @@ object SurfaceR8k {
       .orderBy("source")
   }
 
+  /** T19: session windows with a DYNAMIC per-event gap — Spark 4's
+    * `session_window(ts, gapExpr)`: error events hold a session open
+    * for 6 h, everything else for 12 h (ops sessions shouldn't die
+    * while a burst of errors is still fresh). The oracle reconstructs
+    * the merge semantics independently: a new session starts exactly
+    * when an event's time reaches the running MAX of all previous
+    * events' (time + their gap) — the furthest-end chain rule, which
+    * is what overlapping-interval merging reduces to under a sort.
+    * Integer-µs arithmetic throughout. */
+  val t19DynamicGapSession: Q = (s, d) => {
+    // session_window's dynamic gap must be CalendarIntervalType —
+    // make_interval, not an ANSI day-time interval literal
+    val gap = when(col("event_type") === "error",
+      expr("make_interval(0, 0, 0, 0, 6, 0, 0)"))
+      .otherwise(expr("make_interval(0, 0, 0, 0, 12, 0, 0)"))
+    events(s, d)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        unix_micros(min(col("ts"))).as("start_us"),
+        unix_micros(max(col("ts"))).as("end_us"))
+      .select("user_id", "n_events", "start_us", "end_us")
+      .orderBy("user_id", "start_us")
+  }
+
   // ---- registry ----
 
   val queries: Map[String, Q] = Map(
-    "lp29_mixture_waterfill" -> lp29MixtureWaterfill)
+    "lp29_mixture_waterfill" -> lp29MixtureWaterfill,
+    "t19_dynamic_gap_session" -> t19DynamicGapSession)
 
   val oracleSql: Map[String, String] = Map(
     "lp29_mixture_waterfill" ->
@@ -107,5 +132,25 @@ object SurfaceR8k {
         |      row_number() OVER (PARTITION BY (a0 < n) ORDER BY rk)
         |        <= (SELECT r FROM rem)
         |      AND (SELECT r FROM rem) > 0 THEN 1 ELSE 0 END AS BIGINT) AS alloc
-        |FROM alloc ORDER BY source""".stripMargin)
+        |FROM alloc ORDER BY source""".stripMargin,
+    "t19_dynamic_gap_session" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tu,
+        |    CASE WHEN event_type = 'error' THEN 21600000000
+        |         ELSE 43200000000 END AS gap
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, tu,
+        |    CASE WHEN max(tu + gap) OVER w IS NULL
+        |           OR tu >= max(tu + gap) OVER w THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |s AS (
+        |  SELECT user_id, tu,
+        |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY tu
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM m)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  min(tu) AS start_us, max(tu) AS end_us
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin)
 }
