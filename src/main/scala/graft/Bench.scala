@@ -8,6 +8,12 @@ import org.apache.spark.sql.SparkSession
   * fixed subset so totals are comparable to BASELINE.md round over round.
   */
 object Bench {
+  /** Force a probe result the way Tripwire does: a noop-format write
+    * computes EVERY column (count() lets Catalyst prune unaggregated
+    * columns — a scale-killer hiding in one of them would go untimed). */
+  private def force(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -60,10 +66,10 @@ object Bench {
     // round-6 surface is observed, not assumed.
     val curationSec = try {
       val t0 = System.nanoTime()
-      graft.queries.SurfaceR6.l12Repetition(spark, sfDir).count()
-      graft.queries.SurfaceR6.l13Contamination(spark, sfDir).count()
-      graft.queries.SurfaceR6.l14MixSample(spark, sfDir).count()
-      graft.queries.SurfaceR6c.lp12ChunkDedup(spark, sfDir).count()
+      force(graft.queries.SurfaceR6.l12Repetition(spark, sfDir))
+      force(graft.queries.SurfaceR6.l13Contamination(spark, sfDir))
+      force(graft.queries.SurfaceR6.l14MixSample(spark, sfDir))
+      force(graft.queries.SurfaceR6c.lp12ChunkDedup(spark, sfDir))
       (System.nanoTime() - t0) / 1e9
     } catch { case e: Throwable =>
       System.err.println(s"[bench] curation probe failed: ${e.getMessage}"); -1.0
@@ -74,7 +80,7 @@ object Bench {
     // observable — a regression here shows up as minutes, not a wobble.
     val interpSec = try {
       val t0 = System.nanoTime()
-      graft.queries.SurfaceR6e.lt2LinearInterp(spark, sfDir).count()
+      force(graft.queries.SurfaceR6e.lt2LinearInterp(spark, sfDir))
       (System.nanoTime() - t0) / 1e9
     } catch { case e: Throwable =>
       System.err.println(s"[bench] interp probe failed: ${e.getMessage}"); -1.0
@@ -85,7 +91,7 @@ object Bench {
     // "compressed ANN is affordable" claim measured, not assumed.
     val pqSec = try {
       val t0 = System.nanoTime()
-      graft.queries.SurfaceR8.lpqPqAnn(spark, sfDir).count()
+      force(graft.queries.SurfaceR8.lpqPqAnn(spark, sfDir))
       (System.nanoTime() - t0) / 1e9
     } catch { case e: Throwable =>
       System.err.println(s"[bench] pq probe failed: ${e.getMessage}"); -1.0
@@ -96,14 +102,14 @@ object Bench {
     // sub-second-ish at bench SF.
     val analyticsSec = try {
       val t0 = System.nanoTime()
-      graft.queries.SurfaceR8.q19Funnel(spark, sfDir).count()
-      graft.queries.SurfaceR8.q20Retention(spark, sfDir).count()
-      graft.queries.SurfaceR8.q21Streaks(spark, sfDir).count()
-      graft.queries.SurfaceR8.q22Attribution(spark, sfDir).count()
-      graft.queries.SurfaceR8.q23AbTest(spark, sfDir).count()
-      graft.queries.SurfaceR8.lt7OhlcBars(spark, sfDir).count()
-      graft.queries.SurfaceR8.m28MadOutliers(spark, sfDir).count()
-      graft.queries.SurfaceR8.m29Chi2(spark, sfDir).count()
+      force(graft.queries.SurfaceR8.q19Funnel(spark, sfDir))
+      force(graft.queries.SurfaceR8.q20Retention(spark, sfDir))
+      force(graft.queries.SurfaceR8.q21Streaks(spark, sfDir))
+      force(graft.queries.SurfaceR8.q22Attribution(spark, sfDir))
+      force(graft.queries.SurfaceR8.q23AbTest(spark, sfDir))
+      force(graft.queries.SurfaceR8.lt7OhlcBars(spark, sfDir))
+      force(graft.queries.SurfaceR8.m28MadOutliers(spark, sfDir))
+      force(graft.queries.SurfaceR8.m29Chi2(spark, sfDir))
       (System.nanoTime() - t0) / 1e9
     } catch { case e: Throwable =>
       System.err.println(s"[bench] analytics probe failed: ${e.getMessage}"); -1.0
@@ -115,13 +121,13 @@ object Bench {
     // class of bug) in any of them shows up as minutes here.
     val seqAnalyticsSec = try {
       val t0 = System.nanoTime()
-      graft.queries.SurfaceR8b.q24OpenOrders(spark, sfDir).count()
-      graft.queries.SurfaceR8b.q25Markov(spark, sfDir).count()
-      graft.queries.SurfaceR8b.lt9RollingZscore(spark, sfDir).count()
-      graft.queries.SurfaceR8c.q26Sessionize(spark, sfDir).count()
-      graft.queries.SurfaceR8c.lt10BpePairs(spark, sfDir).count()
-      graft.queries.SurfaceR8e.lt11Acf(spark, sfDir).count()
-      graft.queries.SurfaceR8e.q27AbcPareto(spark, sfDir).count()
+      force(graft.queries.SurfaceR8b.q24OpenOrders(spark, sfDir))
+      force(graft.queries.SurfaceR8b.q25Markov(spark, sfDir))
+      force(graft.queries.SurfaceR8b.lt9RollingZscore(spark, sfDir))
+      force(graft.queries.SurfaceR8c.q26Sessionize(spark, sfDir))
+      force(graft.queries.SurfaceR8c.lt10BpePairs(spark, sfDir))
+      force(graft.queries.SurfaceR8e.lt11Acf(spark, sfDir))
+      force(graft.queries.SurfaceR8e.q27AbcPareto(spark, sfDir))
       (System.nanoTime() - t0) / 1e9
     } catch { case e: Throwable =>
       System.err.println(s"[bench] seq-analytics probe failed: ${e.getMessage}"); -1.0
@@ -131,7 +137,7 @@ object Bench {
     // cost is measured rather than assumed.
     val lj2Sec = try {
       val t0 = System.nanoTime()
-      graft.queries.SurfaceR8c.lj2PrefixJaccard(spark, sfDir).count()
+      force(graft.queries.SurfaceR8c.lj2PrefixJaccard(spark, sfDir))
       (System.nanoTime() - t0) / 1e9
     } catch { case e: Throwable =>
       System.err.println(s"[bench] lj2 probe failed: ${e.getMessage}"); -1.0
@@ -141,7 +147,7 @@ object Bench {
     // its bench-SF cost is measured rather than assumed.
     val ls3Sec = try {
       val t0 = System.nanoTime()
-      graft.queries.SurfaceR8.ls3TfidfTopk(spark, sfDir).count()
+      force(graft.queries.SurfaceR8.ls3TfidfTopk(spark, sfDir))
       (System.nanoTime() - t0) / 1e9
     } catch { case e: Throwable =>
       System.err.println(s"[bench] ls3 probe failed: ${e.getMessage}"); -1.0

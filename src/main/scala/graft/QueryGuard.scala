@@ -65,6 +65,28 @@ object QueryGuard {
     } finally exec.shutdownNow()
   }
 
+  /** Capture the CALLING thread's job group and return a wrapper that
+    * re-applies it around `body` on whatever thread runs it. Needed for
+    * work farmed out to ForkJoinPool common-pool threads (`.par`):
+    * those threads are created lazily by the pool, not by the guarded
+    * worker, so InheritableThreadLocal does NOT carry the job group to
+    * them — and jobs they submit would be invisible to the watchdog's
+    * `cancelJobGroup`. The wrapper sets the captured group before the
+    * task and clears it after (pool threads are reused; a leaked group
+    * would mis-tag unrelated later queries). */
+  final class JobGroupRunner(sc: SparkContext) {
+    private val gid = sc.getLocalProperty("spark.jobGroup.id")
+    private val desc = Option(sc.getLocalProperty("spark.job.description")).getOrElse(gid)
+    private val interrupt = sc.getLocalProperty("spark.job.interruptOnCancel") == "true"
+    def apply[T](body: => T): T = {
+      if (gid != null) sc.setJobGroup(gid, desc, interrupt)
+      try body finally if (gid != null) sc.clearJobGroup()
+    }
+  }
+
+  /** Build on the guarded worker thread; apply inside each `.par` task. */
+  def withCallerJobGroup(sc: SparkContext): JobGroupRunner = new JobGroupRunner(sc)
+
   /** Recursive delete — used to turn a failed/timed-out query's
     * partially-written output directory into a MISSING result rather
     * than a corrupt one the driver's DuckDB compare would score WRONG. */
@@ -77,10 +99,19 @@ object QueryGuard {
   /** JVM-exit cleanup for a POPULATED scratch directory. `deleteOnExit`
     * cannot do this — `File.delete` refuses a non-empty directory, so
     * registering just the dir (the a29/t17/t18 first cut) silently
-    * leaks it with everything Spark wrote inside. A shutdown hook with
-    * the recursive delete actually reclaims the tree; the query results
-    * are long since localized by then (memory sink / returned frame
-    * consumed within the drive). */
-  def deleteRecOnExit(dir: java.io.File): Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(dir)))
+    * leaks it with everything Spark wrote inside. One static shutdown
+    * hook drains a concurrent queue of registered dirs — repeated
+    * drives in a long-lived JVM (Bench + Verify in one process) must
+    * not accumulate a hook-thread per call. */
+  private val exitDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  private lazy val exitHook: Unit = Runtime.getRuntime.addShutdownHook(
+    new Thread(() => {
+      var d = exitDirs.poll()
+      while (d != null) { deleteRec(d); d = exitDirs.poll() }
+    }, "graft-scratch-cleanup"))
+
+  def deleteRecOnExit(dir: java.io.File): Unit = {
+    exitHook
+    exitDirs.add(dir)
+  }
 }

@@ -70,10 +70,14 @@ object ProductQuantizer {
     // its driver-side reseed/convergence steps, and m concurrent jobs
     // fill those gaps — the fair scheduler interleaves them. The shared
     // fit input is persisted once above so the m fits re-slice cached
-    // rows instead of re-scanning parquet m times.
+    // rows instead of re-scanning parquet m times. `.par` runs on
+    // ForkJoinPool common-pool threads that do NOT inherit the caller's
+    // job group, so each task re-applies it via the runner — otherwise
+    // QueryGuard's cancelJobGroup could not kill a wedged fit.
     import scala.collection.parallel.CollectionConverters._
+    val jobGroup = graft.QueryGuard.withCallerJobGroup(corpus.sparkSession.sparkContext)
     val codebooks: Map[Int, Seq[(Int, Seq[Float], Double)]] =
-      (0 until m).par.map { j =>
+      (0 until m).par.map { j => jobGroup {
         val feats = fitInput.select(
           array_to_vector(slice(col("emb"), j * dsub + 1, dsub)).as("features"))
         val km = new org.apache.spark.ml.clustering.KMeans()
@@ -83,7 +87,7 @@ object ProductQuantizer {
           val arr = c.toArray.map(_.toFloat)
           (i, arr.toSeq, arr.map(x => x.toDouble * x).sum)
         }.toSeq
-      }.seq.toMap
+      } }.seq.toMap
     fitInput.unpersist(blocking = false)
     val cbCol = typedlit(codebooks)
 

@@ -945,35 +945,6 @@ object SurfaceR8 {
         |             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
         |           FROM agg)
         |SELECT doc_id, score, rk FROM ranked WHERE rk <= 20 ORDER BY rk""".stripMargin,
-    // every fractional constant CAST to DOUBLE on the DuckDB side too:
-    // bare 2.2/1.2 literals would multiply at exact DECIMAL precision
-    // there while Spark rounds to double first (the 5.3 trap mirrored)
-    "ls4_bm25_topk" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
-        |dfreq AS (SELECT tok, count(*) AS df
-        |          FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),
-        |stats AS (SELECT count(*) AS n_docs,
-        |            avg(len(string_split(text, ' '))) AS avgdl FROM documents),
-        |dl AS (SELECT doc_id,
-        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
-        |q AS (SELECT tok, df FROM dfreq ORDER BY df ASC, tok ASC LIMIT 2),
-        |scored AS (
-        |  SELECT tf.doc_id,
-        |    ln((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))
-        |       + CAST(1 AS DOUBLE)) *
-        |    (tf * CAST(2.2 AS DOUBLE)) /
-        |    (tf + CAST(1.2 AS DOUBLE) *
-        |      (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl)) AS term_score
-        |  FROM tf JOIN q USING (tok) JOIN dl ON tf.doc_id = dl.doc_id
-        |  CROSS JOIN stats),
-        |agg AS (SELECT doc_id, round(sum(term_score), 8) AS score
-        |        FROM scored GROUP BY doc_id),
-        |ranked AS (SELECT doc_id, score,
-        |             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
-        |           FROM agg)
-        |SELECT doc_id, score, rk FROM ranked WHERE rk <= 20 ORDER BY rk""".stripMargin,
     "q21_streaks" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),

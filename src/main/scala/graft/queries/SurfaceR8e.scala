@@ -61,23 +61,27 @@ object SurfaceR8e {
     * by cumulative share (A ≤ 50%, B ≤ 80%, C rest), reported as class
     * rollups. The scalable order of operations: per-row revenue is
     * 1e-4-quantized and summed EXACTLY per part first (one hash agg —
-    * facts never reach a window), then the cumulative share runs over
-    * the aggregated part table (#parts ≪ #facts; at 100 TB that
-    * window uses the a30 range-partition ordinal scheme). Integer
-    * revenue sums make cum/total bit-identical on both engines; ties
-    * in revenue break by partkey. */
+    * facts never reach a window), then the cumulative sum runs through
+    * [[graft.operators.PrefixSum]]'s range-partition scheme — descending
+    * revenue is expressed as ascending (−rev, partkey), so NO
+    * single-partition window exists anywhere in the plan even though
+    * the part table grows with data (2 M parts at sf10, more at
+    * 100 TB; only the numPartitions-row offset cumsum is ever on one
+    * task). Integer revenue sums make cum/total bit-identical on both
+    * engines; ties in revenue break by partkey. */
   val q27AbcPareto: Q = (s, d) => {
     val byPart = lineitem(s, d)
       .select(col("l_partkey"),
         expr("CAST(floor(l_extendedprice * (1e0 - l_discount) * 1e4 + 5e-1) AS BIGINT)")
           .as("qrev"))
       .groupBy("l_partkey").agg(sum("qrev").as("rev"))
-    val w = Window.orderBy(col("rev").desc, col("l_partkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = byPart.agg(sum("rev").as("total"))
     val share = col("cum").cast("double") / col("total").cast("double")
-    byPart
-      .withColumn("cum", sum("rev").over(w))
+    graft.operators.PrefixSum.withRunningTotal(
+        byPart.withColumn("negrev", -col("rev")),
+        sortCols = Seq("negrev", "l_partkey"), valueCol = "rev",
+        outCol = "cum")
+      .drop("negrev")
       .crossJoin(broadcast(tot))
       .withColumn("cls",
         when(share <= lit(0.5), "A").when(share <= lit(0.8), "B").otherwise("C"))

@@ -23,7 +23,11 @@ object SurfaceR8h {
     * parquet directly, so any loss in the text round-trip (encoding,
     * line splitting, column parse) fails the hash compare. */
   val s17TextFile: Q = (s, d) => {
-    val out = new java.io.File("target/tmp/s17_text").getAbsolutePath
+    // per-run UUID dir (not a fixed path): concurrent drives — Bench and
+    // Verify in separate JVMs — must not clobber each other's landing
+    // data mid-read; cleaned by the shared exit hook
+    val out = java.nio.file.Files.createTempDirectory("graft_s17_text_").toString
+    graft.QueryGuard.deleteRecOnExit(new java.io.File(out))
     documents(s, d)
       .select(concat_ws("\t",
         col("doc_id").cast("string"), col("lang"), col("text")).as("value"))
