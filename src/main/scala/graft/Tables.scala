@@ -36,16 +36,31 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
-  /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS) which Spark 4
-    * rejects by default (PARQUET_TYPE_ILLEGAL). Read it as raw nanos via the
-    * legacy flag, then rebuild a TimestampType truncated to micros with
-    * integer division (`div`, not `/`: double division of epoch-nanos loses
-    * precision past 2^53 and can shift a value by ±1 µs).
-    * DuckDB oracles use `CAST(ts AS TIMESTAMP)` for the same truncation.
+  /** `events.parquet` has shipped `ts` in two physical forms across
+    * fixture generations, so the shim branches on the ACTUAL read schema:
+    *
+    *  - INT64 TIMESTAMP(NANOS) (early fixtures) — Spark 4 rejects it by
+    *    default (PARQUET_TYPE_ILLEGAL); read as raw nanos via the legacy
+    *    flag, then rebuild a TimestampType truncated to micros with
+    *    integer division (`div`, not `/`: double division of epoch-nanos
+    *    loses precision past 2^53 and can shift a value by ±1 µs);
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) (current fixtures) —
+    *    read as TIMESTAMP_NTZ, cast to TimestampType. The session
+    *    timezone is pinned to UTC everywhere, so the cast relabels the
+    *    same micros value — identical to DuckDB's naive-as-UTC reading.
+    *
+    * Either way every query downstream sees `ts: TIMESTAMP` in micros.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 }

@@ -64,7 +64,7 @@ object GlobalRowId {
       .groupBy("_pid").agg(count(lit(1)).as("_n"))
       .withColumn("_off",
         coalesce(
-          sum("_n").over(Window.orderBy("_pid")
+          sum("_n").over(graft.Windows.bounded(col("_pid"))
             .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .select("_pid", "_off")

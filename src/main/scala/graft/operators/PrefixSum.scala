@@ -50,7 +50,7 @@ object PrefixSum {
       .groupBy("_pid").agg(sum(valueCol).as("_n"))
       .withColumn("_off",
         coalesce(
-          sum("_n").over(Window.orderBy("_pid")
+          sum("_n").over(graft.Windows.bounded(col("_pid"))
             .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .select("_pid", "_off")

@@ -31,14 +31,23 @@ object SurfaceR6m {
     * column instead (dropping silently loses forensic signal); the spec
     * exercises that mode.
     */
-  val s18CsvMalformed: Q = (s, d) => {
+  /** The three corrupt lines spliced into the landing file (wrong
+    * arity, type error, trailing garbage) — shared with the PERMISSIVE
+    * quarantine spec so the expected bad-set can't drift. */
+  val s18BadLines: Seq[String] =
+    Seq("999", "x,BADKEY,7", "12,TRAILING,3,extra,cols")
+
+  /** Writes the s18 landing file (clean nation rows + [[s18BadLines]])
+    * to a fresh UUID tmpdir and returns its path. Exposed so the spec
+    * can re-read the SAME file in PERMISSIVE mode. */
+  def s18WriteLanding(s: SparkSession, d: String): String = {
     // tmpdir-unique landing path: CWD-relative paths collide across
     // working directories or concurrent drives
     val dir = Paths.get(sys.props("java.io.tmpdir"),
       s"graft_s18_csv_${java.util.UUID.randomUUID().toString.take(8)}")
     Files.createDirectories(dir)
-    // the read below is LAZY — the landing file must survive until the
-    // caller consumes the DataFrame, so cleanup is JVM-exit (file
+    // downstream reads are LAZY — the landing file must survive until
+    // the caller consumes the DataFrame, so cleanup is JVM-exit (file
     // registered after dir: deleteOnExit runs in reverse order)
     dir.toFile.deleteOnExit()
     dir.resolve("landing.csv").toFile.deleteOnExit()
@@ -46,16 +55,20 @@ object SurfaceR6m {
       .orderBy("n_nationkey")
       .collect()
       .map(r => s"${r.getInt(0)},${r.getString(1)},${r.getInt(2)}")
-    val bad = Seq("999", "x,BADKEY,7", "12,TRAILING,3,extra,cols")
-    val lines = (good.take(10) ++ bad ++ good.drop(10)).mkString("\n")
+    val lines = (good.take(10) ++ s18BadLines ++ good.drop(10)).mkString("\n")
     Files.write(dir.resolve("landing.csv"),
       lines.getBytes(StandardCharsets.UTF_8))
+    dir.resolve("landing.csv").toString
+  }
+
+  val s18CsvMalformed: Q = (s, d) => {
+    val landing = s18WriteLanding(s, d)
     val schema = StructType(Seq(
       StructField("n_nationkey", IntegerType),
       StructField("n_name", StringType),
       StructField("n_regionkey", IntegerType)))
     s.read.schema(schema).option("mode", "DROPMALFORMED")
-      .csv(dir.resolve("landing.csv").toString)
+      .csv(landing)
       .orderBy("n_nationkey")
   }
 

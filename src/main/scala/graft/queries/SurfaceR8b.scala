@@ -42,7 +42,7 @@ object SurfaceR8b {
       .unionAll(o.select((greatest(col("ls_day"), col("od_day")) + 1L).as("day"),
         lit(-1L).as("delta")))
     val daily = deltas.groupBy("day").agg(sum("delta").as("net"))
-    val w = Window.orderBy("day")
+    val w = graft.Windows.bounded(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     daily
       .withColumn("n_open", sum("net").over(w))

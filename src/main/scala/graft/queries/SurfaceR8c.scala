@@ -93,8 +93,9 @@ object SurfaceR8c {
 
   /** LJ2: exact Jaccard similarity self-join (threshold 0.95) by PREFIX
     * FILTERING — the all-pairs/PPJoin candidate scheme. Tokens get a
-    * global rarity rank (df asc — the rank window runs over the
-    * vocabulary, which is ≪ corpus); a doc of m distinct tokens keeps
+    * global rarity rank (df asc) via [[GlobalRowId]]'s range-partition
+    * ordinal — distributed even when the vocabulary itself is large;
+    * a doc of m distinct tokens keeps
     * only its m − ⌈t·m⌉ + 1 rarest as its prefix, and two docs can
     * reach Jaccard ≥ t only if their prefixes share a token — so
     * candidate generation is an equi-join on prefix tokens, never
@@ -107,27 +108,29 @@ object SurfaceR8c {
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
       .where(length(col("tok")) > 0)
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("m"))
-    val ranked = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-      .withColumn("r", row_number().over(Window.orderBy("df", "tok")))
+    // rarity rank over the VOCABULARY via the range-partition ordinal —
+    // no single-partition window even if the vocabulary itself scales
+    // (the rank only orders prefixes, so the 0-based rowid serves as-is)
+    val ranked = GlobalRowId.withRowIdCols(
+        toks.groupBy("tok").agg(count(lit(1)).as("df")),
+        Seq("df", "tok"), numPartitions = 32, outCol = "r")
+      .select("tok", "r")
+    // prefix rows CARRY the doc's distinct-token count m, so the
+    // size-band predicate (J ≥ t forces t·max(ma,mb) ≤ min(ma,mb)) can
+    // live in the candidate join condition itself — mismatched-size
+    // pairs are never materialized, never reach the distinct()
     val pref = toks.join(ranked, "tok").join(sizes, "doc_id")
       .withColumn("pos", row_number().over(
         Window.partitionBy("doc_id").orderBy("r")))
       .where(col("pos") <= (col("m") - ceil(col("m") * lit(thr)) + 1L))
-      .select(col("doc_id"), col("tok"))
-    val cand = pref.toDF("a_id", "tok")
-      .join(pref.toDF("b_id", "tok"), "tok")
-      .where(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
-    // size-band prune BEFORE the verification join: J ≥ t forces
-    // t·max(ma,mb) ≤ min(ma,mb), so mismatched sizes can be dropped for
-    // the cost of two broadcast-able joins — at sf0.1's near-dup-dense
-    // corpus this cuts 9.7M candidates to 2.1M and the verification
-    // fanout (candidates × tokens) with them, ~4× the whole query
-    val sized = cand
-      .join(sizes.toDF("a_id", "ma"), "a_id")
-      .join(sizes.toDF("b_id", "mb"), "b_id")
-      .where(col("ma") >= ceil(col("mb") * lit(thr)) &&
-        col("mb") >= ceil(col("ma") * lit(thr)))
+      .select(col("doc_id"), col("tok"), col("m"))
+    val a = pref.toDF("a_id", "tok", "ma")
+    val b = pref.toDF("b_id", "tok", "mb")
+    val sized = a.join(b,
+        a("tok") === b("tok") && col("a_id") < col("b_id") &&
+          col("ma") >= ceil(col("mb") * lit(thr)) &&
+          col("mb") >= ceil(col("ma") * lit(thr)))
+      .select("a_id", "b_id", "ma", "mb").distinct()
     val inter = sized
       .join(toks.toDF("a_id", "tok"), "a_id")
       .join(toks.toDF("b_id", "tok"), Seq("b_id", "tok"))

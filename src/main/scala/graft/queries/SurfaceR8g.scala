@@ -29,7 +29,7 @@ object SurfaceR8g {
       .groupBy("user_id").agg(min("day").as("first_day"))
     val daily = firsts.groupBy(col("first_day").as("day"))
       .agg(count(lit(1)).as("new_users"))
-    val w = Window.orderBy("day")
+    val w = graft.Windows.bounded(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     daily
       .withColumn("reach", sum("new_users").over(w))

@@ -35,7 +35,7 @@ object SurfaceR8k {
       .agg(sum(size(split(col("text"), " ")).cast("long")).as("n"))
     val tot = src.agg(sum("n").as("stot"), count(lit(1)).as("k"),
       (sum("n") / 2).cast("long").as("b"))
-    val byN = Window.orderBy("n", "source")
+    val byN = graft.Windows.bounded(col("n"), col("source"))
     val o = src
       .withColumn("rk", row_number().over(byN).cast("long"))
       .withColumn("pre", sum("n").over(

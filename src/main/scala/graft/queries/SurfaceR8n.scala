@@ -57,7 +57,7 @@ object SurfaceR8n {
         expr("CAST(floor(l_extendedprice * (1e0 - l_discount) * 1e4 + 5e-1) AS BIGINT)")
           .as("qrev"))
       .groupBy("week").agg(sum("qrev").as("rev"))
-    val w = Window.orderBy("week")
+    val w = graft.Windows.bounded(col("week"))
     weekly
       .withColumn("prev", lag("rev", 1).over(w))
       .select(col("week"),

@@ -21,11 +21,13 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  /** Explicit schema: streaming sources never infer. `ts` arrives as
-    * INT64 nanos (see Tables.events) and is rebuilt to a timestamp. */
-  val eventsSchema: StructType = StructType(Seq(
+  /** Explicit schema: streaming sources never infer. `ts` has shipped as
+    * INT64 nanos or TIMESTAMP(MICROS) across fixture generations (see
+    * Tables.events), so the physical ts type is taken from the file
+    * footer via a driver-side batch schema probe. */
+  def eventsSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -34,13 +36,18 @@ object StreamingOps {
   /** File-source streaming read of the events fixture. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
     // glob pattern (not a bare file path): FileStreamSource injects a
     // file-valued basePath for non-glob paths, which the file index
     // rejects with "Option 'basePath' must be a directory"
-    spark.readStream
-      .schema(eventsSchema)
+    val raw = spark.readStream
+      .schema(eventsSchema(tsType))
       .parquet(s"$dir/events.parquet*")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** T1/T4 streaming: watermarked tumbling-window counts. */

@@ -188,4 +188,30 @@ class PlanSpec extends SparkSpec {
     val plan = planOf(graft.queries.SurfaceR5b.j10ShuffleHashHint(spark, sfDir))
     assert(plan.contains("ShuffledHashJoin"), s"hint not honoured:\n$plan")
   }
+
+  test("registry-wide: no bare global-order window anywhere in src/main") {
+    // WindowExec's "No Partition Defined" warning is the scale tripwire;
+    // it stays meaningful only if NO query ships one. Bounded relations
+    // (#days, #bins, numPartitions offsets) must go through
+    // graft.Windows.bounded; data-scaling ordinals through
+    // GlobalRowId/PrefixSum. This lint keeps a bare Window.orderBy from
+    // ever landing again — the plan-level twin (windows consume
+    // aggregate-derived input) is SurfaceR8kSpec's audit.
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".scala")) Seq(f) else Nil
+    val offenders = walk(new java.io.File("src/main/scala")).flatMap { f =>
+      val src = new String(
+        java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      src.linesIterator.zipWithIndex.collect {
+        case (line, i)
+            if line.contains("Window.orderBy(") &&
+              !line.trim.startsWith("*") && !line.trim.startsWith("//") =>
+          s"${f.getPath}:${i + 1}: $line"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"bare global-order windows found:\n${offenders.mkString("\n")}")
+  }
 }

@@ -8,7 +8,7 @@ import graft.queries.SurfaceR6m
 class SurfaceR6mSpec extends SparkSpec {
 
   test("S18: PERMISSIVE mode quarantines exactly the three corrupt lines") {
-    SurfaceR6m.s18CsvMalformed(spark, sfDir).count() // (re)builds the landing file
+    val landing = SurfaceR6m.s18WriteLanding(spark, sfDir)
     val schema = StructType(Seq(
       StructField("n_nationkey", IntegerType),
       StructField("n_name", StringType),
@@ -16,12 +16,12 @@ class SurfaceR6mSpec extends SparkSpec {
       StructField("_corrupt_record", StringType)))
     val all = spark.read.schema(schema)
       .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_corrupt_record")
-      .csv("target/tmp/s18_csv/landing.csv")
+      .csv(landing)
       .cache()
     assert(all.count() == 28) // 25 good + 3 corrupt
     val bad = all.where(col("_corrupt_record").isNotNull).select("_corrupt_record")
       .collect().map(_.getString(0)).toSet
-    assert(bad == Set("999", "x,BADKEY,7", "12,TRAILING,3,extra,cols"))
+    assert(bad == SurfaceR6m.s18BadLines.toSet)
     all.unpersist()
   }
 

@@ -80,7 +80,10 @@ class SurfaceR8kSpec extends SparkSpec {
     Seq(
       SurfaceR8b.q24OpenOrders(spark, sfDir),
       SurfaceR8e.q27AbcPareto(spark, sfDir),
-      SurfaceR8g.q28CumulativeReach(spark, sfDir)).foreach { df =>
+      SurfaceR8g.q28CumulativeReach(spark, sfDir),
+      graft.queries.SurfaceR8l.m34GainsTable(spark, sfDir),
+      graft.queries.SurfaceR8n.q32WowGrowth(spark, sfDir),
+      SurfaceR8k.lp29MixtureWaterfill(spark, sfDir)).foreach { df =>
       df.count() // force AQE to finalize the plan
       val windows = flat(df.queryExecution.executedPlan)
         .collect { case w: WindowExec => w }
