@@ -110,15 +110,24 @@ object SurfaceR5 {
     * grain WITHOUT rescanning the fact table. countDistinct cannot
     * reaggregate (distinct sets don't sum); sketches can — that is what
     * makes pre-aggregated distinct-count tables possible at scale.
-    * No-oracle by design (estimator-specific); the ≤5% accuracy law vs
-    * exact countDistinct is spec-asserted.
+    * Driver-verified tolerance row (a3/a9 pattern): the exact
+    * countDistinct is bit-checked against the oracle, and the
+    * estimator-specific union estimate is folded into `approx_ok`
+    * (relative error ≤ 5%, generous vs the sketch's ~1.6% default
+    * bound) which the oracle pins to literal TRUE.
     */
   val a16HllUnion: Q = (s, d) => {
     val sketches = lineitem(s, d)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(expr("hll_sketch_agg(l_partkey)").as("sk"))
-    sketches.groupBy("l_returnflag")
+    val merged = sketches.groupBy("l_returnflag")
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_parts"))
+    val exact = lineitem(s, d).groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    exact.join(merged, "l_returnflag")
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts").cast("double") - col("exact_parts").cast("double"))
+          <= col("exact_parts").cast("double") * lit(0.05)).as("approx_ok"))
       .orderBy("l_returnflag")
   }
 
@@ -285,6 +294,15 @@ object SurfaceR5 {
         |FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
         |WHERE levenshtein(a.n_name, b.n_name) <= 1
         |ORDER BY a_name, b_name""".stripMargin,
+    // exact distincts bit-checked; the sketch-union estimate envelope
+    // flag is pinned to literal TRUE (a3/a9 driver-verified pattern —
+    // DuckDB need not reproduce DataSketches HLL)
+    "a16_hll_union" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  true AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "a17_partial_reagg" ->
       """WITH p AS (
         |  SELECT l_returnflag, l_linestatus,

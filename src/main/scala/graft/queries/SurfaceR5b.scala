@@ -102,21 +102,29 @@ object SurfaceR5b {
     * counterpart for per-item counts): fixed-size rows×cols counter
     * grid, merge = cellwise add, so partial sketches combine across
     * partitions/days without rescan. One-sided error: estimate ≥ exact
-    * always, overshoot ≤ eps·N with probability 1−delta. Engine-seeded
-    * hashing → no SQL oracle; the law spec asserts both bounds. The
-    * 5-row probe frame stays distributed (sketch broadcast, estimate
-    * evaluated per row); only the sketch itself (a few KB) crosses the
-    * driver, which is the sketch's whole point.
+    * always, overshoot ≤ eps·N with probability 1−delta. Driver-verified
+    * tolerance row (a3/a9 pattern): the exact per-segment count is
+    * bit-checked against the oracle, and BOTH error-law sides are
+    * folded into `approx_ok` (never undercounts, overshoot ≤ eps·N)
+    * which the oracle pins to literal TRUE. The probe frame stays
+    * distributed (sketch broadcast, estimate evaluated per row); only
+    * the sketch itself (a few KB) crosses the driver, which is the
+    * sketch's whole point.
     */
   val a20Countmin: Q = (s, d) => {
     val cust = customer(s, d)
     val cms = cust.stat.countMinSketch(col("c_mktsegment"),
       eps = 0.001, confidence = 0.99, seed = 42)
+    val n = cms.totalCount()
     val bc = s.sparkContext.broadcast(cms)
     val estimate = udf((seg: String) => bc.value.estimateCount(seg))
     cust.groupBy("c_mktsegment")
       .agg(count(lit(1)).as("exact_n"))
       .withColumn("est_n", estimate(col("c_mktsegment")))
+      .select(col("c_mktsegment"), col("exact_n"),
+        (col("est_n") >= col("exact_n") &&
+          (col("est_n") - col("exact_n"))
+            <= lit(math.ceil(0.001 * n).toLong)).as("approx_ok"))
       .orderBy("c_mktsegment")
   }
 
@@ -232,6 +240,16 @@ object SurfaceR5b {
         |  ON o_orderpriority = dim.prio
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    // exact per-segment counts bit-checked; the CMS error-law flag
+    // (one-sided, overshoot ≤ eps·N) is pinned to literal TRUE (a3/a9
+    // driver-verified pattern — DuckDB need not reproduce the seeded
+    // count-min hashing)
+    "a20_countmin" ->
+      """SELECT c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS exact_n,
+        |  true AS approx_ok
+        |FROM customer GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "a18_crosstab" ->
       """SELECT l_returnflag AS l_returnflag_l_linestatus,
         |  count(*) FILTER (WHERE l_linestatus = 'F') AS "F",
