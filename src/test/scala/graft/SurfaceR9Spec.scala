@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.functions._
+
+import graft.queries.SurfaceR9
+
+class SurfaceR9Spec extends SparkSpec {
+
+  private def blobs(n: Int = 300, seed: Int = 11) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val centers = Array(Array(5.0, 5.0), Array(-5.0, 5.0), Array(0.0, -5.0))
+    (0 until n).map { i =>
+      val k = i % 3
+      val f = centers(k).map(c => (c + rnd.nextGaussian() * 0.5).toFloat)
+      (i.toLong, k.toDouble, f)
+    }.toDF("id", "label", "arr")
+      .select(col("id"), col("label"), array_to_vector(col("arr")).as("features"))
+  }
+
+  test("every R9 query runs at sf0.001") {
+    SurfaceR9.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sfDir).count() > 0, s"$name failed")
+    }
+  }
+
+  test("m36: imputed values equal the non-null mean, others untouched") {
+    val out = SurfaceR9.m36Imputer(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val base = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_acctbal").cast("double").as("bal"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val survivors = base.filter { case (k, _) => k % 7 != 0 }
+    val mu = survivors.values.sum / survivors.size
+    base.foreach { case (k, bal) =>
+      val expect = if (k % 7 == 0) mu else bal
+      assert(math.abs(out(k) - expect) < 1e-3, s"custkey $k: ${out(k)} vs $expect")
+    }
+  }
+
+  test("m36 median strategy: fill value is an actual order statistic near p50") {
+    // median-strategy Imputer uses the approx-percentile sketch — the
+    // law is rank-accuracy, not bit-equality, which is why the REGISTRY
+    // entry pins the oracle-able mean strategy instead
+    val base = Tables.customer(spark, sfDir).select(
+      col("c_custkey"),
+      when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_acctbal"))
+        .cast("double").as("bal"))
+    val imp = new org.apache.spark.ml.feature.Imputer()
+      .setStrategy("median").setInputCol("bal").setOutputCol("filled")
+    val fill = imp.fit(base).surrogateDF.collect()(0).getDouble(0)
+    val vals = base.where(col("bal").isNotNull)
+      .collect().map(_.getDouble(1)).sorted
+    assert(vals.contains(fill), "median surrogate must be a data point")
+    val rank = vals.indexOf(fill).toDouble / vals.length
+    assert(math.abs(rank - 0.5) < 0.01, s"median surrogate at rank $rank")
+  }
+
+  test("m37: one-vs-rest beats the majority-class baseline on embeddings") {
+    val conf = SurfaceR9.m37Onevsrest(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val total = conf.map(_._3).sum.toDouble
+    val correct = conf.filter(c => c._1 == c._2).map(_._3).sum.toDouble
+    val majority = conf.groupBy(_._1).map(_._2.map(_._3).sum).max.toDouble
+    assert(correct / total > majority / total,
+      s"OvR accuracy ${correct / total} not above majority ${majority / total}")
+  }
+
+  test("m37: one-vs-rest separates gaussian blobs (acc > 0.95)") {
+    val df = blobs()
+    val ovr = new org.apache.spark.ml.classification.OneVsRest()
+      .setClassifier(new org.apache.spark.ml.classification.LogisticRegression()
+        .setMaxIter(25))
+      .setFeaturesCol("features").setLabelCol("label")
+    val acc = graft.ml.Pipelines.accuracy(ovr.fit(df).transform(df))
+    assert(acc > 0.95, s"accuracy $acc")
+  }
+
+  test("m38: GMM weights sum to 1 and recover 3 well-separated blobs") {
+    val df = blobs()
+    val gm = new org.apache.spark.ml.clustering.GaussianMixture()
+      .setK(3).setSeed(42L).fit(df)
+    assert(math.abs(gm.weights.sum - 1.0) < 1e-6)
+    // purity: each cluster dominated by one true label
+    val assigns = gm.transform(df).groupBy("prediction", "label").count()
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+    val purity = assigns.groupBy(_._1).values
+      .map(rows => rows.map(_._3).max.toDouble / rows.map(_._3).sum).min
+    assert(purity > 0.95, s"min cluster purity $purity")
+  }
+
+  test("m39: bisecting k-means is deterministic under refit and covers the corpus") {
+    val a = SurfaceR9.m39BisectingKmeans(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val b = SurfaceR9.m39BisectingKmeans(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(a == b, "same seed must give same occupancy")
+    assert(a.values.sum == Tables.embeddings(spark, sfDir).count())
+    assert(a.keySet.max < 8)
+  }
+
+  test("m40: LDA topics are 3, term ranks dense, weights descending") {
+    val topics = SurfaceR9.m40Lda(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    assert(topics.map(_._1).distinct.sorted.toSeq == Seq(0, 1, 2))
+    topics.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._2).sorted.toSeq == Seq(0, 1, 2, 3, 4))
+    }
+  }
+}
