@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.{Window, WindowSpec}
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.graft.BoundedPartition
 
 /** Global-order windows over PROVABLY BOUNDED relations.
   *
@@ -15,7 +15,10 @@ import org.apache.spark.sql.functions.lit
   * — cardinalities that do not grow with corpus size) use this helper
   * instead: partitioning by a constant keeps the exact same semantics
   * and single-task execution, but keeps the tripwire silent so a
-  * genuine scale-killer can't hide in routine noise.
+  * genuine scale-killer can't hide in routine noise. The constant must
+  * be [[org.apache.spark.sql.graft.BoundedPartitionKey]] — a plain
+  * `lit(0)` is foldable and Catalyst strips it from the partition spec
+  * before it reaches WindowExec, re-arming the warning.
   *
   * Contract: ONLY call this when the window's input row count is
   * independent of fact-table size (SurfaceR8kSpec's plan audit asserts
@@ -30,5 +33,5 @@ object Windows {
 
   /** A global-order window spec over a bounded relation. */
   def bounded(order: Column*): WindowSpec =
-    Window.partitionBy(lit(0)).orderBy(order: _*)
+    Window.partitionBy(BoundedPartition.key).orderBy(order: _*)
 }

@@ -189,6 +189,33 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("ShuffledHashJoin"), s"hint not honoured:\n$plan")
   }
 
+  test("Windows.bounded partition key survives optimization (warning stays armed)") {
+    // lit(0) would be folded out of the partition spec by Catalyst,
+    // re-arming WindowExec's "No Partition Defined" warning; the
+    // non-foldable BoundedPartitionKey must reach the physical plan.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = spark.range(100).toDF("x")
+      .withColumn("s", org.apache.spark.sql.functions.sum("x")
+        .over(graft.Windows.bounded(org.apache.spark.sql.functions.col("x"))))
+    df.count()
+    def flat(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] =
+      (p +: p.children.flatMap(flat)) ++ (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          flat(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          flat(q.plan)
+        case _ => Nil
+      })
+    val windows = flat(df.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"bounded partition key was optimized away:\n$w")
+    }
+  }
+
   test("registry-wide: no bare global-order window anywhere in src/main") {
     // WindowExec's "No Partition Defined" warning is the scale tripwire;
     // it stays meaningful only if NO query ships one. Bounded relations
