@@ -115,6 +115,55 @@ object SurfaceR9 {
       .orderBy("topic", "rank")
   }
 
+  /** Shared basket frame for m41/m42: which event types co-occur within
+    * a (user, day) session-ish window. The basket id is synthetic
+    * (user_id·10⁵ + day-of-year) purely to group; FP-Growth sees only
+    * the item arrays. Collect_set is bounded by the 5-value event-type
+    * vocabulary, so baskets can never blow up the FP-tree. */
+  private def eventBaskets(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select((col("user_id") * 100000L +
+        dayofyear(col("ts")).cast("long")).as("bid"), col("event_type"))
+      .distinct()
+      .groupBy("bid").agg(collect_set("event_type").as("items"))
+
+  /** M41: FP-Growth frequent itemsets over (user, day) behaviour
+    * baskets — the distributed market-basket miner (conditional
+    * FP-trees per suffix, no candidate generation). minSupport 0.1
+    * splits the lattice cleanly at every SF (all 5 singletons and all
+    * 10 pairs ≥ ~1.4× threshold, every triple ≤ ~0.55×), and the
+    * output is capped at size ≤ 2 so the DuckDB oracle is closed-form
+    * (group-by for singletons, basket self-join for pairs — an
+    * any-size oracle would need recursive enumeration). Freq counts
+    * are exact integers; items render as a sorted CSV key. */
+  val m41Fpgrowth: Q = (s, d) => {
+    val fp = new org.apache.spark.ml.fpm.FPGrowth()
+      .setItemsCol("items").setMinSupport(0.1).setMinConfidence(0.25)
+    fp.fit(eventBaskets(s, d)).freqItemsets
+      .where(size(col("items")) <= 2)
+      .select(size(col("items")).as("sz"),
+        concat_ws(",", sort_array(col("items"))).as("items_str"),
+        col("freq"))
+      .orderBy("sz", "items_str")
+  }
+
+  /** M42: association rules from the m41 lattice — X→Y for frequent
+    * pairs, with exact-integer-derived confidence/lift/support
+    * (rounded at the edge). The oracle recomputes all three from the
+    * same basket counts. */
+  val m42AssocRules: Q = (s, d) => {
+    val fp = new org.apache.spark.ml.fpm.FPGrowth()
+      .setItemsCol("items").setMinSupport(0.1).setMinConfidence(0.25)
+    fp.fit(eventBaskets(s, d)).associationRules
+      .where(size(col("antecedent")) === 1 && size(col("consequent")) === 1)
+      .select(element_at(col("antecedent"), 1).as("ant"),
+        element_at(col("consequent"), 1).as("cons"),
+        r4(col("confidence")).as("conf4"),
+        r4(col("lift")).as("lift4"),
+        r4(col("support")).as("support4"))
+      .orderBy("ant", "cons")
+  }
+
   // ---- registry ----
 
   val queries: Map[String, Q] = Map(
@@ -122,9 +171,56 @@ object SurfaceR9 {
     "m37_onevsrest" -> m37Onevsrest,
     "m38_gmm" -> m38Gmm,
     "m39_bisecting_kmeans" -> m39BisectingKmeans,
-    "m40_lda" -> m40Lda)
+    "m40_lda" -> m40Lda,
+    "m41_fpgrowth" -> m41Fpgrowth,
+    "m42_assoc_rules" -> m42AssocRules)
 
   val oracleSql: Map[String, String] = Map(
+    "m41_fpgrowth" ->
+      """WITH b AS (
+        |  SELECT DISTINCT user_id * 100000
+        |    + CAST(date_part('doy', CAST(ts AS TIMESTAMP)) AS BIGINT) AS bid,
+        |    event_type
+        |  FROM events),
+        |n AS (SELECT count(DISTINCT bid) AS nb FROM b),
+        |s1 AS (
+        |  SELECT 1 AS sz, event_type AS items_str, count(*) AS freq
+        |  FROM b GROUP BY event_type),
+        |s2 AS (
+        |  SELECT 2 AS sz, a.event_type || ',' || c.event_type AS items_str,
+        |    count(*) AS freq
+        |  FROM b a JOIN b c ON a.bid = c.bid AND a.event_type < c.event_type
+        |  GROUP BY 1, 2)
+        |SELECT sz, items_str, CAST(freq AS BIGINT) AS freq
+        |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2) u CROSS JOIN n
+        |WHERE freq >= ceil(0.1 * nb)
+        |ORDER BY sz, items_str""".stripMargin,
+    "m42_assoc_rules" ->
+      """WITH b AS (
+        |  SELECT DISTINCT user_id * 100000
+        |    + CAST(date_part('doy', CAST(ts AS TIMESTAMP)) AS BIGINT) AS bid,
+        |    event_type
+        |  FROM events),
+        |n AS (SELECT count(DISTINCT bid) AS nb FROM b),
+        |s1 AS (SELECT event_type, count(*) AS f FROM b GROUP BY 1),
+        |p AS (
+        |  SELECT a.event_type AS x, c.event_type AS y, count(*) AS f
+        |  FROM b a JOIN b c ON a.bid = c.bid AND a.event_type < c.event_type
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT x, y, f FROM p UNION ALL SELECT y, x, f FROM p),
+        |fr AS (
+        |  SELECT x, y, f, nb FROM pairs CROSS JOIN n
+        |  WHERE f >= ceil(0.1 * nb))
+        |SELECT fr.x AS ant, fr.y AS cons,
+        |  round(CAST(fr.f AS DOUBLE) / sa.f, 4) AS conf4,
+        |  round((CAST(fr.f AS DOUBLE) / sa.f)
+        |        / (CAST(sc.f AS DOUBLE) / fr.nb), 4) AS lift4,
+        |  round(CAST(fr.f AS DOUBLE) / fr.nb, 4) AS support4
+        |FROM fr
+        |JOIN s1 sa ON fr.x = sa.event_type
+        |JOIN s1 sc ON fr.y = sc.event_type
+        |WHERE CAST(fr.f AS DOUBLE) / sa.f >= 0.25
+        |ORDER BY ant, cons""".stripMargin,
     "m36_imputer" ->
       """WITH b AS (
         |  SELECT c_custkey,

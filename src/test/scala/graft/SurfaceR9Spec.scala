@@ -100,6 +100,30 @@ class SurfaceR9Spec extends SparkSpec {
     assert(a.keySet.max < 8)
   }
 
+  test("m41/m42: lattice laws — anti-monotone freqs, rules consistent with itemsets") {
+    val items = SurfaceR9.m41Fpgrowth(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val singles = items.filter(_._1 == 1).map(t => t._2 -> t._3).toMap
+    val pairs = items.filter(_._1 == 2)
+    assert(singles.nonEmpty && pairs.nonEmpty)
+    // anti-monotonicity: a pair can never be more frequent than either member
+    pairs.foreach { case (_, key, f) =>
+      val Array(x, y) = key.split(",")
+      assert(f <= singles(x) && f <= singles(y), s"$key freq $f")
+    }
+    // every rule's confidence must equal pairFreq/antecedentFreq (4dp)
+    val rules = SurfaceR9.m42AssocRules(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(rules.nonEmpty)
+    rules.foreach { case (ant, cons, conf) =>
+      val key = if (ant < cons) s"$ant,$cons" else s"$cons,$ant"
+      val pf = pairs.find(_._2 == key).map(_._3).getOrElse(0L)
+      assert(pf > 0, s"rule $ant->$cons has no frequent pair")
+      assert(math.abs(conf - pf.toDouble / singles(ant)) < 1e-3,
+        s"$ant->$cons conf $conf vs ${pf.toDouble / singles(ant)}")
+    }
+  }
+
   test("m40: LDA topics are 3, term ranks dense, weights descending") {
     val topics = SurfaceR9.m40Lda(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
