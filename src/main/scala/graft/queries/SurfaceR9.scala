@@ -164,6 +164,74 @@ object SurfaceR9 {
       .orderBy("ant", "cons")
   }
 
+  /** M43: PrefixSpan sequential patterns over (user, day) event
+    * SEQUENCES — the ordered counterpart of m41 (projection-based
+    * pattern growth, distributed by prefix projections). Sequences are
+    * built by an in-aggregate sort on (ts, event_id) so ties are
+    * deterministic; every event is a singleton itemset, so patterns
+    * render as `x>y` chains. minSupport 0.07 keeps clean margins at
+    * the oracle SF (no support within ±2 of the ceil threshold);
+    * maxPatternLength 2 keeps the DuckDB oracle closed-form (distinct
+    * sequence count per item / per strictly-ordered item pair). */
+  val m43Prefixspan: Q = (s, d) => {
+    val e = events(s, d).select(
+      (col("user_id") * 100000L + dayofyear(col("ts")).cast("long")).as("sid"),
+      col("event_type"), unix_micros(col("ts")).as("us"), col("event_id"))
+    val seqs = e.groupBy("sid")
+      .agg(array_sort(collect_list(
+        struct(col("us"), col("event_id"), col("event_type")))).as("evs"))
+      .select(transform(col("evs"),
+        x => array(x.getField("event_type"))).as("sequence"))
+    new org.apache.spark.ml.fpm.PrefixSpan()
+      .setMinSupport(0.07).setMaxPatternLength(2)
+      .setSequenceCol("sequence")
+      .findFrequentSequentialPatterns(seqs)
+      .select(size(col("sequence")).as("sz"),
+        concat_ws(">",
+          transform(col("sequence"), a => element_at(a, 1))).as("pattern"),
+        col("freq"))
+      .orderBy("sz", "pattern")
+  }
+
+  /** M44 (rows-only): PCA on the leading 16 embedding dims — per-
+    * component explained-variance ratio (sign-invariant, hence stable,
+    * unlike the loadings). The fit is one distributed covariance
+    * aggregate + a driver-side 16×16 eigen-decomposition — bounded
+    * model state, the right PCA shape at any corpus size. */
+  val m44Pca: Q = (s, d) => {
+    val feats = embeddings(s, d).select(
+      org.apache.spark.ml.functions.array_to_vector(
+        slice(col("embedding"), 1, 16)).as("features"))
+    val model = new org.apache.spark.ml.feature.PCA()
+      .setInputCol("features").setOutputCol("pc").setK(4).fit(feats)
+    val ev = model.explainedVariance.toArray
+    s.createDataFrame(ev.zipWithIndex.map { case (v, i) => (i, v) })
+      .toDF("component", "var_ratio")
+      .select(col("component"), r4(col("var_ratio")).as("var_ratio4"))
+      .orderBy("component")
+  }
+
+  /** M45 (rows-only): seeded Word2Vec over document tokens — top-3
+    * synonyms of the corpus's most frequent token. numPartitions=1 and
+    * a fixed seed make skip-gram updates deterministic; the embedding
+    * table is bounded by the vocabulary. */
+  val m45Word2vec: Q = (s, d) => {
+    val docs = documents(s, d)
+      .select(split(col("text"), " ").as("words"))
+    val top = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").count().orderBy(col("count").desc, col("w")).limit(1)
+      .collect()(0).getString(0)
+    val model = new org.apache.spark.ml.feature.Word2Vec()
+      .setInputCol("words").setOutputCol("vec")
+      .setVectorSize(16).setMinCount(2).setNumPartitions(1)
+      .setSeed(42L).setMaxIter(1).fit(docs)
+    model.findSynonyms(top, 3)
+      .select(col("word"), r4(col("similarity")).as("sim4"))
+      .orderBy(col("sim4").desc, col("word"))
+  }
+
   // ---- registry ----
 
   val queries: Map[String, Q] = Map(
@@ -173,9 +241,33 @@ object SurfaceR9 {
     "m39_bisecting_kmeans" -> m39BisectingKmeans,
     "m40_lda" -> m40Lda,
     "m41_fpgrowth" -> m41Fpgrowth,
-    "m42_assoc_rules" -> m42AssocRules)
+    "m42_assoc_rules" -> m42AssocRules,
+    "m43_prefixspan" -> m43Prefixspan,
+    "m44_pca" -> m44Pca,
+    "m45_word2vec" -> m45Word2vec)
 
   val oracleSql: Map[String, String] = Map(
+    "m43_prefixspan" ->
+      """WITH e AS (
+        |  SELECT user_id * 100000
+        |    + CAST(date_part('doy', CAST(ts AS TIMESTAMP)) AS BIGINT) AS sid,
+        |    event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+        |  FROM events),
+        |n AS (SELECT count(DISTINCT sid) AS ns FROM e),
+        |s1 AS (
+        |  SELECT 1 AS sz, event_type AS pattern,
+        |    count(DISTINCT sid) AS freq
+        |  FROM e GROUP BY event_type),
+        |s2 AS (
+        |  SELECT 2 AS sz, a.event_type || '>' || b.event_type AS pattern,
+        |    count(DISTINCT a.sid) AS freq
+        |  FROM e a JOIN e b ON a.sid = b.sid
+        |    AND (a.us < b.us OR (a.us = b.us AND a.event_id < b.event_id))
+        |  GROUP BY 2)
+        |SELECT sz, pattern, CAST(freq AS BIGINT) AS freq
+        |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2) u CROSS JOIN n
+        |WHERE freq >= ceil(0.07 * ns)
+        |ORDER BY sz, pattern""".stripMargin,
     "m41_fpgrowth" ->
       """WITH b AS (
         |  SELECT DISTINCT user_id * 100000

@@ -124,6 +124,36 @@ class SurfaceR9Spec extends SparkSpec {
     }
   }
 
+  test("m43: sequential supports are anti-monotone in their prefix items") {
+    val pats = SurfaceR9.m43Prefixspan(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val singles = pats.filter(_._1 == 1).map(t => t._2 -> t._3).toMap
+    val twos = pats.filter(_._1 == 2)
+    assert(singles.nonEmpty && twos.nonEmpty)
+    twos.foreach { case (_, p, f) =>
+      val Array(x, y) = p.split(">")
+      assert(f <= singles(x) && f <= singles(y), s"$p freq $f")
+    }
+  }
+
+  test("m44: PCA variance ratios are positive, descending, and sum <= 1") {
+    val ev = SurfaceR9.m44Pca(spark, sfDir).collect().map(_.getDouble(1))
+    assert(ev.length == 4)
+    assert(ev.forall(_ > 0))
+    assert(ev.sameElements(ev.sorted.reverse))
+    assert(ev.sum <= 1.0 + 1e-9)
+  }
+
+  test("m45: word2vec synonyms exclude the probe word, sims in [-1,1], deterministic") {
+    val a = SurfaceR9.m45Word2vec(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(a.length == 3)
+    assert(a.forall { case (_, s) => s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9 })
+    val b = SurfaceR9.m45Word2vec(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(a.sameElements(b), "same seed must give same synonyms")
+  }
+
   test("m40: LDA topics are 3, term ranks dense, weights descending") {
     val topics = SurfaceR9.m40Lda(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
