@@ -34,7 +34,18 @@ object PrefixSum {
       sortCols: Seq[String],
       valueCol: String,
       numPartitions: Int = 32,
-      outCol: String = "running_total"): DataFrame = {
+      outCol: String = "running_total"): DataFrame =
+    withRunningTotals(df, sortCols, Seq(valueCol -> outCol), numPartitions)
+
+  /** Multi-column variant: one range exchange + one checkpoint carries
+    * ALL the running totals (valueCol → outCol pairs) — N cumulative
+    * series over the same global order must not pay N materializations
+    * (the two-sample ECDF in m46 needs both series in lockstep). */
+  def withRunningTotals(
+      df: DataFrame,
+      sortCols: Seq[String],
+      valueOutCols: Seq[(String, String)],
+      numPartitions: Int = 32): DataFrame = {
     // The offsets subtree and the main subtree BOTH consume `ranged`.
     // repartitionByRange samples its boundaries, and when the two
     // consumers are not deduped into one exchange (plan-dependent —
@@ -47,20 +58,25 @@ object PrefixSum {
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint(true)
     val offsets = ranged
-      .groupBy("_pid").agg(sum(valueCol).as("_n"))
-      .withColumn("_off",
+      .groupBy("_pid")
+      .agg(valueOutCols.map { case (v, _) => sum(v).as(s"_n_$v") }.head,
+        valueOutCols.map { case (v, _) => sum(v).as(s"_n_$v") }.tail: _*)
+      .select(col("_pid") +: valueOutCols.map { case (v, _) =>
         coalesce(
-          sum("_n").over(graft.Windows.bounded(col("_pid"))
+          sum(s"_n_$v").over(graft.Windows.bounded(col("_pid"))
             .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select("_pid", "_off")
-    val local = sum(valueCol)
-      .over(Window.partitionBy("_pid").orderBy(sortCols.map(col): _*)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    ranged
-      .withColumn("_local", local)
-      .join(broadcast(offsets), "_pid")
-      .withColumn(outCol, col("_off") + col("_local"))
-      .drop("_pid", "_local", "_n", "_off")
+          lit(0L)).as(s"_off_$v")
+      }: _*)
+    val localW = Window.partitionBy("_pid").orderBy(sortCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocals = valueOutCols.foldLeft(ranged) { case (acc, (v, _)) =>
+      acc.withColumn(s"_local_$v", sum(v).over(localW))
+    }
+    val joined = withLocals.join(broadcast(offsets), "_pid")
+    valueOutCols.foldLeft(joined) { case (acc, (v, out)) =>
+      acc.withColumn(out, col(s"_off_$v") + col(s"_local_$v"))
+    }.drop("_pid")
+      .drop(valueOutCols.flatMap { case (v, _) =>
+        Seq(s"_local_$v", s"_off_$v") }: _*)
   }
 }

@@ -232,6 +232,32 @@ object SurfaceR9 {
       .orderBy(col("sim4").desc, col("word"))
   }
 
+  /** M46: exact two-sample Kolmogorov–Smirnov statistic — THE
+    * distribution-drift check a training pipeline runs between data
+    * snapshots (here: l_extendedprice under returnflag A vs R).
+    * D = max over observed values of |ECDF_A − ECDF_B|. The ECDFs are
+    * cumulative counts in global value order — a data-scaling running
+    * total, so both series ride ONE [[graft.operators.PrefixSum]]
+    * range-partition pass (never a single-partition window); the final
+    * max is an ordinary aggregate. Exact integer counts into one
+    * rounded division at the edge → bit-stable against the oracle's
+    * window-function form. */
+  val m46KsTest: Q = (s, d) => {
+    val byVal = lineitem(s, d)
+      .where(col("l_returnflag").isin("A", "R"))
+      .groupBy(col("l_extendedprice").as("p"))
+      .agg(sum(when(col("l_returnflag") === "A", 1L).otherwise(0L)).as("na"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("nb"))
+    val cum = graft.operators.PrefixSum.withRunningTotals(
+      byVal, Seq("p"), Seq("na" -> "cna", "nb" -> "cnb"))
+    val tot = byVal.agg(sum("na").as("n"), sum("nb").as("m"))
+    cum.crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n"), max(col("m")).as("m"),
+        r4(max(abs(
+          col("cna").cast("double") / col("n").cast("double")
+            - col("cnb").cast("double") / col("m").cast("double")))).as("d4"))
+  }
+
   // ---- registry ----
 
   val queries: Map[String, Q] = Map(
@@ -244,9 +270,28 @@ object SurfaceR9 {
     "m42_assoc_rules" -> m42AssocRules,
     "m43_prefixspan" -> m43Prefixspan,
     "m44_pca" -> m44Pca,
-    "m45_word2vec" -> m45Word2vec)
+    "m45_word2vec" -> m45Word2vec,
+    "m46_ks_test" -> m46KsTest)
 
   val oracleSql: Map[String, String] = Map(
+    "m46_ks_test" ->
+      """WITH s AS (
+        |  SELECT l_extendedprice AS p,
+        |    CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS ia,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ib
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        |g AS (SELECT p, CAST(sum(ia) AS BIGINT) AS na,
+        |        CAST(sum(ib) AS BIGINT) AS nb
+        |      FROM s GROUP BY p),
+        |c AS (SELECT sum(na) OVER (ORDER BY p) AS cna,
+        |        sum(nb) OVER (ORDER BY p) AS cnb
+        |      FROM g),
+        |t AS (SELECT CAST(sum(ia) AS BIGINT) AS n,
+        |        CAST(sum(ib) AS BIGINT) AS m FROM s)
+        |SELECT n, m,
+        |  round(max(abs(CAST(cna AS DOUBLE) / CAST(n AS DOUBLE)
+        |              - CAST(cnb AS DOUBLE) / CAST(m AS DOUBLE))), 4) AS d4
+        |FROM c CROSS JOIN t GROUP BY n, m""".stripMargin,
     "m43_prefixspan" ->
       """WITH e AS (
         |  SELECT user_id * 100000

@@ -154,6 +154,24 @@ class SurfaceR9Spec extends SparkSpec {
     assert(a.sameElements(b), "same seed must give same synonyms")
   }
 
+  test("m46: KS statistic equals a driver-side exact recomputation") {
+    val row = SurfaceR9.m46KsTest(spark, sfDir).collect()(0)
+    val (n, m, d) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+    val vals = Tables.lineitem(spark, sfDir)
+      .where(col("l_returnflag").isin("A", "R"))
+      .select("l_returnflag", "l_extendedprice")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val a = vals.filter(_._1 == "A").map(_._2).sorted
+    val b = vals.filter(_._1 == "R").map(_._2).sorted
+    assert(n == a.length && m == b.length)
+    val points = (a ++ b).distinct.sorted
+    val dExact = points.map { v =>
+      math.abs(a.count(_ <= v).toDouble / a.length
+        - b.count(_ <= v).toDouble / b.length)
+    }.max
+    assert(math.abs(d - dExact) < 1e-3, s"KS $d vs exact $dExact")
+  }
+
   test("m40: LDA topics are 3, term ranks dense, weights descending") {
     val topics = SurfaceR9.m40Lda(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
