@@ -1,6 +1,5 @@
 package graft.queries
 
-import org.apache.spark.ml.Pipeline
 import org.apache.spark.ml.classification.{LogisticRegression, OneVsRest}
 import org.apache.spark.ml.clustering.{BisectingKMeans, GaussianMixture, LDA}
 import org.apache.spark.ml.feature.{CountVectorizer, Imputer, RegexTokenizer}
@@ -50,13 +49,26 @@ object SurfaceR9 {
 
   /** M37 (rows-only): OneVsRest reduction — k seeded binary logistic
     * models over the 10-class embeddings, reported as confusion counts
-    * (m4 shape). Accuracy-beats-majority is MlSpec's law. */
+    * (m4 shape). Accuracy-beats-majority is MlSpec's law.
+    *
+    * The fitted model round-trips through save/load before transform:
+    * each inner LogisticRegressionModel retains a trainingSummary whose
+    * SparkSession reference is not task-serializable (its
+    * ObservationManager fails closure serialization under concurrent
+    * drives), and persistence is the supported way to strip summaries
+    * — it also exercises the OvR persistence path for free. */
   val m37Onevsrest: Q = (s, d) => {
     val feats = Pipelines.embeddingFeatures(embeddings(s, d))
     val ovr = new OneVsRest()
       .setClassifier(new LogisticRegression().setMaxIter(20).setRegParam(0.01))
       .setFeaturesCol("features").setLabelCol("label")
-    new Pipeline().setStages(Array(ovr)).fit(feats).transform(feats)
+    val fitted = ovr.fit(feats)
+    val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_m37_ovr_${java.util.UUID.randomUUID().toString.take(8)}")
+    fitted.write.overwrite().save(dir.toString)
+    graft.QueryGuard.deleteRecOnExit(dir.toFile)
+    val loaded = org.apache.spark.ml.classification.OneVsRestModel.load(dir.toString)
+    loaded.transform(feats)
       .groupBy(col("label").cast("int").as("label"),
         col("prediction").cast("int").as("prediction"))
       .agg(count(lit(1)).as("n"))

@@ -23,7 +23,7 @@ class SurfaceR8Spec extends SparkSpec {
     assert(got.size == want.size && got == want)
   }
 
-  test("lp19 plan: the only SinglePartition exchange feeds the tiny offset cumsum") {
+  test("lp19 plan: no SinglePartition exchange; offset cumsum funnels via bounded key") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val df = SurfaceR8.lp19GlobalRowid(spark, sfDir)
     // AQE wraps the tree in a leaf AdaptiveSparkPlanExec — unwrap it or
@@ -35,11 +35,22 @@ class SurfaceR8Spec extends SparkSpec {
     val singles = inner.collect {
       case s: ShuffleExchangeExec if s.outputPartitioning == SinglePartition => s
     }
-    // exactly one funnel, and it must sit ABOVE the per-partition count
-    // aggregate (numPartitions rows), never above the raw scan
-    assert(singles.size == 1, s"expected 1 SinglePartition exchange, got ${singles.size}")
-    assert(singles.head.child.toString.contains("HashAggregate"),
-      s"SinglePartition exchange not above the count aggregate:\n${singles.head}")
+    // the offset cumsum used to be the ONE sanctioned SinglePartition
+    // funnel; since Windows.bounded it hash-partitions on the
+    // non-foldable constant key instead (same single-task execution,
+    // tripwire-silent), so the plan must contain NO SinglePartition
+    // exchange at all and exactly one bounded-key hash exchange above
+    // the per-partition count aggregate
+    assert(singles.isEmpty, s"unexpected SinglePartition exchange:\n$singles")
+    // the offset cumsum window must be PARTITIONED (by the projected
+    // bounded key) and sit above the per-partition count aggregate
+    val offsetWindows = inner.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.nonEmpty &&
+            w.child.toString.contains("HashAggregate") => w
+    }
+    assert(offsetWindows.nonEmpty,
+      s"no partitioned window above the count aggregate:\n$inner")
     assert(inner.toString.contains("rangepartitioning"),
       "missing range repartition of the data side")
   }
