@@ -270,6 +270,35 @@ object SurfaceR9 {
             - col("cnb").cast("double") / col("m").cast("double")))).as("d4"))
   }
 
+  /** M47: exact Mann–Whitney U (rank-sum) — the nonparametric
+    * location-shift drift test beside m46's KS. Tie handling is exact:
+    * per distinct value, the midrank is (C − c) + (c+1)/2 where C is
+    * the inclusive running total of combined counts — kept as DOUBLED
+    * integers (2·midrank = 2C − c + 1) so U is computed entirely in
+    * exact BIGINT arithmetic; the only float is the AUC effect size
+    * U/(n·m) at the edge (the rank-biserial/AUC equivalence). The
+    * running total rides the same [[graft.operators.PrefixSum]]
+    * range-partition pass as m46 — no single-partition window. */
+  val m47Mannwhitney: Q = (s, d) => {
+    val byVal = lineitem(s, d)
+      .where(col("l_returnflag").isin("A", "R"))
+      .groupBy(col("l_extendedprice").as("p"))
+      .agg(sum(when(col("l_returnflag") === "A", 1L).otherwise(0L)).as("na"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("nb"))
+      .withColumn("c", col("na") + col("nb"))
+    val cum = graft.operators.PrefixSum.withRunningTotals(
+      byVal, Seq("p"), Seq("c" -> "cc"))
+    val tot = byVal.agg(sum("na").as("n"), sum("nb").as("m"))
+    cum.crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("nn"), max(col("m")).as("mm"),
+        sum(col("na") * (lit(2L) * col("cc") - col("c") + lit(1L))).as("r2"))
+      .select(col("nn").as("n"), col("mm").as("m"),
+        (col("r2") - col("nn") * (col("nn") + 1L)).as("u2_a"),
+        r4((col("r2") - col("nn") * (col("nn") + 1L)).cast("double")
+          / (lit(2.0) * col("nn").cast("double") * col("mm").cast("double")))
+          .as("auc4"))
+  }
+
   // ---- registry ----
 
   val queries: Map[String, Q] = Map(
@@ -283,9 +312,28 @@ object SurfaceR9 {
     "m43_prefixspan" -> m43Prefixspan,
     "m44_pca" -> m44Pca,
     "m45_word2vec" -> m45Word2vec,
-    "m46_ks_test" -> m46KsTest)
+    "m46_ks_test" -> m46KsTest,
+    "m47_mannwhitney" -> m47Mannwhitney)
 
   val oracleSql: Map[String, String] = Map(
+    "m47_mannwhitney" ->
+      """WITH s AS (
+        |  SELECT l_extendedprice AS p,
+        |    CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS ia,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ib
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        |g AS (SELECT p, CAST(sum(ia) AS BIGINT) AS na,
+        |        CAST(sum(ia) + sum(ib) AS BIGINT) AS c
+        |      FROM s GROUP BY p),
+        |cu AS (SELECT na, c, sum(c) OVER (ORDER BY p) AS cc FROM g),
+        |t AS (SELECT CAST(sum(ia) AS BIGINT) AS n,
+        |        CAST(sum(ib) AS BIGINT) AS m FROM s),
+        |r AS (SELECT CAST(sum(na * (2 * cc - c + 1)) AS BIGINT) AS r2 FROM cu)
+        |SELECT n, m,
+        |  CAST(r2 - n * (n + 1) AS BIGINT) AS u2_a,
+        |  round(CAST(r2 - n * (n + 1) AS DOUBLE)
+        |        / (2e0 * CAST(n AS DOUBLE) * CAST(m AS DOUBLE)), 4) AS auc4
+        |FROM r CROSS JOIN t""".stripMargin,
     "m46_ks_test" ->
       """WITH s AS (
         |  SELECT l_extendedprice AS p,

@@ -172,6 +172,28 @@ class SurfaceR9Spec extends SparkSpec {
     assert(math.abs(d - dExact) < 1e-3, s"KS $d vs exact $dExact")
   }
 
+  test("m47: U statistic equals a driver-side midrank recomputation, AUC in [0,1]") {
+    val row = SurfaceR9.m47Mannwhitney(spark, sfDir).collect()(0)
+    val (n, m, u2, auc) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getDouble(3))
+    val vals = Tables.lineitem(spark, sfDir)
+      .where(col("l_returnflag").isin("A", "R"))
+      .select("l_returnflag", "l_extendedprice")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val all = vals.map(_._2).sorted
+    // exact midranks via first/last occurrence in the sorted pool
+    def midrank2(v: Double): Long = { // doubled midrank, exact integer
+      val lo = all.indexWhere(_ == v); val hi = all.lastIndexWhere(_ == v)
+      (lo + 1).toLong + (hi + 1).toLong
+    }
+    val r2 = vals.filter(_._1 == "A").map(t => midrank2(t._2)).sum
+    val nA = vals.count(_._1 == "A").toLong
+    val nB = vals.count(_._1 == "R").toLong
+    assert(n == nA && m == nB)
+    assert(u2 == r2 - nA * (nA + 1), s"u2 $u2 vs ${r2 - nA * (nA + 1)}")
+    assert(auc >= 0.0 && auc <= 1.0)
+  }
+
   test("m40: LDA topics are 3, term ranks dense, weights descending") {
     val topics = SurfaceR9.m40Lda(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
