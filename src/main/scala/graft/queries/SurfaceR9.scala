@@ -299,6 +299,29 @@ object SurfaceR9 {
           .as("auc4"))
   }
 
+  /** X16: recursive CTE (Spark 4's WITH RECURSIVE) — iterative
+    * transitive traversal INSIDE the SQL surface, no driver loop. The
+    * hierarchy is derived deterministically from the part table itself
+    * (child p → parent p div 2, a binary tree rooted at partkey 1);
+    * the recursion BFS-walks it level by level — each step is one
+    * distributed join of the frontier against the table, which is
+    * exactly how an at-scale engine should run bounded-depth graph
+    * traversals (depth ≤ ⌈log₂ max(p_partkey)⌉). Output: parts per
+    * depth, plus the min/max key at each level as a structural check. */
+  val x16RecursiveCte: Q = (s, d) => {
+    part(s, d).select("p_partkey").createOrReplaceTempView("graft_r9_parts")
+    s.sql(
+      """WITH RECURSIVE walk(pk, depth) AS (
+        |  SELECT p_partkey, 0 FROM graft_r9_parts WHERE p_partkey = 1
+        |  UNION ALL
+        |  SELECT p.p_partkey, w.depth + 1
+        |  FROM graft_r9_parts p JOIN walk w ON p.p_partkey div 2 = w.pk
+        |)
+        |SELECT depth, count(*) AS n_parts,
+        |  min(pk) AS min_pk, max(pk) AS max_pk
+        |FROM walk GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
   // ---- registry ----
 
   val queries: Map[String, Q] = Map(
@@ -313,9 +336,21 @@ object SurfaceR9 {
     "m44_pca" -> m44Pca,
     "m45_word2vec" -> m45Word2vec,
     "m46_ks_test" -> m46KsTest,
-    "m47_mannwhitney" -> m47Mannwhitney)
+    "m47_mannwhitney" -> m47Mannwhitney,
+    "x16_recursive_cte" -> x16RecursiveCte)
 
   val oracleSql: Map[String, String] = Map(
+    "x16_recursive_cte" ->
+      """WITH RECURSIVE walk(pk, depth) AS (
+        |  SELECT p_partkey, 0 FROM part WHERE p_partkey = 1
+        |  UNION ALL
+        |  SELECT p.p_partkey, w.depth + 1
+        |  FROM part p JOIN walk w ON p.p_partkey // 2 = w.pk
+        |)
+        |SELECT CAST(depth AS INT) AS depth,
+        |  CAST(count(*) AS BIGINT) AS n_parts,
+        |  min(pk) AS min_pk, max(pk) AS max_pk
+        |FROM walk GROUP BY depth ORDER BY depth""".stripMargin,
     "m47_mannwhitney" ->
       """WITH s AS (
         |  SELECT l_extendedprice AS p,

@@ -189,6 +189,19 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("ShuffledHashJoin"), s"hint not honoured:\n$plan")
   }
 
+  test("q3: top-k per group plans a two-phase WindowGroupLimit (partial before shuffle)") {
+    // Spark 4's WindowGroupLimit prunes each group to k rows BEFORE the
+    // rank window — and the Partial phase runs map-side, so only ≤k rows
+    // per group per mapper ever cross the shuffle. This is the property
+    // that keeps top-k-per-group viable at 100 TB; pin it so a filter
+    // rewrite can't silently lose it.
+    val df = graft.queries.Relational.q3WindowTopk(spark, sfDir)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"missing two-phase WindowGroupLimit:\n$plan")
+  }
+
   test("Windows.bounded partition key survives optimization (warning stays armed)") {
     // lit(0) would be folded out of the partition spec by Catalyst,
     // re-arming WindowExec's "No Partition Defined" warning; the

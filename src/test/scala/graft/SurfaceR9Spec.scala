@@ -194,6 +194,19 @@ class SurfaceR9Spec extends SparkSpec {
     assert(auc >= 0.0 && auc <= 1.0)
   }
 
+  test("x16: recursive traversal depth histogram equals floor(log2(key))") {
+    val rows = SurfaceR9.x16RecursiveCte(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val keys = Tables.part(spark, sfDir).select("p_partkey")
+      .collect().map(_.getLong(0))
+    // partkey 0 (present in the fixture) is unreachable from root 1 —
+    // its would-be parent is itself — so the walk must exclude it
+    val expect = keys.filter(_ >= 1)
+      .map(k => (math.log(k.toDouble) / math.log(2.0)).toInt)
+      .groupBy(identity).map { case (d, xs) => d -> xs.length.toLong }
+    assert(rows == expect, s"got $rows expected $expect")
+  }
+
   test("m40: LDA topics are 3, term ranks dense, weights descending") {
     val topics = SurfaceR9.m40Lda(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
