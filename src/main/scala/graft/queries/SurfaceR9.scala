@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.ml.classification.{LogisticRegression, OneVsRest}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.ml.clustering.{BisectingKMeans, GaussianMixture, LDA}
 import org.apache.spark.ml.feature.{CountVectorizer, Imputer, RegexTokenizer}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -322,6 +323,38 @@ object SurfaceR9 {
         |FROM walk GROUP BY depth ORDER BY depth""".stripMargin)
   }
 
+  /** LT13: CUSUM changepoint per event_type — where does the value
+    * series' mean shift? The classic statistic is the argmax of
+    * |Σ_{i≤k}(x_i − μ)|; multiplying through by n turns it into exact
+    * BIGINT arithmetic on quantized values: T_k = n·pre_k − k·tot
+    * (pre_k = running quantized sum, tot = series total), so both
+    * engines agree bit-for-bit with no float accumulation. Every
+    * window is partitioned by event_type — the per-entity contract;
+    * nothing is globally ordered. Ties break to the earliest k. */
+  val lt13CusumChangepoint: Q = (s, d) => {
+    val e = events(s, d).select(
+      col("event_type"),
+      unix_micros(col("ts")).as("us"), col("event_id"),
+      expr("CAST(floor(value * 1e4 + 5e-1) AS BIGINT)").as("q"))
+    val w = Window.partitionBy("event_type").orderBy(col("us"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy("event_type")
+    val scored = e
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("pre", sum("q").over(run))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("tot", sum("q").over(all))
+      .withColumn("t_abs", abs(col("n") * col("pre") - col("k") * col("tot")))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type")
+          .orderBy(col("t_abs").desc, col("k"))))
+      .where(col("rk") === 1)
+      .select(col("event_type"), col("k").as("k_star"),
+        col("us").as("us_star"), col("t_abs"))
+      .orderBy("event_type")
+  }
+
   // ---- registry ----
 
   val queries: Map[String, Q] = Map(
@@ -337,9 +370,34 @@ object SurfaceR9 {
     "m45_word2vec" -> m45Word2vec,
     "m46_ks_test" -> m46KsTest,
     "m47_mannwhitney" -> m47Mannwhitney,
-    "x16_recursive_cte" -> x16RecursiveCte)
+    "x16_recursive_cte" -> x16RecursiveCte,
+    "lt13_cusum_changepoint" -> lt13CusumChangepoint)
 
   val oracleSql: Map[String, String] = Map(
+    "lt13_cusum_changepoint" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    event_id,
+        |    CAST(floor(value * 1e4 + 5e-1) AS BIGINT) AS q
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type, us, event_id,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY us, event_id) AS BIGINT) AS k,
+        |    sum(q) OVER (PARTITION BY event_type
+        |      ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre,
+        |    count(*) OVER (PARTITION BY event_type) AS n,
+        |    sum(q) OVER (PARTITION BY event_type) AS tot
+        |  FROM e),
+        |t AS (
+        |  SELECT event_type, k, us, abs(n * pre - k * tot) AS t_abs,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(n * pre - k * tot) DESC, k) AS rk
+        |  FROM s)
+        |SELECT event_type, k AS k_star, us AS us_star,
+        |  CAST(t_abs AS BIGINT) AS t_abs
+        |FROM t WHERE rk = 1 ORDER BY event_type""".stripMargin,
     "x16_recursive_cte" ->
       """WITH RECURSIVE walk(pk, depth) AS (
         |  SELECT p_partkey, 0 FROM part WHERE p_partkey = 1

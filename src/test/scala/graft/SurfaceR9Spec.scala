@@ -207,6 +207,28 @@ class SurfaceR9Spec extends SparkSpec {
     assert(rows == expect, s"got $rows expected $expect")
   }
 
+  test("lt13: changepoint maximizes |n*pre - k*tot| in a driver-side replay") {
+    val got = SurfaceR9.lt13CusumChangepoint(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val rows = Tables.events(spark, sfDir)
+      .selectExpr("event_type", "unix_micros(ts) AS us", "event_id",
+        "CAST(floor(value * 1e4 + 5e-1) AS BIGINT) AS q")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (et, es) =>
+      val sorted = es.sortBy(t => (t._2, t._3))
+      val n = sorted.length.toLong
+      val tot = sorted.map(_._4).sum
+      var pre = 0L; var best = -1L; var bestK = 0L
+      sorted.zipWithIndex.foreach { case ((_, _, _, q), i) =>
+        pre += q
+        val t = math.abs(n * pre - (i + 1) * tot)
+        if (t > best) { best = t; bestK = i + 1 }
+      }
+      assert(got(et) == (bestK, best), s"$et: ${got(et)} vs ($bestK, $best)")
+    }
+  }
+
   test("m40: LDA topics are 3, term ranks dense, weights descending") {
     val topics = SurfaceR9.m40Lda(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
