@@ -355,6 +355,70 @@ object SurfaceR9 {
       .orderBy("event_type")
   }
 
+  /** M48: PolynomialExpansion — degree-2 expansion of (x, y) into
+    * (x, x², y, xy, y²), checked cell-exact against the SQL products
+    * (same IEEE multiplications, no rounding needed except the edge
+    * r4). Stateless transformer; trivially distributed. */
+  val m48PolyExpansion: Q = (s, d) => {
+    val base = customer(s, d).select(
+      col("c_custkey"),
+      org.apache.spark.ml.functions.array_to_vector(array(
+        col("c_acctbal"), col("c_nationkey").cast("double"))).as("v"))
+    val pe = new org.apache.spark.ml.feature.PolynomialExpansion()
+      .setInputCol("v").setOutputCol("pv").setDegree(2)
+    val arr = org.apache.spark.ml.functions.vector_to_array(col("pv"))
+    pe.transform(base).select(
+      col("c_custkey"),
+      r4(element_at(arr, 1)).as("x4"),
+      r4(element_at(arr, 2)).as("xx4"),
+      r4(element_at(arr, 3)).as("y4"),
+      r4(element_at(arr, 4)).as("xy4"),
+      r4(element_at(arr, 5)).as("yy4"))
+      .orderBy("c_custkey")
+  }
+
+  /** M49: RFormula — the one-line modelling-frame API
+    * (`target ~ categorical + numeric`): string-indexes and one-hot
+    * encodes the categorical term (frequencyDesc, dropLast — reference
+    * level = the most frequent), assembles with the numeric term, and
+    * emits the label. Rendered as columns and checked against the SQL
+    * dense-rank + indicator form (m9's oracle pattern). */
+  val m49Rformula: Q = (s, d) => {
+    val rf = new org.apache.spark.ml.feature.RFormula()
+      .setFormula("o_totalprice ~ o_orderpriority + o_custkey")
+    val base = orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_custkey").cast("double").as("o_custkey"),
+        col("o_totalprice"))
+    val arr = org.apache.spark.ml.functions.vector_to_array(col("features"))
+    rf.fit(base).transform(base).select(
+      col("o_orderkey"),
+      element_at(arr, 1).cast("int").as("oh0"),
+      element_at(arr, 2).cast("int").as("oh1"),
+      element_at(arr, 3).cast("int").as("oh2"),
+      element_at(arr, 4).cast("int").as("oh3"),
+      r4(element_at(arr, 5)).as("cust4"),
+      r4(col("label")).as("label4"))
+      .orderBy("o_orderkey")
+  }
+
+  /** M50: StopWordsRemover — vocabulary-bounded filter before any
+    * token statistic; checked against the SQL array filter over the
+    * SAME default English stop-word list (broadcast into both plans
+    * as a literal). Output: per-doc kept-token count + the first
+    * kept token. */
+  val m50StopWords: Q = (s, d) => {
+    val sw = new org.apache.spark.ml.feature.StopWordsRemover()
+      .setInputCol("toks").setOutputCol("kept").setCaseSensitive(false)
+    val base = documents(s, d).select(
+      col("doc_id"), split(col("text"), " ").as("toks"))
+    sw.transform(base).select(
+      col("doc_id"),
+      size(col("kept")).as("n_kept"),
+      element_at(col("kept"), 1).as("first_kept"))
+      .orderBy("doc_id")
+  }
+
   // ---- registry ----
 
   val queries: Map[String, Q] = Map(
@@ -371,9 +435,50 @@ object SurfaceR9 {
     "m46_ks_test" -> m46KsTest,
     "m47_mannwhitney" -> m47Mannwhitney,
     "x16_recursive_cte" -> x16RecursiveCte,
-    "lt13_cusum_changepoint" -> lt13CusumChangepoint)
+    "lt13_cusum_changepoint" -> lt13CusumChangepoint,
+    "m48_poly_expansion" -> m48PolyExpansion,
+    "m49_rformula" -> m49Rformula,
+    "m50_stopwords" -> m50StopWords)
+
+  /** Default English stop-word list, embedded literally into the m50
+    * oracle so DuckDB filters with the SAME vocabulary. */
+  private def stopListSql: String =
+    org.apache.spark.ml.feature.StopWordsRemover.loadDefaultStopWords("english")
+      .map(w => "'" + w.replace("'", "''") + "'").mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
+    "m48_poly_expansion" ->
+      """SELECT c_custkey,
+        |  round(c_acctbal, 4) AS x4,
+        |  round(c_acctbal * c_acctbal, 4) AS xx4,
+        |  round(CAST(c_nationkey AS DOUBLE), 4) AS y4,
+        |  round(c_acctbal * CAST(c_nationkey AS DOUBLE), 4) AS xy4,
+        |  round(CAST(c_nationkey AS DOUBLE) * CAST(c_nationkey AS DOUBLE), 4) AS yy4
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "m49_rformula" ->
+      """WITH m AS (
+        | SELECT o_orderpriority,
+        |        dense_rank() OVER (ORDER BY cnt DESC, o_orderpriority ASC) - 1 AS idx
+        | FROM (SELECT o_orderpriority, count(*) AS cnt FROM orders GROUP BY 1) t)
+        |SELECT o.o_orderkey,
+        | CAST(CASE WHEN m.idx = 0 THEN 1 ELSE 0 END AS INT) AS oh0,
+        | CAST(CASE WHEN m.idx = 1 THEN 1 ELSE 0 END AS INT) AS oh1,
+        | CAST(CASE WHEN m.idx = 2 THEN 1 ELSE 0 END AS INT) AS oh2,
+        | CAST(CASE WHEN m.idx = 3 THEN 1 ELSE 0 END AS INT) AS oh3,
+        | round(CAST(o.o_custkey AS DOUBLE), 4) AS cust4,
+        | round(o.o_totalprice, 4) AS label4
+        |FROM orders o JOIN m USING (o_orderpriority)
+        |ORDER BY o_orderkey""".stripMargin,
+    "m50_stopwords" ->
+      ("""WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '),
+        |      w -> NOT list_contains(""".stripMargin + stopListSql +
+        """, lower(w))) AS kept
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(kept) AS INT) AS n_kept,
+        |  kept[1] AS first_kept
+        |FROM t ORDER BY doc_id""".stripMargin),
     "lt13_cusum_changepoint" ->
       """WITH e AS (
         |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,

@@ -229,6 +229,16 @@ class SurfaceR9Spec extends SparkSpec {
     }
   }
 
+  test("m50: no kept token is in the stop list; removal is case-insensitive") {
+    val stops = org.apache.spark.ml.feature.StopWordsRemover
+      .loadDefaultStopWords("english").toSet
+    val kept = SurfaceR9.m50StopWords(spark, sfDir)
+      .where(col("first_kept").isNotNull)
+      .collect().map(_.getString(2))
+    assert(kept.nonEmpty)
+    kept.foreach(w => assert(!stops.contains(w.toLowerCase), s"stop word '$w' kept"))
+  }
+
   test("m40: LDA topics are 3, term ranks dense, weights descending") {
     val topics = SurfaceR9.m40Lda(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
