@@ -419,6 +419,24 @@ object SurfaceR9 {
       .orderBy("doc_id")
   }
 
+  /** M51: univariate feature selection — top-4 embedding dims by the
+    * ANOVA F-statistic against the class label (continuous features /
+    * categorical label). The oracle recomputes every dim's
+    * F = MSB/MSW in SQL and takes the same top-4; the sf0.01 scores
+    * separate by ~3% at the cut, so the index set is robust to float
+    * noise. Selection state is k integers — broadcastable; the scoring
+    * pass is one aggregate over (dim, label) cells. */
+  val m51FeatureSelection: Q = (s, d) => {
+    val feats = Pipelines.embeddingFeatures(embeddings(s, d))
+    val sel = new org.apache.spark.ml.feature.UnivariateFeatureSelector()
+      .setFeatureType("continuous").setLabelType("categorical")
+      .setSelectionMode("numTopFeatures").setSelectionThreshold(4)
+      .setFeaturesCol("features").setLabelCol("label").setOutputCol("sel")
+    val idx = sel.fit(feats).selectedFeatures.sorted
+    s.createDataFrame(idx.map(i => Tuple1(i))).toDF("feature_idx")
+      .orderBy("feature_idx")
+  }
+
   // ---- registry ----
 
   val queries: Map[String, Q] = Map(
@@ -438,7 +456,8 @@ object SurfaceR9 {
     "lt13_cusum_changepoint" -> lt13CusumChangepoint,
     "m48_poly_expansion" -> m48PolyExpansion,
     "m49_rformula" -> m49Rformula,
-    "m50_stopwords" -> m50StopWords)
+    "m50_stopwords" -> m50StopWords,
+    "m51_feature_selection" -> m51FeatureSelection)
 
   /** Default English stop-word list, embedded literally into the m50
     * oracle so DuckDB filters with the SAME vocabulary. */
@@ -447,6 +466,28 @@ object SurfaceR9 {
       .map(w => "'" + w.replace("'", "''") + "'").mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
+    "m51_feature_selection" ->
+      """WITH e AS (
+        |  SELECT label, unnest(range(len(embedding))) AS pos,
+        |    unnest(embedding) AS x
+        |  FROM embeddings),
+        |g AS (SELECT pos, label, count(*) AS n, avg(x) AS m
+        |      FROM e GROUP BY 1, 2),
+        |t AS (SELECT pos, count(*) AS nt, avg(x) AS mt FROM e GROUP BY 1),
+        |k AS (SELECT count(DISTINCT label) AS kk FROM embeddings),
+        |msb AS (SELECT g.pos, sum(g.n * (g.m - t.mt) * (g.m - t.mt))
+        |          / (k.kk - 1) AS b
+        |        FROM g JOIN t USING (pos) CROSS JOIN k GROUP BY g.pos, k.kk),
+        |msw AS (SELECT e.pos, sum((e.x - g.m) * (e.x - g.m))
+        |          / (t.nt - k.kk) AS w
+        |        FROM e JOIN g ON e.pos = g.pos AND e.label = g.label
+        |        JOIN t ON e.pos = t.pos CROSS JOIN k
+        |        GROUP BY e.pos, t.nt, k.kk)
+        |SELECT feature_idx FROM (
+        |  SELECT CAST(msb.pos AS INT) AS feature_idx, msb.b / msw.w AS f
+        |  FROM msb JOIN msw USING (pos)
+        |  ORDER BY f DESC, feature_idx LIMIT 4)
+        |ORDER BY feature_idx""".stripMargin,
     "m48_poly_expansion" ->
       """SELECT c_custkey,
         |  round(c_acctbal, 4) AS x4,
