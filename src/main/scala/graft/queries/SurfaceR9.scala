@@ -437,6 +437,33 @@ object SurfaceR9 {
       .orderBy("feature_idx")
   }
 
+  /** S19: JDBC source/sink roundtrip against embedded Derby — the
+    * operational-database ingest path. The read side demonstrates the
+    * ONLY shape that scales: `partitionColumn`/bounds/`numPartitions`
+    * split the table into parallel range queries (4 executors each
+    * pull a key range) instead of one serial cursor; the oracle is the
+    * fixture itself, so a broken write or a dropped range fails the
+    * hash compare. A UUID-fresh database per run avoids cross-drive
+    * clashes (Derby embedded locks its directory). */
+  val s19JdbcRoundtrip: Q = (s, d) => {
+    val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_s19_derby_${java.util.UUID.randomUUID().toString.take(8)}")
+    graft.QueryGuard.deleteRecOnExit(dir.toFile)
+    val url = s"jdbc:derby:${dir.toString}/db;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").jdbc(url, "NATION_T", props)
+    s.read
+      .option("partitionColumn", "n_nationkey")
+      .option("lowerBound", "0").option("upperBound", "25")
+      .option("numPartitions", "4")
+      .jdbc(url, "NATION_T", props)
+      .select(col("n_nationkey").cast("int").as("n_nationkey"),
+        col("n_name"), col("n_regionkey").cast("int").as("n_regionkey"))
+      .orderBy("n_nationkey")
+  }
+
   // ---- registry ----
 
   val queries: Map[String, Q] = Map(
@@ -457,7 +484,8 @@ object SurfaceR9 {
     "m48_poly_expansion" -> m48PolyExpansion,
     "m49_rformula" -> m49Rformula,
     "m50_stopwords" -> m50StopWords,
-    "m51_feature_selection" -> m51FeatureSelection)
+    "m51_feature_selection" -> m51FeatureSelection,
+    "s19_jdbc_roundtrip" -> s19JdbcRoundtrip)
 
   /** Default English stop-word list, embedded literally into the m50
     * oracle so DuckDB filters with the SAME vocabulary. */
@@ -466,6 +494,10 @@ object SurfaceR9 {
       .map(w => "'" + w.replace("'", "''") + "'").mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
+    "s19_jdbc_roundtrip" ->
+      """SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS INT) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "m51_feature_selection" ->
       """WITH e AS (
         |  SELECT label, unnest(range(len(embedding))) AS pos,

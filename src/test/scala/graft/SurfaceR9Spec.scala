@@ -239,6 +239,16 @@ class SurfaceR9Spec extends SparkSpec {
     kept.foreach(w => assert(!stops.contains(w.toLowerCase), s"stop word '$w' kept"))
   }
 
+  test("s19: partitioned JDBC read splits into 4 parallel range queries") {
+    val df = SurfaceR9.s19JdbcRoundtrip(spark, sfDir)
+    assert(df.count() == 25)
+    // the scan itself (before the orderBy exchange) must carry the 4
+    // range partitions — JDBCRelation prints its partition count
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("JDBCRelation") && scan.contains("numPartitions=4"),
+      s"partitioned JDBC scan missing:\n$scan")
+  }
+
   test("m40: LDA topics are 3, term ranks dense, weights descending") {
     val topics = SurfaceR9.m40Lda(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
