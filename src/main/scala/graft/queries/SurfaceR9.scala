@@ -464,6 +464,31 @@ object SurfaceR9 {
       .orderBy("n_nationkey")
   }
 
+  /** M52: Summarizer — the one-pass per-dimension vector profile
+    * (mean/variance/min/max over the embedding column), the embedding-
+    * QA counterpart of lp7's column profiler: one treeAggregate over
+    * the corpus, model state = 4 vectors of dim entries. Exploded to a
+    * row per dimension and r4-checked against the oracle's unnest
+    * aggregation (same double math the a7 stats family already pins). */
+  val m52Summarizer: Q = (s, d) => {
+    import org.apache.spark.ml.stat.Summarizer
+    val feats = embeddings(s, d).select(
+      org.apache.spark.ml.functions.array_to_vector(col("embedding")).as("v"))
+    val m = feats.select(Summarizer
+      .metrics("mean", "variance", "min", "max").summary(col("v")).as("s"))
+      .select(
+        org.apache.spark.ml.functions.vector_to_array(col("s.mean")).as("mean"),
+        org.apache.spark.ml.functions.vector_to_array(col("s.variance")).as("var"),
+        org.apache.spark.ml.functions.vector_to_array(col("s.min")).as("mn"),
+        org.apache.spark.ml.functions.vector_to_array(col("s.max")).as("mx"))
+    m.select(posexplode(arrays_zip(col("mean"), col("var"), col("mn"), col("mx")))
+        .as(Seq("dim", "z")))
+      .select(col("dim"),
+        r4(col("z.mean")).as("mean4"), r4(col("z.var")).as("var4"),
+        r4(col("z.mn")).as("min4"), r4(col("z.mx")).as("max4"))
+      .orderBy("dim")
+  }
+
   // ---- registry ----
 
   val queries: Map[String, Q] = Map(
@@ -485,7 +510,8 @@ object SurfaceR9 {
     "m49_rformula" -> m49Rformula,
     "m50_stopwords" -> m50StopWords,
     "m51_feature_selection" -> m51FeatureSelection,
-    "s19_jdbc_roundtrip" -> s19JdbcRoundtrip)
+    "s19_jdbc_roundtrip" -> s19JdbcRoundtrip,
+    "m52_summarizer" -> m52Summarizer)
 
   /** Default English stop-word list, embedded literally into the m50
     * oracle so DuckDB filters with the SAME vocabulary. */
@@ -494,6 +520,17 @@ object SurfaceR9 {
       .map(w => "'" + w.replace("'", "''") + "'").mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
+    "m52_summarizer" ->
+      """WITH e AS (
+        |  SELECT unnest(range(len(embedding))) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings)
+        |SELECT CAST(dim AS INT) AS dim,
+        |  round(avg(x), 4) AS mean4,
+        |  round(var_samp(x), 4) AS var4,
+        |  round(min(x), 4) AS min4,
+        |  round(max(x), 4) AS max4
+        |FROM e GROUP BY dim ORDER BY dim""".stripMargin,
     "s19_jdbc_roundtrip" ->
       """SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
         |  CAST(n_regionkey AS INT) AS n_regionkey
