@@ -46,6 +46,13 @@ object PrefixSum {
       sortCols: Seq[String],
       valueOutCols: Seq[(String, String)],
       numPartitions: Int = 32): DataFrame = {
+    require(valueOutCols.nonEmpty,
+      "withRunningTotals needs at least one (valueCol, outCol) pair")
+    // Temp columns are keyed by INDEX, not by the value column's name —
+    // a duplicated value column (two series over the same input) or a
+    // caller column that happens to be named like a temp would otherwise
+    // collide into an ambiguous-attribute AnalysisException.
+    val idx = valueOutCols.zipWithIndex
     // The offsets subtree and the main subtree BOTH consume `ranged`.
     // repartitionByRange samples its boundaries, and when the two
     // consumers are not deduped into one exchange (plan-dependent —
@@ -57,26 +64,26 @@ object PrefixSum {
     val ranged = df.repartitionByRange(numPartitions, sortCols.map(col): _*)
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint(true)
+    val partSums = idx.map { case ((v, _), i) => sum(v).as(s"_n_$i") }
     val offsets = ranged
       .groupBy("_pid")
-      .agg(valueOutCols.map { case (v, _) => sum(v).as(s"_n_$v") }.head,
-        valueOutCols.map { case (v, _) => sum(v).as(s"_n_$v") }.tail: _*)
-      .select(col("_pid") +: valueOutCols.map { case (v, _) =>
+      .agg(partSums.head, partSums.tail: _*)
+      .select(col("_pid") +: idx.map { case (_, i) =>
         coalesce(
-          sum(s"_n_$v").over(graft.Windows.bounded(col("_pid"))
+          sum(s"_n_$i").over(graft.Windows.bounded(col("_pid"))
             .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)).as(s"_off_$v")
+          lit(0L)).as(s"_off_$i")
       }: _*)
     val localW = Window.partitionBy("_pid").orderBy(sortCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withLocals = valueOutCols.foldLeft(ranged) { case (acc, (v, _)) =>
-      acc.withColumn(s"_local_$v", sum(v).over(localW))
+    val withLocals = idx.foldLeft(ranged) { case (acc, ((v, _), i)) =>
+      acc.withColumn(s"_local_$i", sum(v).over(localW))
     }
     val joined = withLocals.join(broadcast(offsets), "_pid")
-    valueOutCols.foldLeft(joined) { case (acc, (v, out)) =>
-      acc.withColumn(out, col(s"_off_$v") + col(s"_local_$v"))
+    idx.foldLeft(joined) { case (acc, ((_, out), i)) =>
+      acc.withColumn(out, col(s"_off_$i") + col(s"_local_$i"))
     }.drop("_pid")
-      .drop(valueOutCols.flatMap { case (v, _) =>
-        Seq(s"_local_$v", s"_off_$v") }: _*)
+      .drop(idx.flatMap { case (_, i) =>
+        Seq(s"_local_$i", s"_off_$i") }: _*)
   }
 }

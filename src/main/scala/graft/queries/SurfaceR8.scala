@@ -238,8 +238,6 @@ object SurfaceR8 {
     * (§5.3 decimal trap); ranking cuts on the r8-rounded score with a
     * doc_id tiebreak. */
   val ls4Bm25Topk: Q = (s, d) => {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("score").desc, col("doc_id").asc)
     val docs = documents(s, d)
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
@@ -258,8 +256,13 @@ object SurfaceR8 {
           (col("tf") + ((col("dl") / col("avgdl")) * 0.75d + 0.25d) * 1.2d))
           .as("term_score"))
       .groupBy("doc_id").agg(Orc.rN(sum("term_score"), 8).as("score"))
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .where(col("rk") <= 20)
+    // Global top-20 via sort+limit (TakeOrderedAndProject: per-partition
+    // heaps + driver merge), NOT a single-partition ranking window over
+    // the scored set — the scored set scales with the corpus. The rank
+    // is then assigned on the bounded 20-row result.
+    scored.orderBy(col("score").desc, col("doc_id").asc).limit(20)
+      .withColumn("rk", row_number().over(
+        graft.Windows.bounded(col("score").desc, col("doc_id").asc)).cast("long"))
       .select(col("doc_id"), col("score"), col("rk"))
       .orderBy("rk")
   }
@@ -581,23 +584,28 @@ object SurfaceR8 {
     * simplest non-degenerate per-doc score both engines compute
     * identically); selection = greedy by (score desc, doc_id) with a
     * running token cumsum capped at the budget — the knapsack-greedy
-    * that data curation actually ships. The global-order cumsum funnels
-    * through one partition HERE; at 100 TB the same selection runs on
-    * lp19's range-partitioned offsets (rank boundaries from a sampled
-    * CDF), which is why lp19 exists. Score rides the r8 grid BEFORE
-    * ranking so both engines cut the same prefix (§5.3). */
+    * that data curation actually ships. The cumsum and ordinal run
+    * through [[graft.operators.PrefixSum]]'s range-partitioned offsets
+    * (one range exchange + a numPartitions-row offset cumsum) — no
+    * single-partition window over the corpus. Desc order is expressed
+    * as range-partitioning on the NEGATED score (PrefixSum sorts
+    * ascending); (neg score, doc_id) is a total order so ties are
+    * deterministic. Score rides the r8 grid BEFORE ranking so both
+    * engines cut the same prefix (§5.3). */
   val lp23TokenBudgetSelect: Q = (s, d) => {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("score").desc, col("doc_id").asc)
-    documents(s, d)
+    val base = documents(s, d)
       .where(col("n_chars") > 0)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         Orc.rN(size(array_distinct(split(col("text"), " "))) /
           size(split(col("text"), " ")), 8).as("score"))
-      .withColumn("cum_tokens", sum("n_tokens").over(w))
-      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("_neg", -col("score"))
+      .withColumn("_one", lit(1L))
+    graft.operators.PrefixSum.withRunningTotals(
+        base, Seq("_neg", "doc_id"),
+        Seq("n_tokens" -> "cum_tokens", "_one" -> "rk"))
       .where(col("cum_tokens") <= 5000L)
+      .drop("_neg", "_one")
       .orderBy("rk")
   }
 

@@ -97,8 +97,13 @@ object SurfaceR8c {
     * and two docs can reach Jaccard ≥ t only if their prefixes share a
     * token — so candidate generation is an equi-join on prefix tokens,
     * never all-pairs (the oracle IS brute-force all-pairs, so any
-    * recall loss fails the hash compare loudly). Candidates are then
-    * verified exactly via an intersection count join on (doc, token).
+    * recall loss fails the hash compare loudly). PPJoin's POSITIONAL
+    * filter then prunes candidates before verification: each prefix row
+    * carries its token's position in the doc's (df, tok) order, the
+    * per-pair min overlap upper bound follows from the matched
+    * positions, and the Jaccard threshold is applied to that bound in
+    * exact integer arithmetic. Survivors are verified exactly via the
+    * sorted-array intersection kernel.
     *
     * Rarity needs no global vocabulary ORDINAL at all: the prefix is
     * chosen by a per-doc window ordered on (df, tok) directly, so the
@@ -126,10 +131,17 @@ object SurfaceR8c {
       .where(length(col("tok")) > 0)
     // one aggregate carries BOTH the verification payload (sorted token
     // array) and the size m — sort_array's UTF8 binary order is exactly
-    // the kernel's sortedness contract
+    // the kernel's sortedness contract. docArrs is consumed THREE times
+    // (prefix sizes + both verification sides) and pref twice (the two
+    // self-join sides): without a persist each consumer re-runs the
+    // whole explode→groupBy→window lineage, which measured 4× the cost
+    // of the query's real work at sf0.1 (35 s → 8 s). MEMORY_AND_DISK
+    // is the production multi-consumer choice — spills instead of
+    // recomputing when the tokenized corpus outgrows executor memory.
     val docArrs = toks.groupBy("doc_id")
       .agg(sort_array(collect_list(col("tok"))).as("ts"),
         count(lit(1)).as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     // prefix rows CARRY the doc's distinct-token count m, so the
     // size-band predicate (J ≥ t forces t·max(ma,mb) ≤ min(ma,mb)) can
@@ -140,14 +152,32 @@ object SurfaceR8c {
       .withColumn("pos", row_number().over(
         Window.partitionBy("doc_id").orderBy("df", "tok")))
       .where(col("pos") <= (col("m") - ceil(col("m") * lit(thr)) + 1L))
-      .select(col("doc_id"), col("tok"), col("m"))
-    val a = pref.toDF("a_id", "tok", "ma")
-    val b = pref.toDF("b_id", "tok", "mb")
+      .select(col("doc_id"), col("tok"), col("m"), col("pos").cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = pref.toDF("a_id", "tok", "ma", "pa")
+    val b = pref.toDF("b_id", "tok", "mb", "pb")
+    // PPJoin positional filter: with both docs' tokens in the same
+    // global (df, tok) order, a common token at 1-indexed positions
+    // (pa, pb) bounds the overlap by
+    //   ub = min(pa, pb) + min(ma − pa, mb − pb)
+    // (common tokens before it ≤ min(pa−1, pb−1), itself, after it
+    // ≤ min of the remainders). Jaccard ≥ t needs overlap ≥
+    // t·(ma+mb)/(1+t); at t = 0.95 = 19/20 that is EXACTLY
+    // 39·overlap ≥ 19·(ma+mb) in integers — no float ceil at the
+    // boundary. The bound must hold at EVERY matched prefix token, so
+    // aggregate min(ub) per pair (this replaces the former distinct()
+    // with a same-shuffle groupBy) and prune pairs before the
+    // verification joins ever see them.
     val sized = a.join(b,
         a("tok") === b("tok") && col("a_id") < col("b_id") &&
           col("ma") >= ceil(col("mb") * lit(thr)) &&
           col("mb") >= ceil(col("ma") * lit(thr)))
-      .select("a_id", "b_id", "ma", "mb").distinct()
+      .select(col("a_id"), col("b_id"), col("ma"), col("mb"),
+        (least(col("pa"), col("pb")) +
+          least(col("ma") - col("pa"), col("mb") - col("pb"))).as("ub"))
+      .groupBy("a_id", "b_id", "ma", "mb").agg(min("ub").as("ub"))
+      .where(lit(39L) * col("ub") >= lit(19L) * (col("ma") + col("mb")))
+      .select("a_id", "b_id", "ma", "mb")
     val verified = sized
       .join(docArrs.select(col("doc_id").as("a_id"), col("ts").as("ta")), "a_id")
       .join(docArrs.select(col("doc_id").as("b_id"), col("ts").as("tb")), "b_id")

@@ -379,8 +379,9 @@ object SurfaceR9 {
 
   /** M49: RFormula — the one-line modelling-frame API
     * (`target ~ categorical + numeric`): string-indexes and one-hot
-    * encodes the categorical term (frequencyDesc, dropLast — reference
-    * level = the most frequent), assembles with the numeric term, and
+    * encodes the categorical term (frequencyDesc, dropLast — dropLast
+    * drops the LAST index, so the reference (all-zeros) level is the
+    * least frequent category), assembles with the numeric term, and
     * emits the label. Rendered as columns and checked against the SQL
     * dense-rank + indicator form (m9's oracle pattern). */
   val m49Rformula: Q = (s, d) => {
@@ -410,6 +411,10 @@ object SurfaceR9 {
   val m50StopWords: Q = (s, d) => {
     val sw = new org.apache.spark.ml.feature.StopWordsRemover()
       .setInputCol("toks").setOutputCol("kept").setCaseSensitive(false)
+      // Pin the lowercasing locale: the DuckDB oracle uses lower();
+      // an unpinned JVM default locale (e.g. Turkish dotted-i) would
+      // make the two sides diverge.
+      .setLocale("en_US")
     val base = documents(s, d).select(
       col("doc_id"), split(col("text"), " ").as("toks"))
     sw.transform(base).select(

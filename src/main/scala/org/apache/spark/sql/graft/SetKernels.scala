@@ -59,15 +59,15 @@ object SetKernels {
 
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
-      val c = ctx.freshName("c")
+      val c = ctx.freshName("c"); val n = ctx.freshName("cnt")
       nullSafeCodeGen(ctx, ev, (a, b) => s"""
-        |int $i = 0; int $j = 0; long ${ev.value}0 = 0L;
+        |int $i = 0; int $j = 0; long $n = 0L;
         |while ($i < $a.numElements() && $j < $b.numElements()) {
         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
-        |  if ($c == 0) { ${ev.value}0++; $i++; $j++; }
+        |  if ($c == 0) { $n++; $i++; $j++; }
         |  else if ($c < 0) { $i++; } else { $j++; }
         |}
-        |${ev.value} = ${ev.value}0;
+        |${ev.value} = $n;
         """.stripMargin)
     }
 

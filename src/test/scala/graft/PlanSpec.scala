@@ -240,16 +240,24 @@ class PlanSpec extends SparkSpec {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
       else if (f.getName.endsWith(".scala")) Seq(f) else Nil
+    // Multiline regex: catches `Window\n  .orderBy(` wrapped calls too,
+    // not just the single-line literal.
+    val bare = """(?s)Window\s*\.\s*orderBy\s*\(""".r
     val offenders = walk(new java.io.File("src/main/scala")).flatMap { f =>
       val src = new String(
         java.nio.file.Files.readAllBytes(f.toPath),
         java.nio.charset.StandardCharsets.UTF_8)
-      src.linesIterator.zipWithIndex.collect {
-        case (line, i)
-            if line.contains("Window.orderBy(") &&
-              !line.trim.startsWith("*") && !line.trim.startsWith("//") =>
-          s"${f.getPath}:${i + 1}: $line"
-      }
+      // Strip comments so doc examples don't trip the lint; then flag
+      // every match with its line number.
+      val noBlock = """(?s)/\*.*?\*/""".r
+        .replaceAllIn(src, m => "\n" * m.matched.count(_ == '\n'))
+      val stripped = noBlock.linesIterator.map { l =>
+          val c = l.indexOf("//"); if (c >= 0) l.substring(0, c) else l
+        }.mkString("\n")
+      bare.findAllMatchIn(stripped).map { m =>
+        val line = stripped.substring(0, m.start).count(_ == '\n') + 1
+        s"${f.getPath}:$line"
+      }.toSeq
     }
     assert(offenders.isEmpty,
       s"bare global-order windows found:\n${offenders.mkString("\n")}")
