@@ -57,7 +57,8 @@ object SparkEntry {
       graft.queries.SurfaceR8l.queries ++
       graft.queries.SurfaceR8m.queries ++
       graft.queries.SurfaceR8n.queries ++
-      graft.queries.SurfaceR9.queries
+      graft.queries.SurfaceR9.queries ++
+      graft.queries.SurfaceR10.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -105,7 +106,8 @@ object SparkEntry {
       graft.queries.SurfaceR8l.oracleSql ++
       graft.queries.SurfaceR8m.oracleSql ++
       graft.queries.SurfaceR8n.oracleSql ++
-      graft.queries.SurfaceR9.oracleSql)
+      graft.queries.SurfaceR9.oracleSql ++
+      graft.queries.SurfaceR10.oracleSql)
       .map { case (k, v) => k -> Orc.round4Sql(v) }
 
   /** Headline bench subset — names and shapes match BASELINE.md. */
