@@ -59,7 +59,8 @@ object SparkEntry {
       graft.queries.SurfaceR8n.queries ++
       graft.queries.SurfaceR9.queries ++
       graft.queries.SurfaceR10.queries ++
-      graft.queries.SurfaceR10b.queries
+      graft.queries.SurfaceR10b.queries ++
+      graft.queries.SurfaceR10c.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -109,7 +110,8 @@ object SparkEntry {
       graft.queries.SurfaceR8n.oracleSql ++
       graft.queries.SurfaceR9.oracleSql ++
       graft.queries.SurfaceR10.oracleSql ++
-      graft.queries.SurfaceR10b.oracleSql)
+      graft.queries.SurfaceR10b.oracleSql ++
+      graft.queries.SurfaceR10c.oracleSql)
       .map { case (k, v) => k -> Orc.round4Sql(v) }
 
   /** Headline bench subset — names and shapes match BASELINE.md. */

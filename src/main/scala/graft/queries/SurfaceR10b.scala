@@ -223,7 +223,12 @@ object SurfaceR10b {
     val svc = new org.apache.spark.ml.classification.LinearSVC()
       .setMaxIter(20).setRegParam(0.01)
       .setFeaturesCol("features").setLabelCol("label")
-    svc.fit(feats).transform(feats)
+    // copy() drops trainingSummary — the summary pins the SparkSession
+    // and the transform UDF's closure would otherwise drag it into task
+    // serialization (fails whenever the session isn't closure-cleanable,
+    // e.g. once an Observation is registered).
+    svc.fit(feats).copy(org.apache.spark.ml.param.ParamMap.empty)
+      .transform(feats)
       .groupBy(col("prediction").cast("int").as("pred"))
       .agg(count(lit(1)).as("n"))
       .orderBy("pred")
@@ -238,7 +243,9 @@ object SurfaceR10b {
     val mlp = new org.apache.spark.ml.classification.MultilayerPerceptronClassifier()
       .setLayers(Array(64, 16, 10)).setMaxIter(30).setSeed(42L)
       .setFeaturesCol("features").setLabelCol("label")
-    mlp.fit(feats).transform(feats)
+    // copy() drops trainingSummary (see m61)
+    mlp.fit(feats).copy(org.apache.spark.ml.param.ParamMap.empty)
+      .transform(feats)
       .groupBy(col("prediction").cast("int").as("pred"))
       .agg(count(lit(1)).as("n"))
       .orderBy("pred")
