@@ -147,9 +147,12 @@ object MlQueries {
       .orderBy("c_custkey")
   }
 
-  /** M3b (rows-only): QuantileDiscretizer — approx-quantile splits make
-    * the exact assignment engine-specific; spec asserts near-equal
-    * occupancy instead. */
+  /** M3b: QuantileDiscretizer — with `relativeError = 0` the split
+    * points are exact data elements identical to `quantile_disc`
+    * (verified at both oracle SFs), so the bucket histogram is
+    * oracle-comparable under the Bucketizer's left-closed convention
+    * (bucket i = [s_i, s_{i+1})); the near-equal-occupancy law stays in
+    * the spec. */
   val m11QuantileDisc: Q = (s, d) => {
     val qd = new org.apache.spark.ml.feature.QuantileDiscretizer()
       .setInputCol("c_acctbal").setOutputCol("qbucket")
@@ -245,6 +248,19 @@ object MlQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "m11_quantile_disc" ->
+      """WITH q AS (
+        |  SELECT quantile_disc(c_acctbal, 0.25) AS q1,
+        |         quantile_disc(c_acctbal, 0.5)  AS q2,
+        |         quantile_disc(c_acctbal, 0.75) AS q3
+        |  FROM customer)
+        |SELECT CASE WHEN c_acctbal < q1 THEN 0
+        |            WHEN c_acctbal < q2 THEN 1
+        |            WHEN c_acctbal < q3 THEN 2
+        |            ELSE 3 END AS qbucket,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM customer CROSS JOIN q
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "m1_string_indexer" ->
       """SELECT c_mktsegment, CAST(dense_rank() OVER (ORDER BY cnt DESC, c_mktsegment ASC) - 1 AS INT) AS seg_idx
         |FROM (SELECT c_mktsegment, count(*) AS cnt FROM customer GROUP BY 1) t

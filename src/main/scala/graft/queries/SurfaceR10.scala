@@ -50,19 +50,21 @@ object SurfaceR10 {
     * overlap it above a floor. */
   val m45bWord2vecSharded: Q = (s, d) => {
     val docs = documents(s, d)
-      .select(split(col("text"), " ").as("words"))
-    val top = documents(s, d)
-      .select(explode(split(col("text"), " ")).as("w"))
-      .where(length(col("w")) > 0)
-      .groupBy("w").count().orderBy(col("count").desc, col("w")).limit(1)
-      .collect()(0).getString(0)
+      .select(filter(split(col("text"), " "), w => length(w) > 0).as("words"))
     val model = new org.apache.spark.ml.feature.Word2Vec()
       .setInputCol("words").setOutputCol("vec")
       .setVectorSize(16).setMinCount(2).setNumPartitions(4)
       .setSeed(42L).setMaxIter(1).fit(docs)
-    model.findSynonyms(top, 3)
-      .select(col("word"), r4(col("similarity")).as("sim4"))
-      .orderBy(col("sim4").desc, col("word"))
+    // The registry row carries the DETERMINISTIC face of the sharded
+    // fit: the fitted vocabulary (minCount filter on exact word counts
+    // — independent of the update race). The racy parts (vectors,
+    // synonyms) are law-checked in SurfaceR10Spec against the seeded
+    // 1-partition twin, keeping the whole registry bit-stable across
+    // drives.
+    model.getVectors
+      .select(substring(col("word"), 1, 1).as("initial"))
+      .groupBy("initial").agg(count(lit(1)).as("n_words"))
+      .orderBy("initial")
   }
 
   /** X17 (rows-only): the SQL TABLESAMPLE parser path with REPEATABLE —
@@ -236,6 +238,13 @@ object SurfaceR10 {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "m45b_word2vec_sharded" ->
+      """WITH wc AS (
+        |  SELECT w, count(*) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE len(w) > 0 GROUP BY w)
+        |SELECT substr(w, 1, 1) AS initial, CAST(count(*) AS BIGINT) AS n_words
+        |FROM wc WHERE c >= 2 GROUP BY 1 ORDER BY 1""".stripMargin,
     "m36b_imputer_median" ->
       """WITH b AS (
         |  SELECT c_custkey,

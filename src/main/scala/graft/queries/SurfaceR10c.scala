@@ -144,6 +144,30 @@ object SurfaceR10c {
       .orderBy("user_id", "eff_from", "event_type")
   }
 
+  /** LM2: MULTIMODAL FRAME SAMPLING — the video-shaped pipeline stage:
+    * treat each document's payload as a sequence of fixed-size 64-byte
+    * frames, keep every 4th (temporal sampling), fingerprint the frame
+    * and a 16-byte "crop" (spatial subselect) with md5. Pure Catalyst
+    * (sequence + explode + substring + md5 — all codegen'd): the frame
+    * index math is the real plumbing a video pipeline needs; actual
+    * pixel decode stays behind the stubbed mapPartitions boundary that
+    * lm/l11b cover (SURVEY §2.10 — codec libs absent in this sandbox).
+    * Fixture payloads are ASCII text, so char-based substring ≡ byte
+    * frames on both engines. Narrow explode, no shuffle. */
+  val lm2FrameSample: Q = (s, d) => {
+    documents(s, d)
+      .select(col("doc_id"), col("text"),
+        floor(length(col("text")) / 64).cast("long").as("nf"))
+      .where(col("nf") >= 1)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), col("nf") - 1)).as("i"))
+      .where(col("i") % 4 === 0)
+      .select(col("doc_id"), col("i").as("frame_idx"),
+        md5(expr("substring(text, cast(i*64+1 as int), 64)")).as("frame_md5"),
+        md5(expr("substring(text, cast(i*64+1 as int), 16)")).as("crop_md5"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   // ---- registry ----
 
   val queries: Map[String, Q] = Map(
@@ -152,7 +176,8 @@ object SurfaceR10c {
     "m68_glr_poisson" -> m68GlrPoisson,
     "m69_aft_survival" -> m69AftSurvival,
     "m70_fm_classifier" -> m70FmClassifier,
-    "q33_scd2_build" -> q33Scd2Build)
+    "q33_scd2_build" -> q33Scd2Build,
+    "lm2_frame_sample" -> lm2FrameSample)
 
   val oracleSql: Map[String, String] = Map(
     "m66_variance_threshold" -> (0 until 8).map { i =>
@@ -175,6 +200,19 @@ object SurfaceR10c {
         |  UNION ALL SELECT 'd1_d3', corr(r1, r3) FROM r
         |  UNION ALL SELECT 'd2_d3', corr(r2, r3) FROM r)
         |ORDER BY pair""".stripMargin,
+    "lm2_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    CAST(floor(len(text) / 64) AS BIGINT) AS nf
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, text, unnest(range(nf)) AS i
+        |  FROM f WHERE nf >= 1)
+        |SELECT doc_id, i AS frame_idx,
+        |  md5(substring(text, CAST(i*64+1 AS INT), 64)) AS frame_md5,
+        |  md5(substring(text, CAST(i*64+1 AS INT), 16)) AS crop_md5
+        |FROM e WHERE i % 4 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "q33_scd2_build" ->
       """WITH c AS (
         |  SELECT user_id, event_id, ts, event_type,

@@ -101,6 +101,31 @@ class SurfaceR10cSpec extends SparkSpec {
     assert(acc >= 0.9, s"FM accuracy $acc")
   }
 
+  test("lm2: sampled frames replay exactly against a driver-side recompute") {
+    val out = SurfaceR10c.lm2FrameSample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getString(3)))
+      .toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    var checked = 0
+    docs.foreach { case (id, text) =>
+      val nf = text.length / 64
+      (0 until nf).filter(_ % 4 == 0).foreach { i =>
+        val frame = text.substring(i * 64, i * 64 + 64)
+        val crop = text.substring(i * 64, i * 64 + 16)
+        assert(out((id, i.toLong)) == ((md5hex(frame), md5hex(crop))),
+          s"frame fingerprint mismatch at doc $id frame $i")
+        checked += 1
+      }
+    }
+    assert(checked > 0 && out.size == checked)
+    assert(out.keys.forall(_._2 % 4 == 0), "non-sampled frame leaked")
+  }
+
   test("q33: SCD2 intervals tile each user's timeline without overlap") {
     val rows = SurfaceR10c.q33Scd2Build(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
