@@ -60,7 +60,9 @@ object SparkEntry {
       graft.queries.SurfaceR9.queries ++
       graft.queries.SurfaceR10.queries ++
       graft.queries.SurfaceR10b.queries ++
-      graft.queries.SurfaceR10c.queries
+      graft.queries.SurfaceR10c.queries ++
+      graft.queries.SurfaceR10d.queries ++
+      graft.queries.SurfaceR10e.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -111,7 +113,9 @@ object SparkEntry {
       graft.queries.SurfaceR9.oracleSql ++
       graft.queries.SurfaceR10.oracleSql ++
       graft.queries.SurfaceR10b.oracleSql ++
-      graft.queries.SurfaceR10c.oracleSql)
+      graft.queries.SurfaceR10c.oracleSql ++
+      graft.queries.SurfaceR10d.oracleSql ++
+      graft.queries.SurfaceR10e.oracleSql)
       .map { case (k, v) => k -> Orc.round4Sql(v) }
 
   /** Headline bench subset — names and shapes match BASELINE.md. */
