@@ -62,7 +62,8 @@ object SparkEntry {
       graft.queries.SurfaceR10b.queries ++
       graft.queries.SurfaceR10c.queries ++
       graft.queries.SurfaceR10d.queries ++
-      graft.queries.SurfaceR10e.queries
+      graft.queries.SurfaceR10e.queries ++
+      graft.queries.SurfaceR10f.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -115,7 +116,8 @@ object SparkEntry {
       graft.queries.SurfaceR10b.oracleSql ++
       graft.queries.SurfaceR10c.oracleSql ++
       graft.queries.SurfaceR10d.oracleSql ++
-      graft.queries.SurfaceR10e.oracleSql)
+      graft.queries.SurfaceR10e.oracleSql ++
+      graft.queries.SurfaceR10f.oracleSql)
       .map { case (k, v) => k -> Orc.round4Sql(v) }
 
   /** Headline bench subset — names and shapes match BASELINE.md. */
