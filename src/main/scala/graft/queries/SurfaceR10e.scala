@@ -46,9 +46,11 @@ object SurfaceR10e {
       .select(substring(col("o_totalprice").cast("string"), 1, 1)
         .cast("int").as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n"))
-    val tot = Window.partitionBy(lit(1))
-    digits
-      .withColumn("total", sum(col("n")).over(tot))
+    // scalar total via broadcast cross join, not a partition-less
+    // window (the registry plan audit rightly rejects WindowExec with
+    // no partition spec even over this bounded 9-row histogram)
+    val tot = digits.agg(sum(col("n")).as("total"))
+    digits.crossJoin(broadcast(tot))
       .select(col("digit"), col("n"),
         r4(col("n").cast("double") / col("total")).as("obs_p"),
         r4(log(10.0, lit(1.0) + lit(1.0) / col("digit"))).as("benford_p"))
