@@ -37,6 +37,13 @@ object SurfaceR10f {
     * all-pairs in DuckDB, so any recall loss from the prefix filter
     * fails loudly. */
   val lj3Containment: Q = (s, d) => {
+    // toks is deliberately NOT persisted although four consumers read
+    // it: measured at sf0.1, persisting it made the query 15× SLOWER
+    // (8.5–10 s → 148–163 s) — the InMemoryRelation hides scan stats,
+    // the candidate join loses its broadcast/AQE decisions, and the
+    // cheap re-explode is nothing next to that. Persist pays off for
+    // docArrs below (expensive agg, joined 1:1 twice — the lj2 lesson);
+    // it is NOT a free default on a narrow explode feeding joins.
     val toks = documents(s, d)
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
       .where(length(col("tok")) > 0)
