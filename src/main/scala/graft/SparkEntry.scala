@@ -63,7 +63,10 @@ object SparkEntry {
       graft.queries.SurfaceR10c.queries ++
       graft.queries.SurfaceR10d.queries ++
       graft.queries.SurfaceR10e.queries ++
-      graft.queries.SurfaceR10f.queries
+      graft.queries.SurfaceR10f.queries ++
+      graft.queries.SurfaceR10g.queries ++
+      graft.queries.SurfaceR10h.queries ++
+      graft.queries.SurfaceR10i.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -117,7 +120,10 @@ object SparkEntry {
       graft.queries.SurfaceR10c.oracleSql ++
       graft.queries.SurfaceR10d.oracleSql ++
       graft.queries.SurfaceR10e.oracleSql ++
-      graft.queries.SurfaceR10f.oracleSql)
+      graft.queries.SurfaceR10f.oracleSql ++
+      graft.queries.SurfaceR10g.oracleSql ++
+      graft.queries.SurfaceR10h.oracleSql ++
+      graft.queries.SurfaceR10i.oracleSql)
       .map { case (k, v) => k -> Orc.round4Sql(v) }
 
   /** Headline bench subset — names and shapes match BASELINE.md. */

@@ -29,11 +29,11 @@ object SurfaceR6i {
     * entity key → (lat ∈ [-44.8, 44.45], lon ∈ [-89.6, 88.9]).
     * Pure function of the key, so both engines derive identical
     * positions (the same instr-on-hex trick as lp10's split). */
-  private def nib(key: String, p: Int): String =
+  private[queries] def nib(key: String, p: Int): String =
     s"(instr('0123456789abcdef', substr(md5(cast($key as string)), $p, 1)) - 1)"
-  private def latSql(key: String): String =
+  private[queries] def latSql(key: String): String =
     s"((${nib(key, 1)} * 16 + ${nib(key, 2)}) * 0.35 - 44.8)"
-  private def lonSql(key: String): String =
+  private[queries] def lonSql(key: String): String =
     s"((${nib(key, 3)} * 16 + ${nib(key, 4)}) * 0.7 - 89.6)"
 
   private def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
