@@ -66,7 +66,8 @@ object SparkEntry {
       graft.queries.SurfaceR10f.queries ++
       graft.queries.SurfaceR10g.queries ++
       graft.queries.SurfaceR10h.queries ++
-      graft.queries.SurfaceR10i.queries
+      graft.queries.SurfaceR10i.queries ++
+      graft.queries.SurfaceR10j.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -123,7 +124,8 @@ object SparkEntry {
       graft.queries.SurfaceR10f.oracleSql ++
       graft.queries.SurfaceR10g.oracleSql ++
       graft.queries.SurfaceR10h.oracleSql ++
-      graft.queries.SurfaceR10i.oracleSql)
+      graft.queries.SurfaceR10i.oracleSql ++
+      graft.queries.SurfaceR10j.oracleSql)
       .map { case (k, v) => k -> Orc.round4Sql(v) }
 
   /** Headline bench subset — names and shapes match BASELINE.md. */

@@ -53,7 +53,7 @@ object SurfaceR6h {
   }
 
   /** Oracle-side edge CTE, kept as one text so lg2/lg3 cannot drift. */
-  private val knnEdgesCte: String =
+  private[queries] val knnEdgesCte: String =
     """nodes AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
       |  FROM embeddings WHERE vec_id % 2 = 0),
