@@ -67,7 +67,8 @@ object SparkEntry {
       graft.queries.SurfaceR10g.queries ++
       graft.queries.SurfaceR10h.queries ++
       graft.queries.SurfaceR10i.queries ++
-      graft.queries.SurfaceR10j.queries
+      graft.queries.SurfaceR10j.queries ++
+      graft.queries.SurfaceR10k.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -125,7 +126,8 @@ object SparkEntry {
       graft.queries.SurfaceR10g.oracleSql ++
       graft.queries.SurfaceR10h.oracleSql ++
       graft.queries.SurfaceR10i.oracleSql ++
-      graft.queries.SurfaceR10j.oracleSql)
+      graft.queries.SurfaceR10j.oracleSql ++
+      graft.queries.SurfaceR10k.oracleSql)
       .map { case (k, v) => k -> Orc.round4Sql(v) }
 
   /** Headline bench subset — names and shapes match BASELINE.md. */
