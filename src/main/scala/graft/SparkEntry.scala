@@ -68,7 +68,10 @@ object SparkEntry {
       graft.queries.SurfaceR10h.queries ++
       graft.queries.SurfaceR10i.queries ++
       graft.queries.SurfaceR10j.queries ++
-      graft.queries.SurfaceR10k.queries
+      graft.queries.SurfaceR10k.queries ++
+      graft.queries.SurfaceR10l.queries ++
+      graft.queries.SurfaceR10m.queries ++
+      graft.queries.SurfaceR10n.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -127,7 +130,10 @@ object SparkEntry {
       graft.queries.SurfaceR10h.oracleSql ++
       graft.queries.SurfaceR10i.oracleSql ++
       graft.queries.SurfaceR10j.oracleSql ++
-      graft.queries.SurfaceR10k.oracleSql)
+      graft.queries.SurfaceR10k.oracleSql ++
+      graft.queries.SurfaceR10l.oracleSql ++
+      graft.queries.SurfaceR10m.oracleSql ++
+      graft.queries.SurfaceR10n.oracleSql)
       .map { case (k, v) => k -> Orc.round4Sql(v) }
 
   /** Headline bench subset — names and shapes match BASELINE.md. */
