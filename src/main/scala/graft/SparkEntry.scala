@@ -72,7 +72,8 @@ object SparkEntry {
       graft.queries.SurfaceR10l.queries ++
       graft.queries.SurfaceR10m.queries ++
       graft.queries.SurfaceR10n.queries ++
-      graft.queries.SurfaceR10o.queries
+      graft.queries.SurfaceR10o.queries ++
+      graft.queries.SurfaceR10p.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -135,7 +136,8 @@ object SparkEntry {
       graft.queries.SurfaceR10l.oracleSql ++
       graft.queries.SurfaceR10m.oracleSql ++
       graft.queries.SurfaceR10n.oracleSql ++
-      graft.queries.SurfaceR10o.oracleSql)
+      graft.queries.SurfaceR10o.oracleSql ++
+      graft.queries.SurfaceR10p.oracleSql)
       .map { case (k, v) => k -> Orc.round4Sql(v) }
 
   /** Headline bench subset — names and shapes match BASELINE.md. */
