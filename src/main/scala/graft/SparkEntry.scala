@@ -75,7 +75,8 @@ object SparkEntry {
       graft.queries.SurfaceR10o.queries ++
       graft.queries.SurfaceR10p.queries ++
       graft.queries.SurfaceR10q.queries ++
-      graft.queries.SurfaceR10r.queries
+      graft.queries.SurfaceR10r.queries ++
+      graft.queries.SurfaceR10s.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -141,7 +142,8 @@ object SparkEntry {
       graft.queries.SurfaceR10o.oracleSql ++
       graft.queries.SurfaceR10p.oracleSql ++
       graft.queries.SurfaceR10q.oracleSql ++
-      graft.queries.SurfaceR10r.oracleSql)
+      graft.queries.SurfaceR10r.oracleSql ++
+      graft.queries.SurfaceR10s.oracleSql)
       .map { case (k, v) => k -> Orc.round4Sql(v) }
 
   /** Headline bench subset — names and shapes match BASELINE.md. */
