@@ -80,7 +80,8 @@ object SparkEntry {
       graft.queries.SurfaceR10t.queries ++
       graft.queries.SurfaceR10u.queries ++
       graft.queries.SurfaceR10v.queries ++
-      graft.queries.SurfaceR10w.queries
+      graft.queries.SurfaceR10w.queries ++
+      graft.queries.SurfaceR10x.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -151,7 +152,8 @@ object SparkEntry {
       graft.queries.SurfaceR10t.oracleSql ++
       graft.queries.SurfaceR10u.oracleSql ++
       graft.queries.SurfaceR10v.oracleSql ++
-      graft.queries.SurfaceR10w.oracleSql)
+      graft.queries.SurfaceR10w.oracleSql ++
+      graft.queries.SurfaceR10x.oracleSql)
       .map { case (k, v) => k -> Orc.round4Sql(v) }
 
   /** Headline bench subset — names and shapes match BASELINE.md. */
