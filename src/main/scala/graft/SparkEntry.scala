@@ -81,7 +81,8 @@ object SparkEntry {
       graft.queries.SurfaceR10u.queries ++
       graft.queries.SurfaceR10v.queries ++
       graft.queries.SurfaceR10w.queries ++
-      graft.queries.SurfaceR10x.queries
+      graft.queries.SurfaceR10x.queries ++
+      graft.queries.SurfaceR10y.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -153,7 +154,8 @@ object SparkEntry {
       graft.queries.SurfaceR10u.oracleSql ++
       graft.queries.SurfaceR10v.oracleSql ++
       graft.queries.SurfaceR10w.oracleSql ++
-      graft.queries.SurfaceR10x.oracleSql)
+      graft.queries.SurfaceR10x.oracleSql ++
+      graft.queries.SurfaceR10y.oracleSql)
       .map { case (k, v) => k -> Orc.round4Sql(v) }
 
   /** Headline bench subset — names and shapes match BASELINE.md. */
