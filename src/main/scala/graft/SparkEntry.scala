@@ -82,7 +82,8 @@ object SparkEntry {
       graft.queries.SurfaceR10v.queries ++
       graft.queries.SurfaceR10w.queries ++
       graft.queries.SurfaceR10x.queries ++
-      graft.queries.SurfaceR10y.queries
+      graft.queries.SurfaceR10y.queries ++
+      graft.queries.SurfaceR10z.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -155,7 +156,8 @@ object SparkEntry {
       graft.queries.SurfaceR10v.oracleSql ++
       graft.queries.SurfaceR10w.oracleSql ++
       graft.queries.SurfaceR10x.oracleSql ++
-      graft.queries.SurfaceR10y.oracleSql)
+      graft.queries.SurfaceR10y.oracleSql ++
+      graft.queries.SurfaceR10z.oracleSql)
       .map { case (k, v) => k -> Orc.round4Sql(v) }
 
   /** Headline bench subset — names and shapes match BASELINE.md. */
