@@ -84,7 +84,8 @@ object SparkEntry {
       graft.queries.SurfaceR10x.queries ++
       graft.queries.SurfaceR10y.queries ++
       graft.queries.SurfaceR10z.queries ++
-      graft.queries.SurfaceR10aa.queries
+      graft.queries.SurfaceR10aa.queries ++
+      graft.queries.SurfaceR10ab.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -159,7 +160,8 @@ object SparkEntry {
       graft.queries.SurfaceR10x.oracleSql ++
       graft.queries.SurfaceR10y.oracleSql ++
       graft.queries.SurfaceR10z.oracleSql ++
-      graft.queries.SurfaceR10aa.oracleSql)
+      graft.queries.SurfaceR10aa.oracleSql ++
+      graft.queries.SurfaceR10ab.oracleSql)
       .map { case (k, v) => k -> Orc.round4Sql(v) }
 
   /** Headline bench subset — names and shapes match BASELINE.md. */
