@@ -87,7 +87,8 @@ object SparkEntry {
       graft.queries.SurfaceR10aa.queries ++
       graft.queries.SurfaceR10ab.queries ++
       graft.queries.SurfaceR10ac.queries ++
-      graft.queries.SurfaceR10ad.queries
+      graft.queries.SurfaceR10ad.queries ++
+      graft.queries.SurfaceR10ae.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -165,7 +166,8 @@ object SparkEntry {
       graft.queries.SurfaceR10aa.oracleSql ++
       graft.queries.SurfaceR10ab.oracleSql ++
       graft.queries.SurfaceR10ac.oracleSql ++
-      graft.queries.SurfaceR10ad.oracleSql)
+      graft.queries.SurfaceR10ad.oracleSql ++
+      graft.queries.SurfaceR10ae.oracleSql)
       .map { case (k, v) => k -> Orc.round4Sql(v) }
 
   /** Headline bench subset — names and shapes match BASELINE.md. */
