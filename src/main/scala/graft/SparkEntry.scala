@@ -90,7 +90,8 @@ object SparkEntry {
       graft.queries.SurfaceR10ad.queries ++
       graft.queries.SurfaceR10ae.queries ++
       graft.queries.SurfaceR10af.queries ++
-      graft.queries.SurfaceR10ag.queries
+      graft.queries.SurfaceR10ag.queries ++
+      graft.queries.SurfaceR10ah.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -171,7 +172,8 @@ object SparkEntry {
       graft.queries.SurfaceR10ad.oracleSql ++
       graft.queries.SurfaceR10ae.oracleSql ++
       graft.queries.SurfaceR10af.oracleSql ++
-      graft.queries.SurfaceR10ag.oracleSql)
+      graft.queries.SurfaceR10ag.oracleSql ++
+      graft.queries.SurfaceR10ah.oracleSql)
       .map { case (k, v) => k -> Orc.round4Sql(v) }
 
   /** Headline bench subset — names and shapes match BASELINE.md. */
