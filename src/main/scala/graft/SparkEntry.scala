@@ -94,7 +94,8 @@ object SparkEntry {
       graft.queries.SurfaceR10ah.queries ++
       graft.queries.SurfaceR10ai.queries ++
       graft.queries.SurfaceR10aj.queries ++
-      graft.queries.SurfaceR10ak.queries
+      graft.queries.SurfaceR10ak.queries ++
+      graft.queries.SurfaceR10al.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -179,7 +180,8 @@ object SparkEntry {
       graft.queries.SurfaceR10ah.oracleSql ++
       graft.queries.SurfaceR10ai.oracleSql ++
       graft.queries.SurfaceR10aj.oracleSql ++
-      graft.queries.SurfaceR10ak.oracleSql)
+      graft.queries.SurfaceR10ak.oracleSql ++
+      graft.queries.SurfaceR10al.oracleSql)
       .map { case (k, v) => k -> Orc.round4Sql(v) }
 
   /** Headline bench subset — names and shapes match BASELINE.md. */
