@@ -95,7 +95,17 @@ object SparkEntry {
       graft.queries.SurfaceR10ai.queries ++
       graft.queries.SurfaceR10aj.queries ++
       graft.queries.SurfaceR10ak.queries ++
-      graft.queries.SurfaceR10al.queries
+      graft.queries.SurfaceR10al.queries ++
+      graft.queries.SurfaceR10am.queries ++
+      graft.queries.SurfaceR10an.queries ++
+      graft.queries.SurfaceR10ao.queries ++
+      graft.queries.SurfaceR10ap.queries ++
+      graft.queries.SurfaceR10aq.queries ++
+      graft.queries.SurfaceR10ar.queries ++
+      graft.queries.SurfaceR10as.queries ++
+      graft.queries.SurfaceR10at.queries ++
+      graft.queries.SurfaceR10au.queries ++
+      graft.queries.SurfaceR10av.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -181,7 +191,17 @@ object SparkEntry {
       graft.queries.SurfaceR10ai.oracleSql ++
       graft.queries.SurfaceR10aj.oracleSql ++
       graft.queries.SurfaceR10ak.oracleSql ++
-      graft.queries.SurfaceR10al.oracleSql)
+      graft.queries.SurfaceR10al.oracleSql ++
+      graft.queries.SurfaceR10am.oracleSql ++
+      graft.queries.SurfaceR10an.oracleSql ++
+      graft.queries.SurfaceR10ao.oracleSql ++
+      graft.queries.SurfaceR10ap.oracleSql ++
+      graft.queries.SurfaceR10aq.oracleSql ++
+      graft.queries.SurfaceR10ar.oracleSql ++
+      graft.queries.SurfaceR10as.oracleSql ++
+      graft.queries.SurfaceR10at.oracleSql ++
+      graft.queries.SurfaceR10au.oracleSql ++
+      graft.queries.SurfaceR10av.oracleSql)
       .map { case (k, v) => k -> Orc.round4Sql(v) }
 
   /** Headline bench subset — names and shapes match BASELINE.md. */
