@@ -105,7 +105,11 @@ object SparkEntry {
       graft.queries.SurfaceR10as.queries ++
       graft.queries.SurfaceR10at.queries ++
       graft.queries.SurfaceR10au.queries ++
-      graft.queries.SurfaceR10av.queries
+      graft.queries.SurfaceR10av.queries ++
+      graft.queries.SurfaceR10aw.queries ++
+      graft.queries.SurfaceR10ax.queries ++
+      graft.queries.SurfaceR10ay.queries ++
+      graft.queries.SurfaceR10az.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -201,7 +205,11 @@ object SparkEntry {
       graft.queries.SurfaceR10as.oracleSql ++
       graft.queries.SurfaceR10at.oracleSql ++
       graft.queries.SurfaceR10au.oracleSql ++
-      graft.queries.SurfaceR10av.oracleSql)
+      graft.queries.SurfaceR10av.oracleSql ++
+      graft.queries.SurfaceR10aw.oracleSql ++
+      graft.queries.SurfaceR10ax.oracleSql ++
+      graft.queries.SurfaceR10ay.oracleSql ++
+      graft.queries.SurfaceR10az.oracleSql)
       .map { case (k, v) => k -> Orc.round4Sql(v) }
 
   /** Headline bench subset — names and shapes match BASELINE.md. */
