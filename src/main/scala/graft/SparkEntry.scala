@@ -109,7 +109,9 @@ object SparkEntry {
       graft.queries.SurfaceR10aw.queries ++
       graft.queries.SurfaceR10ax.queries ++
       graft.queries.SurfaceR10ay.queries ++
-      graft.queries.SurfaceR10az.queries
+      graft.queries.SurfaceR10az.queries ++
+      graft.queries.SurfaceR10ba.queries ++
+      graft.queries.SurfaceR10bb.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -209,7 +211,9 @@ object SparkEntry {
       graft.queries.SurfaceR10aw.oracleSql ++
       graft.queries.SurfaceR10ax.oracleSql ++
       graft.queries.SurfaceR10ay.oracleSql ++
-      graft.queries.SurfaceR10az.oracleSql)
+      graft.queries.SurfaceR10az.oracleSql ++
+      graft.queries.SurfaceR10ba.oracleSql ++
+      graft.queries.SurfaceR10bb.oracleSql)
       .map { case (k, v) => k -> Orc.round4Sql(v) }
 
   /** Headline bench subset — names and shapes match BASELINE.md. */
