@@ -111,7 +111,9 @@ object SparkEntry {
       graft.queries.SurfaceR10ay.queries ++
       graft.queries.SurfaceR10az.queries ++
       graft.queries.SurfaceR10ba.queries ++
-      graft.queries.SurfaceR10bb.queries
+      graft.queries.SurfaceR10bb.queries ++
+      graft.queries.SurfaceR10bc.queries ++
+      graft.queries.SurfaceR10bd.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -213,7 +215,9 @@ object SparkEntry {
       graft.queries.SurfaceR10ay.oracleSql ++
       graft.queries.SurfaceR10az.oracleSql ++
       graft.queries.SurfaceR10ba.oracleSql ++
-      graft.queries.SurfaceR10bb.oracleSql)
+      graft.queries.SurfaceR10bb.oracleSql ++
+      graft.queries.SurfaceR10bc.oracleSql ++
+      graft.queries.SurfaceR10bd.oracleSql)
       .map { case (k, v) => k -> Orc.round4Sql(v) }
 
   /** Headline bench subset — names and shapes match BASELINE.md. */
