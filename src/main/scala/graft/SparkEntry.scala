@@ -113,7 +113,11 @@ object SparkEntry {
       graft.queries.SurfaceR10ba.queries ++
       graft.queries.SurfaceR10bb.queries ++
       graft.queries.SurfaceR10bc.queries ++
-      graft.queries.SurfaceR10bd.queries
+      graft.queries.SurfaceR10bd.queries ++
+      graft.queries.SurfaceR10be.queries ++
+      graft.queries.SurfaceR10bf.queries ++
+      graft.queries.SurfaceR10bg.queries ++
+      graft.queries.SurfaceR10bh.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -217,7 +221,11 @@ object SparkEntry {
       graft.queries.SurfaceR10ba.oracleSql ++
       graft.queries.SurfaceR10bb.oracleSql ++
       graft.queries.SurfaceR10bc.oracleSql ++
-      graft.queries.SurfaceR10bd.oracleSql)
+      graft.queries.SurfaceR10bd.oracleSql ++
+      graft.queries.SurfaceR10be.oracleSql ++
+      graft.queries.SurfaceR10bf.oracleSql ++
+      graft.queries.SurfaceR10bg.oracleSql ++
+      graft.queries.SurfaceR10bh.oracleSql)
       .map { case (k, v) => k -> Orc.round4Sql(v) }
 
   /** Headline bench subset — names and shapes match BASELINE.md. */
