@@ -5,15 +5,15 @@ import org.apache.spark.sql.functions._
 
 import graft.{Orc, Tables, Windows}
 
-/** Round-10 surface batch 58: modern dependence + classical normality
-  * testing on the daily order series — Chatterjee's ξ (2020), the
-  * rank-based coefficient that detects ARBITRARY functional dependence
-  * (not just monotone like Spearman/Kendall), and the Jarque–Bera
-  * moment test (is the series plausibly Gaussian?). Both run off the
-  * bounded daily aggregate (#days rows, not data-scaling): one
-  * fact-table hash aggregate, then rank/lag windows and power sums
-  * whose internals are EXACT integers — only the final ratios touch
-  * doubles, through ONE formula text shared with the oracle.
+/** Round-10 surface batch 58: modern dependence + sequential drift on
+  * the daily order series — Chatterjee's ξ (2020), the rank-based
+  * coefficient that detects ARBITRARY functional dependence (not just
+  * monotone like Spearman/Kendall), and the Page–Hinkley online
+  * mean-shift detector (when would a streaming monitor have alarmed?).
+  * Both run off the bounded daily aggregate (#days rows, not
+  * data-scaling): one fact-table hash aggregate, then rank/lag/cumsum
+  * windows whose internals are EXACT integers — only the final ratios
+  * touch doubles, through ONE formula text shared with the oracle.
   *
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract area
   * SURVEY.md §2.13 (statistics over aggregates), siblings m121/lt37.
@@ -60,48 +60,55 @@ object SurfaceR10bf {
         r4(expr(xiF)).as("xi"))
   }
 
-  // ---- M142: Jarque–Bera ----
+  // ---- M142: Page–Hinkley drift detector ----
 
-  private val jbMu = "(CAST(s1 AS DOUBLE) / nd)"
-  private val jbM2 = s"(CAST(s2 AS DOUBLE) / nd - $jbMu * $jbMu)"
-  private val jbM3 =
-    s"(CAST(s3 AS DOUBLE) / nd - 3.0 * $jbMu * (CAST(s2 AS DOUBLE) / nd) + 2.0 * $jbMu * $jbMu * $jbMu)"
-  private val jbM4 =
-    s"(CAST(s4 AS DOUBLE) / nd - 4.0 * $jbMu * (CAST(s3 AS DOUBLE) / nd) + 6.0 * $jbMu * $jbMu * (CAST(s2 AS DOUBLE) / nd) - 3.0 * $jbMu * $jbMu * $jbMu * $jbMu)"
-  private val jbS = s"($jbM3 / ($jbM2 * sqrt($jbM2)))"
-  private val jbK = s"($jbM4 / ($jbM2 * $jbM2))"
-  private val jbStat =
-    s"(CAST(nd AS DOUBLE) / 6.0 * ($jbS * $jbS + ($jbK - 3.0) * ($jbK - 3.0) / 4.0))"
-  /** χ²(2) survival is the exact closed form e^{−x/2} — no erf needed. */
-  private val jbP = s"(exp(-$jbStat / 2.0))"
-
-  /** M142: JARQUE–BERA — skewness/kurtosis normality test of the daily
-    * order count. The four power sums are exact BIGINTs (y ≤ ~10³ per
-    * day, #days ~10³, so Σy⁴ ≪ 2⁶³); skew, kurtosis, the JB statistic
-    * and its exact χ²(2) p-value all come from one shared formula. */
-  val m142JarqueBera: Q = (s, d) => {
+  /** M142: PAGE–HINKLEY — the sequential mean-increase detector
+    * (the streaming-monitoring classic CUSUM's one-sided sibling;
+    * lp25's changepoint locates a break offline, PH answers "when
+    * would an online monitor have ALARMED?"). Deviations are scaled
+    * by n (dev_t = n·y_t − s1 − n·δ, slack δ = 1 order/day) so the
+    * running cumsum, running minimum, and the PH statistic
+    * max_t(cum_t − min_{u≤t}cum_u) are ALL exact integers; only the
+    * final unscaling divides by n. Alarm threshold λ = 50 orders.
+    * One fact-scan hash agg + two bounded-series windows. */
+  val m142PageHinkley: Q = (s, d) => {
     val daily = orders(s, d)
       .select(datediff(col("o_orderdate").cast("date"),
         lit("1992-01-01").cast("date")).cast("long").as("t"))
       .groupBy("t").agg(count(lit(1)).as("y"))
-    daily.agg(
-      count(lit(1)).as("nd"),
-      sum(col("y")).as("s1"),
-      sum(col("y") * col("y")).as("s2"),
-      sum(col("y") * col("y") * col("y")).as("s3"),
-      sum(col("y") * col("y") * col("y") * col("y")).as("s4"))
-      .select(col("nd"),
-        r4(expr(jbS)).as("skew"),
-        r4(expr(jbK)).as("kurt"),
-        r4(expr(jbStat)).as("jb"),
-        r4(expr(jbP)).as("p_value"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(org.apache.spark.sql.graft.BoundedPartition.key)
+    val wCum = Windows.bounded(col("t"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wCum2 = Windows.bounded(col("t"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    daily
+      .withColumn("nd", count(lit(1)).over(wAll))
+      .withColumn("s1", sum("y").over(wAll))
+      .withColumn("cum",
+        sum(col("nd") * col("y") - col("s1") - col("nd")).over(wCum))
+      .withColumn("runmin", min("cum").over(wCum2))
+      .withColumn("ph", col("cum") - col("runmin"))
+      .agg(
+        max("nd").as("nd"),
+        max("s1").as("s1"),
+        max("ph").as("ph_scaled"),
+        min(when(col("ph") > col("nd") * 50L, col("t"))).as("first_alarm_t"),
+        sum(when(col("ph") > col("nd") * 50L, 1L).otherwise(0L))
+          .as("n_alarm_days"))
+      .select(col("nd"), col("s1"), col("ph_scaled"),
+        r4(expr("CAST(ph_scaled AS DOUBLE) / nd")).as("ph"),
+        coalesce(col("first_alarm_t"), lit(-1L)).as("first_alarm_t"),
+        col("n_alarm_days"))
   }
 
   // ---- registry ----
 
   val queries: Map[String, Q] = Map(
     "m141_chatterjee_xi" -> m141ChatterjeeXi,
-    "m142_jarque_bera" -> m142JarqueBera)
+    "m142_page_hinkley" -> m142PageHinkley)
 
   private val dailySql =
     """SELECT CAST(date_diff('day', DATE '1992-01-01',
@@ -126,19 +133,30 @@ object SurfaceR10bf {
         |    CAST(2 * sum(l * (nd - l)) AS BIGINT) AS den
         |  FROM stepped)
         |SELECT nd, sum_d, den, round($xiF, 4) AS xi FROM agg""".stripMargin,
-    "m142_jarque_bera" ->
+    "m142_page_hinkley" ->
       s"""WITH daily AS ($dailySql),
-        |sums AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS nd,
-        |    CAST(sum(y) AS BIGINT) AS s1,
-        |    CAST(sum(y * y) AS BIGINT) AS s2,
-        |    CAST(sum(y * y * y) AS BIGINT) AS s3,
-        |    CAST(sum(y * y * y * y) AS BIGINT) AS s4
-        |  FROM daily)
-        |SELECT nd,
-        |  round($jbS, 4) AS skew,
-        |  round($jbK, 4) AS kurt,
-        |  round($jbStat, 4) AS jb,
-        |  round($jbP, 4) AS p_value
-        |FROM sums""".stripMargin)
+        |tot AS (
+        |  SELECT t, y,
+        |    CAST(count(*) OVER () AS BIGINT) AS nd,
+        |    CAST(sum(y) OVER () AS BIGINT) AS s1
+        |  FROM daily),
+        |walk AS (
+        |  SELECT t, nd, s1,
+        |    CAST(sum(nd * y - s1 - nd) OVER (ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM tot),
+        |ph AS (
+        |  SELECT t, nd, s1,
+        |    CAST(cum - min(cum) OVER (ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ph
+        |  FROM walk)
+        |SELECT CAST(max(nd) AS BIGINT) AS nd,
+        |  CAST(max(s1) AS BIGINT) AS s1,
+        |  CAST(max(ph) AS BIGINT) AS ph_scaled,
+        |  round(CAST(max(ph) AS DOUBLE) / max(nd), 4) AS ph,
+        |  CAST(coalesce(min(CASE WHEN ph > nd * 50 THEN t END), -1) AS BIGINT)
+        |    AS first_alarm_t,
+        |  CAST(sum(CASE WHEN ph > nd * 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_alarm_days
+        |FROM ph""".stripMargin)
 }

@@ -36,21 +36,28 @@ class SurfaceR10bfSpec extends SparkSpec {
     assert(row.getDouble(3) >= -0.5 && row.getDouble(3) <= 1.0)
   }
 
-  test("m142: moments match a driver-side replay; p = exp(-jb/2)") {
-    val ys = dailySeries.map(_._2.toDouble)
-    val n = ys.length
-    val mu = ys.sum / n
-    val m2 = ys.map(y => (y - mu) * (y - mu)).sum / n
-    val m3 = ys.map(y => math.pow(y - mu, 3)).sum / n
-    val m4 = ys.map(y => math.pow(y - mu, 4)).sum / n
-    val sk = m3 / (m2 * math.sqrt(m2))
-    val ku = m4 / (m2 * m2)
-    val jb = n / 6.0 * (sk * sk + (ku - 3) * (ku - 3) / 4)
-    val row = SurfaceR10bf.m142JarqueBera(spark, sfDir).collect().head
+  test("m142: PH statistic and alarms match an exact driver-side replay") {
+    val ds = dailySeries.sortBy(_._1)
+    val n = ds.length.toLong
+    val s1 = ds.map(_._2).sum
+    var cum = 0L; var runmin = Long.MaxValue; var phMax = 0L
+    var firstAlarm = -1L; var nAlarm = 0L
+    ds.foreach { case (t, y) =>
+      cum += n * y - s1 - n
+      runmin = math.min(runmin, cum)
+      val ph = cum - runmin
+      phMax = math.max(phMax, ph)
+      if (ph > n * 50) {
+        if (firstAlarm < 0) firstAlarm = t
+        nAlarm += 1
+      }
+    }
+    val row = SurfaceR10bf.m142PageHinkley(spark, sfDir).collect().head
     assert(row.getLong(0) == n)
-    assert(math.abs(row.getDouble(1) - sk) < 1e-3, s"skew ${row.getDouble(1)} vs $sk")
-    assert(math.abs(row.getDouble(2) - ku) < 1e-3, s"kurt ${row.getDouble(2)} vs $ku")
-    assert(math.abs(row.getDouble(3) - jb) < 2e-3)
-    assert(math.abs(row.getDouble(4) - math.exp(-jb / 2)) < 1e-3)
+    assert(row.getLong(1) == s1)
+    assert(row.getLong(2) == phMax, s"ph ${row.getLong(2)} vs $phMax")
+    assert(math.abs(row.getDouble(3) - phMax.toDouble / n) < 1e-3)
+    assert(row.getLong(4) == firstAlarm, s"alarm ${row.getLong(4)} vs $firstAlarm")
+    assert(row.getLong(5) == nAlarm)
   }
 }
