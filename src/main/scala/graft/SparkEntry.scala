@@ -119,7 +119,8 @@ object SparkEntry {
       graft.queries.SurfaceR10bg.queries ++
       graft.queries.SurfaceR10bh.queries ++
       graft.queries.SurfaceR10bi.queries ++
-      graft.queries.SurfaceR10bj.queries
+      graft.queries.SurfaceR10bj.queries ++
+      graft.queries.SurfaceR10bk.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -229,7 +230,8 @@ object SparkEntry {
       graft.queries.SurfaceR10bg.oracleSql ++
       graft.queries.SurfaceR10bh.oracleSql ++
       graft.queries.SurfaceR10bi.oracleSql ++
-      graft.queries.SurfaceR10bj.oracleSql)
+      graft.queries.SurfaceR10bj.oracleSql ++
+      graft.queries.SurfaceR10bk.oracleSql)
       .map { case (k, v) => k -> Orc.round4Sql(v) }
 
   /** Headline bench subset — names and shapes match BASELINE.md. */
