@@ -121,7 +121,8 @@ object SparkEntry {
       graft.queries.SurfaceR10bi.queries ++
       graft.queries.SurfaceR10bj.queries ++
       graft.queries.SurfaceR10bk.queries ++
-      graft.queries.SurfaceR10bl.queries
+      graft.queries.SurfaceR10bl.queries ++
+      graft.queries.SurfaceR10bm.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -233,7 +234,8 @@ object SparkEntry {
       graft.queries.SurfaceR10bi.oracleSql ++
       graft.queries.SurfaceR10bj.oracleSql ++
       graft.queries.SurfaceR10bk.oracleSql ++
-      graft.queries.SurfaceR10bl.oracleSql)
+      graft.queries.SurfaceR10bl.oracleSql ++
+      graft.queries.SurfaceR10bm.oracleSql)
       .map { case (k, v) => k -> Orc.round4Sql(v) }
 
   /** Headline bench subset — names and shapes match BASELINE.md. */
