@@ -122,7 +122,8 @@ object SparkEntry {
       graft.queries.SurfaceR10bj.queries ++
       graft.queries.SurfaceR10bk.queries ++
       graft.queries.SurfaceR10bl.queries ++
-      graft.queries.SurfaceR10bm.queries
+      graft.queries.SurfaceR10bm.queries ++
+      graft.queries.SurfaceR10bn.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -235,7 +236,8 @@ object SparkEntry {
       graft.queries.SurfaceR10bj.oracleSql ++
       graft.queries.SurfaceR10bk.oracleSql ++
       graft.queries.SurfaceR10bl.oracleSql ++
-      graft.queries.SurfaceR10bm.oracleSql)
+      graft.queries.SurfaceR10bm.oracleSql ++
+      graft.queries.SurfaceR10bn.oracleSql)
       .map { case (k, v) => k -> Orc.round4Sql(v) }
 
   /** Headline bench subset — names and shapes match BASELINE.md. */
