@@ -7,8 +7,11 @@ import graft.{Orc, Tables, Windows}
 
 /** Round-10 surface batch 64: corpus contrast + reliability — the
   * MONROE log-odds-ratio with informative Dirichlet prior ("Fightin'
-  * Words", the standard which-terms-distinguish-subcorpus-A measure;
-  * raw log-odds overweights rare terms, the prior shrinks them), and
+  * Words"). lt33 already ranks per-source terms by +0.5-smoothed raw
+  * log-odds; Monroe's method differs twice — the prior is INFORMATIVE
+  * (proportional to corpus rates, not flat) and the ranking is by the
+  * VARIANCE-normalized z, which stops rare terms from dominating the
+  * way raw log-odds lets them. Plus
   * the one-way intraclass correlation ICC(1,1) on a balanced design
   * (how much of daily order-volume variance is BETWEEN weeks vs
   * within them — the reliability number behind "is a week a coherent

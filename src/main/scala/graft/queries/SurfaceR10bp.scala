@@ -11,9 +11,9 @@ import graft.{Orc, Tables, Windows}
   * largest-remainder machinery reused, but with variance-weighted
   * quotas instead of proportional ones — the difference between "fair"
   * and "efficient" sampling), and the BITWISE AGGREGATE family
-  * (bit_and/bit_or/bit_xor + shifts — the last untouched built-in
-  * aggregate group, used in practice for permission masks and bloom
-  * words). Stratum SDs come from exact integer dollar sums via one
+  * (bit_and/bit_or/bit_xor — the last untouched built-in AGGREGATE
+  * group; f12 covers the scalar bitwise operators, these fold masks
+  * ACROSS rows, the permission-mask / bloom-word reduction). Stratum SDs come from exact integer dollar sums via one
   * shared formula; the largest-remainder ranking runs over the 5-row
   * stratum table (bounded window).
   *

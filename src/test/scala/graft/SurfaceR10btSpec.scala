@@ -12,18 +12,6 @@ class SurfaceR10btSpec extends SparkSpec {
     }
   }
 
-  test("f30: parse_url recovers host, path, and id parameter") {
-    val rows = SurfaceR10bt.f30UrlFunctions(spark, sfDir).collect()
-    assert(rows.length == 5)
-    rows.foreach { r =>
-      assert(r.getString(1) == "shop.example.com")
-      assert(r.getString(2) == s"/${r.getString(0).toLowerCase.replace(' ', '-')}/item")
-      assert(!r.isNullAt(4) && r.getLong(5) >= r.getLong(4))
-    }
-    val total = rows.map(_.getLong(3)).sum
-    assert(total == spark.read.parquet(s"$sfDir/orders.parquet").count())
-  }
-
   test("m156: AUC/SE match a driver-side replay; CI brackets AUC") {
     val ev = graft.Tables.events(spark, sfDir)
       .select(col("value"),
