@@ -37,7 +37,18 @@ object SurfaceR6h {
     * an equi-join pipeline on integer ids (shuffle keyed by vertex,
     * map-side combinable aggs, no broadcast of anything O(n)).
     */
-  private[graft] def knnEdges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def knnEdges(s: SparkSession, d: String): DataFrame =
+    knnDirected(s, d)
+      .select(least(col("src"), col("dst")).as("s"),
+        greatest(col("src"), col("dst")).as("t"))
+      .distinct()
+
+  /** The directed 3-NN relation BEFORE symmetrization (src → its top-3
+    * by cosine, ties by id) — the kNN graph is inherently asymmetric
+    * (out-degree exactly 3, in-degree skewed toward hubs), which is
+    * what lg9's HITS exploits. Mirrors the `knn` CTE in
+    * [[knnEdgesCte]]. */
+  private[graft] def knnDirected(s: SparkSession, d: String): DataFrame = {
     val nodes = embeddings(s, d).where(col("vec_id") % 2 === 0)
     val a = nodes.select(col("vec_id").as("s_id"), col("embedding").as("a_emb"))
     val b = nodes.select(col("vec_id").as("t_id"), col("embedding").as("b_emb"))
@@ -47,9 +58,7 @@ object SurfaceR6h {
       .withColumn("cos", VectorFunctions.cosineSim(col("a_emb"), col("b_emb")))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= 3)
-      .select(least(col("s_id"), col("t_id")).as("s"),
-        greatest(col("s_id"), col("t_id")).as("t"))
-      .distinct()
+      .select(col("s_id").as("src"), col("t_id").as("dst"))
   }
 
   /** Oracle-side edge CTE, kept as one text so lg2/lg3 cannot drift. */
