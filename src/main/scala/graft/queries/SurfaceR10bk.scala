@@ -28,7 +28,7 @@ object SurfaceR10bk {
   type Q = (SparkSession, String) => DataFrame
 
   /** Paired per-line dollar measurements: gross vs net (discounted). */
-  private def paired(s: SparkSession, d: String): DataFrame =
+  private[queries] def paired(s: SparkSession, d: String): DataFrame =
     lineitem(s, d).select(
       expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) DIV 100")
         .as("x"),
