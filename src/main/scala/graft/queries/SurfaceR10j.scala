@@ -142,21 +142,33 @@ object SurfaceR10j {
 
   /** Unrolled label-propagation rounds for the oracle: l0 = identity,
     * l{i+1}(v) = arg-max-count (min on ties) over neighbours' l{i}. */
-  private def lpRoundsSql(k: Int): String =
+  /** Unrolled label-prop rounds; `mat` pins each CTE AS MATERIALIZED
+    * for consumers that re-reference the final labels several times
+    * (lg10's modularity) — DuckDB inlines plain CTEs and each l_{i+1}
+    * references l_i twice, so un-materialized re-expansion grows
+    * exponentially in rounds (the lg8 OOM lesson). lg5 itself keeps
+    * the plain form its oracle has always used. */
+  private[queries] def lpRoundsSql(k: Int, mat: Boolean = false): String = {
+    val m = if (mat) "MATERIALIZED " else ""
     (0 until k).map { i =>
-      s"""cand$i AS (
+      s"""cand$i AS $m(
          |  SELECT adj.s AS v, l$i.lbl, count(*) AS n
          |  FROM adj JOIN l$i ON l$i.v = adj.t
          |  GROUP BY 1, 2),
-         |pick$i AS (
+         |pick$i AS $m(
          |  SELECT v, lbl, row_number() OVER (
          |    PARTITION BY v ORDER BY n DESC, lbl) AS rn
          |  FROM cand$i),
-         |l${i + 1} AS (
+         |l${i + 1} AS $m(
          |  SELECT l$i.v, coalesce(p.lbl, l$i.lbl) AS lbl
          |  FROM l$i LEFT JOIN (SELECT v, lbl FROM pick$i WHERE rn = 1) p
          |    ON p.v = l$i.v)""".stripMargin
     }.mkString(",\n")
+  }
+
+  /** The lg5 rounds constant, shared with lg10's oracle so the two
+    * queries peel the same community assignment. */
+  private[queries] def lpRounds: Int = ROUNDS
 
   val oracleSql: Map[String, String] = Map(
     "lg5_label_prop" ->
