@@ -51,7 +51,11 @@ object SurfaceR10cd {
       .withColumn("q", expr(
         "transform(embedding," +
           " x -> CAST(floor(CAST(x AS DOUBLE) * (127e0 / mx) + 0.5) AS FLOAT))"))
-    val probes = base.where(col("vec_id") < 50)
+    // limit == the predicate's row bound (a no-op on content): it puts
+    // a GlobalLimit in the broadcast build side, making the probe
+    // panel's boundedness STRUCTURAL — the plan audit verifies it
+    // instead of trusting the filter.
+    val probes = base.where(col("vec_id") < 50).limit(50)
       .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
         col("q").as("a_q"))
     val cands = base
@@ -93,7 +97,10 @@ object SurfaceR10cd {
         explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val probeIds = docs.where(col("doc_id") < 5).select(col("doc_id").as("a_id"))
+    // limit(5) = the predicate's bound: structural boundedness for the
+    // broadcast probe panel (see l17's note).
+    val probeIds = docs.where(col("doc_id") < 5).limit(5)
+      .select(col("doc_id").as("a_id"))
     val grid = docs.select(col("doc_id").as("b_id"))
       .crossJoin(broadcast(probeIds))
       .where(col("a_id") =!= col("b_id"))

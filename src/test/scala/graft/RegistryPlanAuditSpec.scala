@@ -65,6 +65,11 @@ class RegistryPlanAuditSpec extends SparkSpec {
          _: SortAggregateExec => true
     case _: LocalTableScanExec | _: RDDScanExec => true
     case _: org.apache.spark.sql.execution.RangeExec => true
+    // an explicit row cap is a structural boundedness proof (the
+    // l17/ls6 probe panels: .limit(N) duplicating the predicate's
+    // bound, a content no-op the audit CAN verify)
+    case _: org.apache.spark.sql.execution.GlobalLimitExec |
+         _: org.apache.spark.sql.execution.CollectLimitExec => true
     case f: FileSourceScanExec =>
       // dimension tables are bounded; fact scans are not
       !f.relation.location.rootPaths.exists(path =>
