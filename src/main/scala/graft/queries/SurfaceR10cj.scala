@@ -91,7 +91,12 @@ object SurfaceR10cj {
   // decode (instr-lookup idiom both engines evaluate identically).
   private val kmvH = (1 to 8).map(i =>
     s"(instr('0123456789abcdef', substr(hv, $i, 1)) - 1)")
-    .reduceLeft((acc, n) => s"($acc * 16 + $n)")
+    // seed the fold in BIGINT: Spark's instr returns INT and the raw
+    // product chain overflows 32 bits under ANSI (DuckDB's instr is
+    // already BIGINT, so the cast is a no-op there)
+    .reduceLeft((acc, n) =>
+      if (acc.startsWith("(instr")) s"(CAST($acc AS BIGINT) * 16 + $n)"
+      else s"($acc * 16 + $n)")
 
   /** A40: KMV NDV SKETCH — per return flag, estimate the number of
     * distinct price points (exact cents) from the 64 minimum md5
