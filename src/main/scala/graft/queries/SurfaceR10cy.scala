@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.{Orc, Tables}
 
 /** Round-10 surface batch 103: the fill-in-the-middle training
-  * transform and sample entropy of the daily activity series.
+  * transform and sample entropy of the hourly activity series.
   *
   * Contrast with near-siblings: lp8 chunks documents at FIXED
   * boundaries and lp58 at overlapping strides — both preserve reading
@@ -95,12 +95,13 @@ object SurfaceR10cy {
   }
 
   /** LT63: SAMPLE ENTROPY — SampEn(m=2, r=⌊0.2·sd⌋) per event_type
-    * over the daily count series: B counts ordered day-pairs whose
+    * over the HOURLY count series (daily is too short/coarse on the
+    * 30-day fixture span to populate templates): B counts hour-pairs whose
     * length-2 templates stay within r componentwise, A the same at
     * length 3; SampEn = −ln(A/B). Exact integer tolerance on integer
     * counts → A and B are exact; one closing ln.
     *
-    * Scale shape: the template table is calendar-bounded (≤ #days rows
+    * Scale shape: the template table is calendar-bounded (≤ #hours rows
     * per type regardless of corpus size), so the per-type equi-join is
     * a bounded O(days²) comparison — the corpus-size-dependent work is
     * only the first per-(type,day) hash agg.
@@ -108,7 +109,7 @@ object SurfaceR10cy {
   val lt63SampleEntropy: Q = (s, d) => {
     val daily = events(s, d)
       .select(col("event_type"),
-        expr("CAST(floor(unix_micros(ts) / 86400000000) AS BIGINT)").as("day"))
+        expr("CAST(floor(unix_micros(ts) / 3600000000) AS BIGINT)").as("day"))
       .groupBy("event_type", "day")
       .agg(count(lit(1)).as("x"))
     val rq = daily.groupBy("event_type")
@@ -163,7 +164,7 @@ object SurfaceR10cy {
     "lt63_sample_entropy" ->
       """WITH daily AS (
         |  SELECT event_type,
-        |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+        |    CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS day,
         |    CAST(count(*) AS BIGINT) AS x
         |  FROM events GROUP BY 1, 2),
         |rq AS (

@@ -29,8 +29,8 @@ import graft.{Orc, Tables}
   * before-sum rule), so each iteration's μ is one exact-integer
   * division both engines share. Hurst n-scales each block (u = n·x−S
   * integers), making the range n·R exact; per-block R/S quantizes to
-  * 1e6 before block-averaging, and with scales {8,16,32} the log-log
-  * slope is exactly (log₂RS₃₂ − log₂RS₈)/2 — no least-squares sum.
+  * 1e6 before block-averaging, and with scales {4,8,16} the log-log
+  * slope is exactly (log₂RS₁₆ − log₂RS₄)/2 — no least-squares sum.
   *
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract
   * areas SURVEY.md §2.13; siblings a38/lp13/m28 (robust location),
@@ -99,9 +99,10 @@ object SurfaceR10da {
 
   /** LT64: HURST EXPONENT — R/S analysis per event_type over the
     * active-day count series (index-contiguous): for window sizes
-    * {8,16,32}, average the rescaled range R/S over complete blocks,
-    * then H = (log₂ RS₃₂ − log₂ RS₈) / 2 — the exact 3-point log-log
-    * slope since the x-grid {3,4,5} is uniform.
+    * {4,8,16} (sized to the fixtures' ~30-active-day span so every
+    * scale has complete blocks), average the rescaled range R/S over
+    * complete blocks, then H = (log₂ RS₁₆ − log₂ RS₄) / 2 — the exact
+    * 3-point log-log slope since the x-grid {2,3,4} is uniform.
     *
     * Scale shape: the series is calendar-bounded; blocks are a DIV on
     * the row index (one bounded window for the index, one for block
@@ -116,7 +117,7 @@ object SurfaceR10da {
       .agg(count(lit(1)).as("x"))
     val wIdx = Window.partitionBy("event_type").orderBy("day")
     val indexed = daily.withColumn("i", row_number().over(wIdx))
-    val bns = { import s.implicits._; Seq(8L, 16L, 32L).toDF("bn") }
+    val bns = { import s.implicits._; Seq(4L, 8L, 16L).toDF("bn") }
     val scales = indexed.crossJoin(broadcast(bns))
       .withColumn("blk", expr("(i - 1) DIV bn"))
     val cells = scales.groupBy("event_type", "bn", "blk")
@@ -144,13 +145,13 @@ object SurfaceR10da {
         expr("CAST(srs AS DOUBLE) / n_blocks / 1e6").as("avg_rs"))
     avg.groupBy("event_type")
       .agg(
+        sum(when(col("bn") === 4, col("avg_rs"))).as("rs4"),
         sum(when(col("bn") === 8, col("avg_rs"))).as("rs8"),
-        sum(when(col("bn") === 16, col("avg_rs"))).as("rs16"),
-        sum(when(col("bn") === 32, col("avg_rs"))).as("rs32"))
+        sum(when(col("bn") === 16, col("avg_rs"))).as("rs16"))
       .select(col("event_type"),
-        r4(col("rs8")).as("rs_8"), r4(col("rs16")).as("rs_16"),
-        r4(col("rs32")).as("rs_32"),
-        r4(expr("(ln(rs32) - ln(rs8)) / (2 * ln(2))")).as("hurst_h"))
+        r4(col("rs4")).as("rs_4"), r4(col("rs8")).as("rs_8"),
+        r4(col("rs16")).as("rs_16"),
+        r4(expr("(ln(rs16) - ln(rs4)) / (2 * ln(2))")).as("hurst_h"))
       .orderBy("event_type")
   }
 
@@ -217,7 +218,7 @@ object SurfaceR10da {
         |scales AS (
         |  SELECT event_type, x, i, bn, (i - 1) // bn AS blk
         |  FROM indexed CROSS JOIN
-        |    (SELECT CAST(unnest([8, 16, 32]) AS BIGINT) AS bn)),
+        |    (SELECT CAST(unnest([4, 8, 16]) AS BIGINT) AS bn)),
         |cells AS MATERIALIZED (
         |  SELECT event_type, bn, blk, CAST(count(*) AS BIGINT) AS cnt,
         |    CAST(sum(x) AS BIGINT) AS sb,
@@ -248,16 +249,16 @@ object SurfaceR10da {
         |  FROM rs GROUP BY 1, 2),
         |piv AS (
         |  SELECT event_type,
+        |    sum(CASE WHEN bn = 4 THEN CAST(srs AS DOUBLE) / n_blocks / 1e6
+        |      END) AS rs4,
         |    sum(CASE WHEN bn = 8 THEN CAST(srs AS DOUBLE) / n_blocks / 1e6
         |      END) AS rs8,
         |    sum(CASE WHEN bn = 16 THEN CAST(srs AS DOUBLE) / n_blocks / 1e6
-        |      END) AS rs16,
-        |    sum(CASE WHEN bn = 32 THEN CAST(srs AS DOUBLE) / n_blocks / 1e6
-        |      END) AS rs32
+        |      END) AS rs16
         |  FROM avgrs GROUP BY 1)
         |SELECT event_type,
-        |  round(rs8, 4) AS rs_8, round(rs16, 4) AS rs_16,
-        |  round(rs32, 4) AS rs_32,
-        |  round((ln(rs32) - ln(rs8)) / (2 * ln(2)), 4) AS hurst_h
+        |  round(rs4, 4) AS rs_4, round(rs8, 4) AS rs_8,
+        |  round(rs16, 4) AS rs_16,
+        |  round((ln(rs16) - ln(rs4)) / (2 * ln(2)), 4) AS hurst_h
         |FROM piv ORDER BY event_type""".stripMargin)
 }

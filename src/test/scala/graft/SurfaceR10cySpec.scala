@@ -34,7 +34,7 @@ class SurfaceR10cySpec extends SparkSpec {
   test("lt63: A and B match an exact template-count replay") {
     val daily = Tables.events(spark, sfDir)
       .select(col("event_type"),
-        expr("CAST(floor(unix_micros(ts) / 86400000000) AS BIGINT)").as("day"))
+        expr("CAST(floor(unix_micros(ts) / 3600000000) AS BIGINT)").as("day"))
       .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .groupBy(_._1).map { case (t, rs) => t -> rs.sortBy(_._2).map(_._3) }
