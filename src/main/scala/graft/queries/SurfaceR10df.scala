@@ -99,8 +99,9 @@ object SurfaceR10df {
       "substr(md5(user_id || 'ps'), 1, 1)) - 1) < 8"
 
   /** M189: POST-STRATIFICATION — users split into md5 arms; metric =
-    * per-user cent volume; strata = activity quartile tiers (exact doubled percentiles at
-    * 0.25/0.75 - quarter fractions interpolate exactly in binary). Per stratum: arm sizes,
+    * per-user cent volume; strata = activity quartile tiers (doubled
+    * percentiles at 0.25/0.75 — quarter fractions interpolate exactly
+    * in binary, unlike 1/3). Per stratum: arm sizes,
     * means, the stratum diff and weight; repeated columns carry the
     * post-stratified diff (Σ w·diff, micro-cent-quantized before the
     * 3-term sum) next to the raw SRS diff.
