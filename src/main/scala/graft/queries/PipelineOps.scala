@@ -275,7 +275,16 @@ object PipelineOps {
     * in both engines). Candidates come from an equi-join on (band, key)
     * — never all-pairs — which is the whole scale story of LSH.
     */
-  val l2bMinhashBanding: Q = (s, d) => {
+  val l2bMinhashBanding: Q = (s, d) =>
+    md5BandCandidates(s, d).orderBy("a_id", "b_id")
+
+  /** The md5-banding candidate-pair set WITHOUT the presentation sort —
+    * shared by l2b (the oracle-checked registry row) and lg_pagerank
+    * (which runs centrality over this same candidate graph), kept as one
+    * body so the two can never drift. Pairs come from an equi-join on
+    * (band, key) — never all-pairs. */
+  private[queries] def md5BandCandidates(
+      s: SparkSession, d: String): DataFrame = {
     // strip boundary non-word chars BEFORE splitting: Java split drops
     // trailing empty fields while the oracle dialect keeps them, so the
     // word arrays only agree when neither side produces boundary empties.
@@ -307,7 +316,6 @@ object PipelineOps {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-      .orderBy("a_id", "b_id")
   }
 
   /** The 16 simhash bit terms, generated ONCE and embedded verbatim in
@@ -413,6 +421,47 @@ object PipelineOps {
       |),
       |comp AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id)""".stripMargin
 
+  /** Oracle-side md5-banding candidate CTE chain (ends in `cand`
+    * (a_id, b_id)) — the DuckDB twin of [[md5BandCandidates]], shared by
+    * the l2b registry row and lg_pagerank's replay so the two orbits of
+    * the same graph cannot drift. `mat = true` pins every CTE AS
+    * MATERIALIZED for consumers that re-reference `cand` repeatedly
+    * (the 10-round pagerank replay) — DuckDB inlines plain CTEs and the
+    * re-expansion of the banding pipeline per round would be ruinous.
+    */
+  private[queries] def md5CandCteSql(mat: Boolean = false): String = {
+    val m = if (mat) "MATERIALIZED " else ""
+    s"""words AS $m(
+       |  SELECT doc_id, string_split_regex(
+       |    regexp_replace(lower(text), '^\\W+|\\W+$$', '', 'g'), '\\W+') AS w
+       |  FROM documents
+       |),
+       |toks AS $m(
+       |  SELECT DISTINCT doc_id,
+       |    array_to_string(list_slice(w, i, i + 2), ' ') AS tok
+       |  FROM (SELECT doc_id, w,
+       |          unnest(range(1, len(w) - 1)) AS i FROM words)
+       |),
+       |h AS $m(
+       |  SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || tok)) AS sig
+       |  FROM toks CROSS JOIN (SELECT unnest(range(8)) AS i)
+       |  GROUP BY doc_id, i
+       |),
+       |b AS $m(
+       |  SELECT doc_id, CAST(floor(i / 4) AS BIGINT) AS band,
+       |    max(CASE WHEN i % 4 = 0 THEN sig END) || '|' ||
+       |    max(CASE WHEN i % 4 = 1 THEN sig END) || '|' ||
+       |    max(CASE WHEN i % 4 = 2 THEN sig END) || '|' ||
+       |    max(CASE WHEN i % 4 = 3 THEN sig END) AS bkey
+       |  FROM h GROUP BY doc_id, band
+       |),
+       |cand AS $m(
+       |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |  FROM b x JOIN b y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+       |)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "lc_dup_clusters" ->
       s"""$ccOracleCtes
@@ -486,34 +535,8 @@ object PipelineOps {
          |  $simhashTerms AS simhash16
          |FROM toks GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "l2b_minhash_banding" ->
-      """WITH words AS (
-        |  SELECT doc_id, string_split_regex(
-        |    regexp_replace(lower(text), '^\W+|\W+$', '', 'g'), '\W+') AS w
-        |  FROM documents
-        |),
-        |toks AS (
-        |  SELECT DISTINCT doc_id,
-        |    array_to_string(list_slice(w, i, i + 2), ' ') AS tok
-        |  FROM (SELECT doc_id, w,
-        |          unnest(range(1, len(w) - 1)) AS i FROM words)
-        |),
-        |h AS (
-        |  SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || tok)) AS sig
-        |  FROM toks CROSS JOIN (SELECT unnest(range(8)) AS i)
-        |  GROUP BY doc_id, i
-        |),
-        |b AS (
-        |  SELECT doc_id, CAST(floor(i / 4) AS BIGINT) AS band,
-        |    max(CASE WHEN i % 4 = 0 THEN sig END) || '|' ||
-        |    max(CASE WHEN i % 4 = 1 THEN sig END) || '|' ||
-        |    max(CASE WHEN i % 4 = 2 THEN sig END) || '|' ||
-        |    max(CASE WHEN i % 4 = 3 THEN sig END) AS bkey
-        |  FROM h GROUP BY doc_id, band
-        |)
-        |SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-        |FROM b x JOIN b y
-        |  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
-        |ORDER BY a_id, b_id""".stripMargin,
+      ("WITH " + md5CandCteSql() +
+        "\nSELECT a_id, b_id FROM cand ORDER BY a_id, b_id"),
     "s11_schema_evolution" ->
       """SELECT n_nationkey, n_name,
         |  CASE WHEN n_nationkey >= 10 THEN n_regionkey END AS n_regionkey

@@ -41,4 +41,20 @@ class SurfaceR10uSpec extends SparkSpec {
     assert(clusters.length > 1 && clusters.length <= 4,
       s"unexpected cluster count: ${clusters.length}")
   }
+
+  test("m95: MLlib PIC partitions the same graph (MLlib-parity law)") {
+    // the registry row is the exact-replay native fit; MLlib's
+    // PowerIterationClustering stays exercised here on the same edges
+    val edges = graft.queries.SurfaceR6h.knnEdges(spark, sfDir)
+      .select(col("s").as("src"), col("t").as("dst"), lit(1.0).as("weight"))
+    val pic = new org.apache.spark.ml.clustering.PowerIterationClustering()
+      .setK(4).setMaxIter(20).setInitMode("degree").setWeightCol("weight")
+    val assigned = pic.assignClusters(edges).cache()
+    val verts = graft.queries.SurfaceR6h.knnEdges(spark, sfDir)
+      .select(explode(array(col("s"), col("t"))).as("v"))
+      .distinct().count()
+    assert(assigned.count() == verts, "MLlib PIC dropped vertices")
+    val k = assigned.select("cluster").distinct().count()
+    assert(k > 1 && k <= 4, s"MLlib PIC cluster count $k")
+  }
 }

@@ -169,13 +169,19 @@ class SurfaceR6Spec extends SparkSpec {
     val ranks = graft.queries.SurfaceR6c.lgPagerank(spark, sfDir).cache()
     val n = ranks.count()
     val total = ranks.agg(sum("rank")).head.getDouble(0)
-    assert(total <= n + 1e-4, s"rank mass $total exceeds node count $n")
+    // round-half-up integer contributions can overshoot true mass by at
+    // most half a micro-unit per directed edge per round — absorb that
+    assert(total <= n + 0.01, s"rank mass $total exceeds node count $n")
     assert(ranks.where(col("rank") < 0.15 - 1e-4).isEmpty,
       "rank below the (1-d) floor")
     // candidate graph is non-empty on the fixtures, so some node must
     // accumulate inflow above the floor
     assert(ranks.where(col("rank") > 0.15 + 1e-4).count() > 0,
       "no node above the floor: graph vacuous?")
+    // micro-unit and rounded readouts must agree
+    assert(ranks.where(
+      Orc.r4(col("rank_micro").cast("double") / 1000000L) =!= col("rank"))
+      .isEmpty, "rank_micro/rank readouts disagree")
   }
 
   test("f17: every source maps to exactly one parsed host") {
