@@ -15,323 +15,177 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_scan_agg")(spark, "/root/testdata/sf0.001")
 
-  /** Registered query batches, one object per SURVEY.md tranche.
-    * A flat Seq folded at runtime: the old 120-term `++` expression
+  /** Registered query batches, one object per SURVEY.md tranche, in
+    * registration order (later keys would win on conflict; keys are
+    * unique). ONE ordered list — queries and oracleSql are derived from
+    * it, so the two can no longer drift (VERDICT r10 consolidation
+    * item). A flat Seq folded at runtime: a 120-term `++` expression
     * tree crossed scalac's typer stack depth and crashed the build.
     */
-  private val queryMaps: Seq[Map[String, (SparkSession, String) => DataFrame]] = Seq(
-    graft.queries.Relational.queries,
-    graft.queries.WindowsFuncs.queries,
-    graft.queries.TimeJson.queries,
-    graft.queries.LlmOps.queries,
-    graft.queries.MlQueries.queries,
-    graft.queries.StreamingQueries.queries,
-    graft.queries.Hardening.queries,
-    graft.queries.PipelineOps.queries,
-    graft.queries.SurfaceR5.queries,
-    graft.queries.SurfaceR5b.queries,
-    graft.queries.SurfaceR6.queries,
-    graft.queries.SurfaceR6b.queries,
-    graft.queries.SurfaceR6c.queries,
-    graft.queries.SurfaceR6d.queries,
-    graft.queries.SurfaceR6e.queries,
-    graft.queries.SurfaceR6f.queries,
-    graft.queries.SurfaceR6g.queries,
-    graft.queries.SurfaceR6h.queries,
-    graft.queries.SurfaceR6i.queries,
-    graft.queries.SurfaceR6j.queries,
-    graft.queries.SurfaceR6k.queries,
-    graft.queries.SurfaceR6l.queries,
-    graft.queries.SurfaceR6m.queries,
-    graft.queries.SurfaceR6n.queries,
-    graft.queries.SurfaceR6o.queries,
-    graft.queries.SurfaceR6p.queries,
-    graft.queries.SurfaceR8.queries,
-    graft.queries.SurfaceR8b.queries,
-    graft.queries.SurfaceR8c.queries,
-    graft.queries.SurfaceR8d.queries,
-    graft.queries.SurfaceR8e.queries,
-    graft.queries.SurfaceR8f.queries,
-    graft.queries.SurfaceR8g.queries,
-    graft.queries.SurfaceR8h.queries,
-    graft.queries.SurfaceR8i.queries,
-    graft.queries.SurfaceR8j.queries,
-    graft.queries.SurfaceR8k.queries,
-    graft.queries.SurfaceR8l.queries,
-    graft.queries.SurfaceR8m.queries,
-    graft.queries.SurfaceR8n.queries,
-    graft.queries.SurfaceR9.queries,
-    graft.queries.SurfaceR10.queries,
-    graft.queries.SurfaceR10b.queries,
-    graft.queries.SurfaceR10c.queries,
-    graft.queries.SurfaceR10d.queries,
-    graft.queries.SurfaceR10e.queries,
-    graft.queries.SurfaceR10f.queries,
-    graft.queries.SurfaceR10g.queries,
-    graft.queries.SurfaceR10h.queries,
-    graft.queries.SurfaceR10i.queries,
-    graft.queries.SurfaceR10j.queries,
-    graft.queries.SurfaceR10k.queries,
-    graft.queries.SurfaceR10l.queries,
-    graft.queries.SurfaceR10m.queries,
-    graft.queries.SurfaceR10n.queries,
-    graft.queries.SurfaceR10o.queries,
-    graft.queries.SurfaceR10p.queries,
-    graft.queries.SurfaceR10q.queries,
-    graft.queries.SurfaceR10r.queries,
-    graft.queries.SurfaceR10s.queries,
-    graft.queries.SurfaceR10t.queries,
-    graft.queries.SurfaceR10u.queries,
-    graft.queries.SurfaceR10v.queries,
-    graft.queries.SurfaceR10w.queries,
-    graft.queries.SurfaceR10x.queries,
-    graft.queries.SurfaceR10y.queries,
-    graft.queries.SurfaceR10z.queries,
-    graft.queries.SurfaceR10aa.queries,
-    graft.queries.SurfaceR10ab.queries,
-    graft.queries.SurfaceR10ac.queries,
-    graft.queries.SurfaceR10ad.queries,
-    graft.queries.SurfaceR10ae.queries,
-    graft.queries.SurfaceR10af.queries,
-    graft.queries.SurfaceR10ag.queries,
-    graft.queries.SurfaceR10ah.queries,
-    graft.queries.SurfaceR10ai.queries,
-    graft.queries.SurfaceR10aj.queries,
-    graft.queries.SurfaceR10ak.queries,
-    graft.queries.SurfaceR10al.queries,
-    graft.queries.SurfaceR10am.queries,
-    graft.queries.SurfaceR10an.queries,
-    graft.queries.SurfaceR10ao.queries,
-    graft.queries.SurfaceR10ap.queries,
-    graft.queries.SurfaceR10aq.queries,
-    graft.queries.SurfaceR10ar.queries,
-    graft.queries.SurfaceR10as.queries,
-    graft.queries.SurfaceR10at.queries,
-    graft.queries.SurfaceR10au.queries,
-    graft.queries.SurfaceR10av.queries,
-    graft.queries.SurfaceR10aw.queries,
-    graft.queries.SurfaceR10ax.queries,
-    graft.queries.SurfaceR10ay.queries,
-    graft.queries.SurfaceR10az.queries,
-    graft.queries.SurfaceR10ba.queries,
-    graft.queries.SurfaceR10bb.queries,
-    graft.queries.SurfaceR10bc.queries,
-    graft.queries.SurfaceR10bd.queries,
-    graft.queries.SurfaceR10bf.queries,
-    graft.queries.SurfaceR10bg.queries,
-    graft.queries.SurfaceR10bi.queries,
-    graft.queries.SurfaceR10bj.queries,
-    graft.queries.SurfaceR10bk.queries,
-    graft.queries.SurfaceR10bl.queries,
-    graft.queries.SurfaceR10bm.queries,
-    graft.queries.SurfaceR10bn.queries,
-    graft.queries.SurfaceR10bo.queries,
-    graft.queries.SurfaceR10bp.queries,
-    graft.queries.SurfaceR10bq.queries,
-    graft.queries.SurfaceR10br.queries,
-    graft.queries.SurfaceR10bs.queries,
-    graft.queries.SurfaceR10bt.queries,
-    graft.queries.SurfaceR10bu.queries,
-    graft.queries.SurfaceR10bv.queries,
-    graft.queries.SurfaceR10bw.queries,
-    graft.queries.SurfaceR10bx.queries,
-    graft.queries.SurfaceR10by.queries,
-    graft.queries.SurfaceR10bz.queries,
-    graft.queries.SurfaceR10ca.queries,
-    graft.queries.SurfaceR10cb.queries,
-    graft.queries.SurfaceR10cc.queries,
-    graft.queries.SurfaceR10cd.queries,
-    graft.queries.SurfaceR10ce.queries,
-    graft.queries.SurfaceR10cf.queries,
-    graft.queries.SurfaceR10cg.queries,
-    graft.queries.SurfaceR10ch.queries,
-    graft.queries.SurfaceR10ci.queries,
-    graft.queries.SurfaceR10cj.queries,
-    graft.queries.SurfaceR10ck.queries,
-    graft.queries.SurfaceR10cl.queries,
-    graft.queries.SurfaceR10cm.queries,
-    graft.queries.SurfaceR10cn.queries,
-    graft.queries.SurfaceR10co.queries,
-    graft.queries.SurfaceR10cp.queries,
-    graft.queries.SurfaceR10cq.queries,
-    graft.queries.SurfaceR10cr.queries,
-    graft.queries.SurfaceR10cs.queries,
-    graft.queries.SurfaceR10ct.queries,
-    graft.queries.SurfaceR10cu.queries,
-    graft.queries.SurfaceR10cv.queries,
-    graft.queries.SurfaceR10cw.queries,
-    graft.queries.SurfaceR10cx.queries,
-    graft.queries.SurfaceR10cy.queries,
-    graft.queries.SurfaceR10cz.queries,
-    graft.queries.SurfaceR10da.queries,
-    graft.queries.SurfaceR10db.queries,
-    graft.queries.SurfaceR10dc.queries,
-    graft.queries.SurfaceR10dd.queries,
-    graft.queries.SurfaceR10de.queries,
-    graft.queries.SurfaceR10df.queries,
-    graft.queries.SurfaceR10dg.queries,
-    graft.queries.SurfaceR10dh.queries,
-    graft.queries.SurfaceR10di.queries,
-    graft.queries.SurfaceR10dj.queries,
-    graft.queries.SurfaceR10dk.queries,
-    graft.queries.SurfaceR10dl.queries)
+  private val batches: Seq[graft.queries.QueryBatch] = Seq(
+    graft.queries.Relational,
+    graft.queries.WindowsFuncs,
+    graft.queries.TimeJson,
+    graft.queries.LlmOps,
+    graft.queries.MlQueries,
+    graft.queries.StreamingQueries,
+    graft.queries.Hardening,
+    graft.queries.PipelineOps,
+    graft.queries.SurfaceR5,
+    graft.queries.SurfaceR5b,
+    graft.queries.SurfaceR6,
+    graft.queries.SurfaceR6b,
+    graft.queries.SurfaceR6c,
+    graft.queries.SurfaceR6d,
+    graft.queries.SurfaceR6e,
+    graft.queries.SurfaceR6f,
+    graft.queries.SurfaceR6g,
+    graft.queries.SurfaceR6h,
+    graft.queries.SurfaceR6i,
+    graft.queries.SurfaceR6j,
+    graft.queries.SurfaceR6k,
+    graft.queries.SurfaceR6l,
+    graft.queries.SurfaceR6m,
+    graft.queries.SurfaceR6n,
+    graft.queries.SurfaceR6o,
+    graft.queries.SurfaceR6p,
+    graft.queries.SurfaceR8,
+    graft.queries.SurfaceR8b,
+    graft.queries.SurfaceR8c,
+    graft.queries.SurfaceR8d,
+    graft.queries.SurfaceR8e,
+    graft.queries.SurfaceR8f,
+    graft.queries.SurfaceR8g,
+    graft.queries.SurfaceR8h,
+    graft.queries.SurfaceR8i,
+    graft.queries.SurfaceR8j,
+    graft.queries.SurfaceR8k,
+    graft.queries.SurfaceR8l,
+    graft.queries.SurfaceR8m,
+    graft.queries.SurfaceR8n,
+    graft.queries.SurfaceR9,
+    graft.queries.SurfaceR10,
+    graft.queries.SurfaceR10b,
+    graft.queries.SurfaceR10c,
+    graft.queries.SurfaceR10d,
+    graft.queries.SurfaceR10e,
+    graft.queries.SurfaceR10f,
+    graft.queries.SurfaceR10g,
+    graft.queries.SurfaceR10h,
+    graft.queries.SurfaceR10i,
+    graft.queries.SurfaceR10j,
+    graft.queries.SurfaceR10k,
+    graft.queries.SurfaceR10l,
+    graft.queries.SurfaceR10m,
+    graft.queries.SurfaceR10n,
+    graft.queries.SurfaceR10o,
+    graft.queries.SurfaceR10p,
+    graft.queries.SurfaceR10q,
+    graft.queries.SurfaceR10r,
+    graft.queries.SurfaceR10s,
+    graft.queries.SurfaceR10t,
+    graft.queries.SurfaceR10u,
+    graft.queries.SurfaceR10v,
+    graft.queries.SurfaceR10w,
+    graft.queries.SurfaceR10x,
+    graft.queries.SurfaceR10y,
+    graft.queries.SurfaceR10z,
+    graft.queries.SurfaceR10aa,
+    graft.queries.SurfaceR10ab,
+    graft.queries.SurfaceR10ac,
+    graft.queries.SurfaceR10ad,
+    graft.queries.SurfaceR10ae,
+    graft.queries.SurfaceR10af,
+    graft.queries.SurfaceR10ag,
+    graft.queries.SurfaceR10ah,
+    graft.queries.SurfaceR10ai,
+    graft.queries.SurfaceR10aj,
+    graft.queries.SurfaceR10ak,
+    graft.queries.SurfaceR10al,
+    graft.queries.SurfaceR10am,
+    graft.queries.SurfaceR10an,
+    graft.queries.SurfaceR10ao,
+    graft.queries.SurfaceR10ap,
+    graft.queries.SurfaceR10aq,
+    graft.queries.SurfaceR10ar,
+    graft.queries.SurfaceR10as,
+    graft.queries.SurfaceR10at,
+    graft.queries.SurfaceR10au,
+    graft.queries.SurfaceR10av,
+    graft.queries.SurfaceR10aw,
+    graft.queries.SurfaceR10ax,
+    graft.queries.SurfaceR10ay,
+    graft.queries.SurfaceR10az,
+    graft.queries.SurfaceR10ba,
+    graft.queries.SurfaceR10bb,
+    graft.queries.SurfaceR10bc,
+    graft.queries.SurfaceR10bd,
+    graft.queries.SurfaceR10bf,
+    graft.queries.SurfaceR10bg,
+    graft.queries.SurfaceR10bi,
+    graft.queries.SurfaceR10bj,
+    graft.queries.SurfaceR10bk,
+    graft.queries.SurfaceR10bl,
+    graft.queries.SurfaceR10bm,
+    graft.queries.SurfaceR10bn,
+    graft.queries.SurfaceR10bo,
+    graft.queries.SurfaceR10bp,
+    graft.queries.SurfaceR10bq,
+    graft.queries.SurfaceR10br,
+    graft.queries.SurfaceR10bs,
+    graft.queries.SurfaceR10bt,
+    graft.queries.SurfaceR10bu,
+    graft.queries.SurfaceR10bv,
+    graft.queries.SurfaceR10bw,
+    graft.queries.SurfaceR10bx,
+    graft.queries.SurfaceR10by,
+    graft.queries.SurfaceR10bz,
+    graft.queries.SurfaceR10ca,
+    graft.queries.SurfaceR10cb,
+    graft.queries.SurfaceR10cc,
+    graft.queries.SurfaceR10cd,
+    graft.queries.SurfaceR10ce,
+    graft.queries.SurfaceR10cf,
+    graft.queries.SurfaceR10cg,
+    graft.queries.SurfaceR10ch,
+    graft.queries.SurfaceR10ci,
+    graft.queries.SurfaceR10cj,
+    graft.queries.SurfaceR10ck,
+    graft.queries.SurfaceR10cl,
+    graft.queries.SurfaceR10cm,
+    graft.queries.SurfaceR10cn,
+    graft.queries.SurfaceR10co,
+    graft.queries.SurfaceR10cp,
+    graft.queries.SurfaceR10cq,
+    graft.queries.SurfaceR10cr,
+    graft.queries.SurfaceR10cs,
+    graft.queries.SurfaceR10ct,
+    graft.queries.SurfaceR10cu,
+    graft.queries.SurfaceR10cv,
+    graft.queries.SurfaceR10cw,
+    graft.queries.SurfaceR10cx,
+    graft.queries.SurfaceR10cy,
+    graft.queries.SurfaceR10cz,
+    graft.queries.SurfaceR10da,
+    graft.queries.SurfaceR10db,
+    graft.queries.SurfaceR10dc,
+    graft.queries.SurfaceR10dd,
+    graft.queries.SurfaceR10de,
+    graft.queries.SurfaceR10df,
+    graft.queries.SurfaceR10dg,
+    graft.queries.SurfaceR10dh,
+    graft.queries.SurfaceR10di,
+    graft.queries.SurfaceR10dj,
+    graft.queries.SurfaceR10dk,
+    graft.queries.SurfaceR10dl,
+    graft.queries.SurfaceR11a,
+    graft.queries.SurfaceR11b)
 
-  private val oracleMaps: Seq[Map[String, String]] = Seq(
-    graft.queries.Relational.oracleSql,
-    graft.queries.WindowsFuncs.oracleSql,
-    graft.queries.TimeJson.oracleSql,
-    graft.queries.LlmOps.oracleSql,
-    graft.queries.MlQueries.oracleSql,
-    graft.queries.StreamingQueries.oracleSql,
-    graft.queries.Hardening.oracleSql,
-    graft.queries.PipelineOps.oracleSql,
-    graft.queries.SurfaceR5.oracleSql,
-    graft.queries.SurfaceR5b.oracleSql,
-    graft.queries.SurfaceR6.oracleSql,
-    graft.queries.SurfaceR6b.oracleSql,
-    graft.queries.SurfaceR6c.oracleSql,
-    graft.queries.SurfaceR6d.oracleSql,
-    graft.queries.SurfaceR6e.oracleSql,
-    graft.queries.SurfaceR6f.oracleSql,
-    graft.queries.SurfaceR6g.oracleSql,
-    graft.queries.SurfaceR6h.oracleSql,
-    graft.queries.SurfaceR6i.oracleSql,
-    graft.queries.SurfaceR6j.oracleSql,
-    graft.queries.SurfaceR6k.oracleSql,
-    graft.queries.SurfaceR6l.oracleSql,
-    graft.queries.SurfaceR6m.oracleSql,
-    graft.queries.SurfaceR6n.oracleSql,
-    graft.queries.SurfaceR6o.oracleSql,
-    graft.queries.SurfaceR6p.oracleSql,
-    graft.queries.SurfaceR8.oracleSql,
-    graft.queries.SurfaceR8b.oracleSql,
-    graft.queries.SurfaceR8c.oracleSql,
-    graft.queries.SurfaceR8d.oracleSql,
-    graft.queries.SurfaceR8e.oracleSql,
-    graft.queries.SurfaceR8f.oracleSql,
-    graft.queries.SurfaceR8g.oracleSql,
-    graft.queries.SurfaceR8h.oracleSql,
-    graft.queries.SurfaceR8i.oracleSql,
-    graft.queries.SurfaceR8j.oracleSql,
-    graft.queries.SurfaceR8k.oracleSql,
-    graft.queries.SurfaceR8l.oracleSql,
-    graft.queries.SurfaceR8m.oracleSql,
-    graft.queries.SurfaceR8n.oracleSql,
-    graft.queries.SurfaceR9.oracleSql,
-    graft.queries.SurfaceR10.oracleSql,
-    graft.queries.SurfaceR10b.oracleSql,
-    graft.queries.SurfaceR10c.oracleSql,
-    graft.queries.SurfaceR10d.oracleSql,
-    graft.queries.SurfaceR10e.oracleSql,
-    graft.queries.SurfaceR10f.oracleSql,
-    graft.queries.SurfaceR10g.oracleSql,
-    graft.queries.SurfaceR10h.oracleSql,
-    graft.queries.SurfaceR10i.oracleSql,
-    graft.queries.SurfaceR10j.oracleSql,
-    graft.queries.SurfaceR10k.oracleSql,
-    graft.queries.SurfaceR10l.oracleSql,
-    graft.queries.SurfaceR10m.oracleSql,
-    graft.queries.SurfaceR10n.oracleSql,
-    graft.queries.SurfaceR10o.oracleSql,
-    graft.queries.SurfaceR10p.oracleSql,
-    graft.queries.SurfaceR10q.oracleSql,
-    graft.queries.SurfaceR10r.oracleSql,
-    graft.queries.SurfaceR10s.oracleSql,
-    graft.queries.SurfaceR10t.oracleSql,
-    graft.queries.SurfaceR10u.oracleSql,
-    graft.queries.SurfaceR10v.oracleSql,
-    graft.queries.SurfaceR10w.oracleSql,
-    graft.queries.SurfaceR10x.oracleSql,
-    graft.queries.SurfaceR10y.oracleSql,
-    graft.queries.SurfaceR10z.oracleSql,
-    graft.queries.SurfaceR10aa.oracleSql,
-    graft.queries.SurfaceR10ab.oracleSql,
-    graft.queries.SurfaceR10ac.oracleSql,
-    graft.queries.SurfaceR10ad.oracleSql,
-    graft.queries.SurfaceR10ae.oracleSql,
-    graft.queries.SurfaceR10af.oracleSql,
-    graft.queries.SurfaceR10ag.oracleSql,
-    graft.queries.SurfaceR10ah.oracleSql,
-    graft.queries.SurfaceR10ai.oracleSql,
-    graft.queries.SurfaceR10aj.oracleSql,
-    graft.queries.SurfaceR10ak.oracleSql,
-    graft.queries.SurfaceR10al.oracleSql,
-    graft.queries.SurfaceR10am.oracleSql,
-    graft.queries.SurfaceR10an.oracleSql,
-    graft.queries.SurfaceR10ao.oracleSql,
-    graft.queries.SurfaceR10ap.oracleSql,
-    graft.queries.SurfaceR10aq.oracleSql,
-    graft.queries.SurfaceR10ar.oracleSql,
-    graft.queries.SurfaceR10as.oracleSql,
-    graft.queries.SurfaceR10at.oracleSql,
-    graft.queries.SurfaceR10au.oracleSql,
-    graft.queries.SurfaceR10av.oracleSql,
-    graft.queries.SurfaceR10aw.oracleSql,
-    graft.queries.SurfaceR10ax.oracleSql,
-    graft.queries.SurfaceR10ay.oracleSql,
-    graft.queries.SurfaceR10az.oracleSql,
-    graft.queries.SurfaceR10ba.oracleSql,
-    graft.queries.SurfaceR10bb.oracleSql,
-    graft.queries.SurfaceR10bc.oracleSql,
-    graft.queries.SurfaceR10bd.oracleSql,
-    graft.queries.SurfaceR10bf.oracleSql,
-    graft.queries.SurfaceR10bg.oracleSql,
-    graft.queries.SurfaceR10bi.oracleSql,
-    graft.queries.SurfaceR10bj.oracleSql,
-    graft.queries.SurfaceR10bk.oracleSql,
-    graft.queries.SurfaceR10bl.oracleSql,
-    graft.queries.SurfaceR10bm.oracleSql,
-    graft.queries.SurfaceR10bn.oracleSql,
-    graft.queries.SurfaceR10bo.oracleSql,
-    graft.queries.SurfaceR10bp.oracleSql,
-    graft.queries.SurfaceR10bq.oracleSql,
-    graft.queries.SurfaceR10br.oracleSql,
-    graft.queries.SurfaceR10bs.oracleSql,
-    graft.queries.SurfaceR10bt.oracleSql,
-    graft.queries.SurfaceR10bu.oracleSql,
-    graft.queries.SurfaceR10bv.oracleSql,
-    graft.queries.SurfaceR10bw.oracleSql,
-    graft.queries.SurfaceR10bx.oracleSql,
-    graft.queries.SurfaceR10by.oracleSql,
-    graft.queries.SurfaceR10bz.oracleSql,
-    graft.queries.SurfaceR10ca.oracleSql,
-    graft.queries.SurfaceR10cb.oracleSql,
-    graft.queries.SurfaceR10cc.oracleSql,
-    graft.queries.SurfaceR10cd.oracleSql,
-    graft.queries.SurfaceR10ce.oracleSql,
-    graft.queries.SurfaceR10cf.oracleSql,
-    graft.queries.SurfaceR10cg.oracleSql,
-    graft.queries.SurfaceR10ch.oracleSql,
-    graft.queries.SurfaceR10ci.oracleSql,
-    graft.queries.SurfaceR10cj.oracleSql,
-    graft.queries.SurfaceR10ck.oracleSql,
-    graft.queries.SurfaceR10cl.oracleSql,
-    graft.queries.SurfaceR10cm.oracleSql,
-    graft.queries.SurfaceR10cn.oracleSql,
-    graft.queries.SurfaceR10co.oracleSql,
-    graft.queries.SurfaceR10cp.oracleSql,
-    graft.queries.SurfaceR10cq.oracleSql,
-    graft.queries.SurfaceR10cr.oracleSql,
-    graft.queries.SurfaceR10cs.oracleSql,
-    graft.queries.SurfaceR10ct.oracleSql,
-    graft.queries.SurfaceR10cu.oracleSql,
-    graft.queries.SurfaceR10cv.oracleSql,
-    graft.queries.SurfaceR10cw.oracleSql,
-    graft.queries.SurfaceR10cx.oracleSql,
-    graft.queries.SurfaceR10cy.oracleSql,
-    graft.queries.SurfaceR10cz.oracleSql,
-    graft.queries.SurfaceR10da.oracleSql,
-    graft.queries.SurfaceR10db.oracleSql,
-    graft.queries.SurfaceR10dc.oracleSql,
-    graft.queries.SurfaceR10dd.oracleSql,
-    graft.queries.SurfaceR10de.oracleSql,
-    graft.queries.SurfaceR10df.oracleSql,
-    graft.queries.SurfaceR10dg.oracleSql,
-    graft.queries.SurfaceR10dh.oracleSql,
-    graft.queries.SurfaceR10di.oracleSql,
-    graft.queries.SurfaceR10dj.oracleSql,
-    graft.queries.SurfaceR10dk.oracleSql,
-    graft.queries.SurfaceR10dl.oracleSql)
+  private def queryMaps: Seq[Map[String, (SparkSession, String) => DataFrame]] =
+    batches.map(_.queries)
+
+  private def oracleMaps: Seq[Map[String, String]] =
+    batches.map(_.oracleSql)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -2,6 +2,27 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+/** Runtime-slope decision shared by [[Tripwire]] and its negative
+  * control (ScaleSlopeSpec). A query is a slope breach when its
+  * large-SF wall exceeds `cap ×` its small-SF wall, with the small
+  * wall floored at `floorS` so per-query fixed overhead (session
+  * dispatch, planning, JIT) cannot turn a sub-100 ms query's noise
+  * into a flag. With sf0.001 → sf0.01 (10× lineitem/orders/events
+  * rows) and the default cap 30, a linear operator passes with 3×
+  * headroom while a quadratic one (100× work) is named.
+  */
+object SlopeGate {
+  val DefaultCap = 30.0
+  val DefaultFloorS = 0.2
+
+  def breach(
+      wSmall: Double,
+      wLarge: Double,
+      cap: Double = DefaultCap,
+      floorS: Double = DefaultFloorS): Boolean =
+    wLarge > cap * math.max(wSmall, floorS)
+}
+
 /** Registry-wide runtime gate: drive EVERY SparkEntry.queries entry at
   * a small SF under a per-query wall ceiling and FAIL BY NAME on any
   * breach. This is the tripwire round 6 lacked: the lt2 O(n²) frame ran
@@ -12,17 +33,33 @@ import org.apache.spark.sql.SparkSession
   * Usage: runMain graft.Tripwire [sfDir]   (default /root/testdata/sf0.001)
   *   SPARK_GRAFT_TRIPWIRE_BUDGET_S  per-query ceiling, default 30
   *
+  * SCALE-SLOPE MODE (round 11): the 30 s ceiling and the plan audit
+  * catch shapes, but a super-linear operator that is merely FAST at
+  * sf0.001 slips both. Set SPARK_GRAFT_SLOPE_DIR=/root/testdata/sf0.01
+  * and every query ALSO runs at that second SF immediately after its
+  * small-SF run (back-to-back, so the large run is the warmer of the
+  * two — biasing ratios DOWN, i.e. against false positives); any query
+  * whose runtime grows faster than SlopeGate's cap × data-ratio bound
+  * is failed BY NAME. Knobs:
+  *   SPARK_GRAFT_SLOPE_BUDGET_S  large-SF per-query ceiling, default 120
+  *   SPARK_GRAFT_SLOPE_CAP       runtime-ratio cap, default 30
+  *
   * Results are forced with a `noop`-format write (full computation of
   * every operator, no output, no count()-style column pruning), so a
   * scale-killer hiding in an unaggregated column still pays its cost.
-  * Exit code 0 = all queries under ceiling; 1 = offenders listed on
-  * stderr, one line each.
+  * Exit code 0 = all queries under ceiling (and slope, if enabled);
+  * 1 = offenders listed on stderr, one line each.
   */
 object Tripwire {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val budgetS = sys.env.get("SPARK_GRAFT_TRIPWIRE_BUDGET_S")
       .map(_.toLong).getOrElse(30L)
+    val slopeDir = sys.env.get("SPARK_GRAFT_SLOPE_DIR")
+    val slopeBudgetS = sys.env.get("SPARK_GRAFT_SLOPE_BUDGET_S")
+      .map(_.toLong).getOrElse(120L)
+    val slopeCap = sys.env.get("SPARK_GRAFT_SLOPE_CAP")
+      .map(_.toDouble).getOrElse(SlopeGate.DefaultCap)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -43,8 +80,38 @@ object Tripwire {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       } match {
         case QueryGuard.Ok =>
-          if (wall > slowest._2) slowest = (name, wall)
-          System.err.println(f"[tripwire] $name ok $wall%.1fs")
+          val wSmall = wall
+          if (wSmall > slowest._2) slowest = (name, wSmall)
+          slopeDir match {
+            case None =>
+              System.err.println(f"[tripwire] $name ok $wSmall%.1fs")
+            case Some(dir) =>
+              val t1 = System.nanoTime()
+              def wall2 = (System.nanoTime() - t1) / 1e9
+              QueryGuard.run(sc, s"slope-$name", Some(slopeBudgetS)) {
+                fn(spark, dir).write.format("noop").mode("overwrite").save()
+              } match {
+                case QueryGuard.Ok =>
+                  val wLarge = wall2
+                  if (SlopeGate.breach(wSmall, wLarge, slopeCap)) {
+                    offenders += f"$name SLOPE $wSmall%.1fs -> $wLarge%.1fs " +
+                      f"(> ${slopeCap}%.0fx)"
+                    System.err.println(
+                      f"[tripwire] $name SLOPE BREACH $wSmall%.1fs -> $wLarge%.1fs")
+                  } else {
+                    System.err.println(
+                      f"[tripwire] $name ok $wSmall%.1fs -> $wLarge%.1fs")
+                  }
+                case QueryGuard.Timeout =>
+                  offenders += s"$name SLOPE TIMEOUT > ${slopeBudgetS}s"
+                  System.err.println(
+                    s"[tripwire] $name SLOPE TIMEOUT > ${slopeBudgetS}s")
+                case QueryGuard.Failed(e) =>
+                  offenders += s"$name SLOPE FAILED: ${e.getMessage}"
+                  System.err.println(
+                    f"[tripwire] $name SLOPE FAILED after $wall2%.1fs: ${e.getMessage}")
+              }
+          }
         case QueryGuard.Timeout =>
           offenders += s"$name TIMEOUT > ${budgetS}s"
           System.err.println(s"[tripwire] $name TIMEOUT > ${budgetS}s")
@@ -59,7 +126,8 @@ object Tripwire {
       offenders.foreach(o => System.err.println(s"[tripwire]   $o"))
       sys.exit(1)
     }
-    println(f"[tripwire] PASS: ${SparkEntry.queries.size} queries under ${budgetS}s " +
+    val mode = slopeDir.map(d => s" + slope vs $d").getOrElse("")
+    println(f"[tripwire] PASS: ${SparkEntry.queries.size} queries under ${budgetS}s$mode " +
       f"(slowest ${slowest._1} ${slowest._2}%.1fs)")
   }
 }

@@ -10,7 +10,7 @@ import graft.{Orc, Tables}
   * plus bounds specs), partition-local sort (O3), and an explicit
   * parquet sink round-trip (S4).
   */
-object Hardening {
+object Hardening extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -17,7 +17,7 @@ import graft.operators.{Multimodal, Similarity, TextOps}
   * property-tested in the spec suite; everything else carries a DuckDB
   * oracle.
   */
-object LlmOps {
+object LlmOps extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -13,7 +13,7 @@ import graft.ml.Pipelines
   * DuckDB oracles; model training entries are rows-only and get metric
   * bounds in MlSpec.
   */
-object MlQueries {
+object MlQueries extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -15,7 +15,7 @@ import graft.operators.{BandJoin, Components, Packing, Similarity, Upsert}
   * SURVEY.md §2.3 (J9 scale path), §2.10 (dedup/pipeline family), §2.6
   * (recursive query surface).
   */
-object PipelineOps {
+object PipelineOps extends QueryBatch {
   import Orc.r4
   import Tables._
 

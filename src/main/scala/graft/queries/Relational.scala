@@ -18,7 +18,7 @@ import graft.functions.VectorFunctions
   * aggregates are partial-final hash aggregates planned by Catalyst. No
   * driver-side collection anywhere.
   */
-object Relational {
+object Relational extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -13,7 +13,7 @@ import graft.streaming.StreamingOps
   * as one batch the results are deterministic, so most entries carry
   * DuckDB oracles too — same expressions, batch semantics.
   */
-object StreamingQueries {
+object StreamingQueries extends QueryBatch {
 
   type Q = (SparkSession, String) => DataFrame
 

@@ -15,7 +15,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract areas
   * SURVEY.md §2.11 (ML pipeline breadth) and §2.13 (LLM pipeline ops).
   */
-object SurfaceR10 {
+object SurfaceR10 extends QueryBatch {
   import Orc.r4
   import Tables._
 

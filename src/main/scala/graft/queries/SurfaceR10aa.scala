@@ -15,7 +15,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract areas
   * SURVEY.md §2.11–§2.12.
   */
-object SurfaceR10aa {
+object SurfaceR10aa extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -13,7 +13,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract area
   * SURVEY.md §2.14 (evaluators).
   */
-object SurfaceR10ab {
+object SurfaceR10ab extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -14,7 +14,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract areas
   * SURVEY.md §2.1 (sinks), §2.5 (aggregation).
   */
-object SurfaceR10ad {
+object SurfaceR10ad extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -13,7 +13,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract area
   * SURVEY.md §2.13; preference data is the RLHF-pipeline input shape.
   */
-object SurfaceR10ae {
+object SurfaceR10ae extends QueryBatch {
   import Orc.r4
   import Tables._
 

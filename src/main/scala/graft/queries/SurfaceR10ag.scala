@@ -16,7 +16,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract areas
   * SURVEY.md §2.6 (windows), §2.1 (sources).
   */
-object SurfaceR10ag {
+object SurfaceR10ag extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -16,7 +16,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract area
   * SURVEY.md §2.13 (statistics).
   */
-object SurfaceR10ah {
+object SurfaceR10ah extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -16,7 +16,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract area
   * SURVEY.md §2.13 (survival statistics).
   */
-object SurfaceR10ai {
+object SurfaceR10ai extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -13,7 +13,7 @@ import graft.Tables
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract area
   * SURVEY.md §2.11 (pipeline utilities).
   */
-object SurfaceR10aj {
+object SurfaceR10aj extends QueryBatch {
   import Tables._
 
   type Q = (SparkSession, String) => DataFrame

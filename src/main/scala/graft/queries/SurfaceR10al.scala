@@ -13,7 +13,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract areas
   * SURVEY.md §2.12–§2.13.
   */
-object SurfaceR10al {
+object SurfaceR10al extends QueryBatch {
   import Orc.r4
   import Tables._
 

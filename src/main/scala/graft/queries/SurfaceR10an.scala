@@ -20,7 +20,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract
   * area SURVEY.md §2.13 (time series).
   */
-object SurfaceR10an {
+object SurfaceR10an extends QueryBatch {
   import Orc.r4
   import Tables._
 

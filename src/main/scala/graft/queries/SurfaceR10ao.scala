@@ -20,7 +20,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract
   * area SURVEY.md §2.13 (time series, robust statistics).
   */
-object SurfaceR10ao {
+object SurfaceR10ao extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -21,7 +21,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract
   * areas SURVEY.md §2.12 (pipeline ops), §2.13 (statistics/ML).
   */
-object SurfaceR10ap {
+object SurfaceR10ap extends QueryBatch {
   import Orc.r4
   import Tables._
 

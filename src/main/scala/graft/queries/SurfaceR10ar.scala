@@ -16,7 +16,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract
   * areas SURVEY.md §2.13 (retrieval evaluation), §2.12 (text quality).
   */
-object SurfaceR10ar {
+object SurfaceR10ar extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -15,7 +15,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract
   * areas SURVEY.md §2.13 (A/B analytics), §2.2 (sources).
   */
-object SurfaceR10as {
+object SurfaceR10as extends QueryBatch {
   import Orc.r4
   import Tables._
 

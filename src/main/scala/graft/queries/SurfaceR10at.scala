@@ -14,7 +14,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract
   * areas SURVEY.md §2.13 (time series), §2.12 (pipeline ops).
   */
-object SurfaceR10at {
+object SurfaceR10at extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -16,7 +16,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract
   * areas SURVEY.md §2.13 (A/B analytics), §2.12 (feature pipeline).
   */
-object SurfaceR10au {
+object SurfaceR10au extends QueryBatch {
   import Orc.r4
   import Tables._
 

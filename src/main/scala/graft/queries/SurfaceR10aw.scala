@@ -16,7 +16,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract
   * areas SURVEY.md §2.13 (temporal analytics), §2.12 (sampling).
   */
-object SurfaceR10aw {
+object SurfaceR10aw extends QueryBatch {
   import Orc.r4
   import Tables._
 

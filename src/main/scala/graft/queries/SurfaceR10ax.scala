@@ -16,7 +16,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract
   * area SURVEY.md §2.13 (A/B analytics).
   */
-object SurfaceR10ax {
+object SurfaceR10ax extends QueryBatch {
   import Orc.r4
   import Tables._
 

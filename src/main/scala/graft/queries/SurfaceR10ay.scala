@@ -16,7 +16,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract
   * areas SURVEY.md §2.13 (A/B analytics), §2.12 (corpus scoring).
   */
-object SurfaceR10ay {
+object SurfaceR10ay extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -15,7 +15,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract
   * area SURVEY.md §2.12 (dedup sketches).
   */
-object SurfaceR10az {
+object SurfaceR10az extends QueryBatch {
   import Orc.r4
   import Tables._
 

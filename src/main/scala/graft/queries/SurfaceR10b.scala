@@ -20,7 +20,7 @@ import graft.{Orc, Tables}
   * SURVEY.md §2.1 (sources), §2.8 (scalar functions), §2.10 (LLM
   * pipeline), §2.11 (ML surface).
   */
-object SurfaceR10b {
+object SurfaceR10b extends QueryBatch {
   import Orc.r4
   import Tables._
 

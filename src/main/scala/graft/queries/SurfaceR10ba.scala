@@ -17,7 +17,7 @@ import graft.{Orc, Tables}
   * area SURVEY.md §2.13 (ML evaluation; completes m6/m30/m38/m39's
   * clustering family with its intrinsic quality metric).
   */
-object SurfaceR10ba {
+object SurfaceR10ba extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -16,7 +16,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract
   * area SURVEY.md §2.12 (text quality).
   */
-object SurfaceR10bb {
+object SurfaceR10bb extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -17,7 +17,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract
   * areas SURVEY.md §2.13 (statistics), §2.14 (product analytics).
   */
-object SurfaceR10bc {
+object SurfaceR10bc extends QueryBatch {
   import Orc.r4
   import Tables._
 

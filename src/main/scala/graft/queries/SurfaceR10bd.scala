@@ -15,7 +15,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract
   * areas SURVEY.md §2.13 (monitoring), §2.11 (SQL surface).
   */
-object SurfaceR10bd {
+object SurfaceR10bd extends QueryBatch {
   import Orc.r4
   import Tables._
 

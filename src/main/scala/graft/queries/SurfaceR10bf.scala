@@ -18,7 +18,7 @@ import graft.{Orc, Tables, Windows}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract area
   * SURVEY.md §2.13 (statistics over aggregates), siblings m121/lt37.
   */
-object SurfaceR10bf {
+object SurfaceR10bf extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -21,7 +21,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract
   * area SURVEY.md §2.12 (sketches / embedding ops), siblings lp60/m30.
   */
-object SurfaceR10bg {
+object SurfaceR10bg extends QueryBatch {
   import Orc.r4
   import Tables._
 

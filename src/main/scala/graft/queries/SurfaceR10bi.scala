@@ -19,7 +19,7 @@ import graft.{Orc, Tables, Windows}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract
   * area SURVEY.md §2.13 (statistics), siblings m121/m97/lt36.
   */
-object SurfaceR10bi {
+object SurfaceR10bi extends QueryBatch {
   import Orc.r4
   import Tables._
 

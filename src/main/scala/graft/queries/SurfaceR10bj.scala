@@ -22,7 +22,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract
   * areas SURVEY.md §2.9 (text stats), §2.12 (embedding ops).
   */
-object SurfaceR10bj {
+object SurfaceR10bj extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -22,7 +22,7 @@ import graft.{Orc, Tables, Windows}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract
   * areas SURVEY.md §2.9 (text analysis), §2.13 (statistics).
   */
-object SurfaceR10bl {
+object SurfaceR10bl extends QueryBatch {
   import Orc.r4
   import Tables._
 

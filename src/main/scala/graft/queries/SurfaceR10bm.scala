@@ -20,7 +20,7 @@ import graft.{Orc, Tables, Windows}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract
   * area SURVEY.md §2.13 (drift/statistics), siblings m46/lt12/lt11.
   */
-object SurfaceR10bm {
+object SurfaceR10bm extends QueryBatch {
   import Orc.r4
   import Tables._
 

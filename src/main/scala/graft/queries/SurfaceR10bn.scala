@@ -20,7 +20,7 @@ import graft.{Orc, Tables, Windows}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract
   * area SURVEY.md §2.13 (forecasting/series), siblings t15/lt17/lt45.
   */
-object SurfaceR10bn {
+object SurfaceR10bn extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -21,7 +21,7 @@ import graft.{Orc, Tables, Windows}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract
   * area SURVEY.md §2.13 (statistics/series), siblings m47/m139/lt41.
   */
-object SurfaceR10bo {
+object SurfaceR10bo extends QueryBatch {
   import Orc.r4
   import Tables._
 

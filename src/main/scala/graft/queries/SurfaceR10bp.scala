@@ -20,7 +20,7 @@ import graft.{Orc, Tables, Windows}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract
   * areas SURVEY.md §2.8 (sampling), §2.11 (SQL surface).
   */
-object SurfaceR10bp {
+object SurfaceR10bp extends QueryBatch {
   import Orc.r4
   import Tables._
 

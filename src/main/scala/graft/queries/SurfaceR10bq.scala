@@ -20,7 +20,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract
   * areas SURVEY.md §2.13 (statistics), §2.12 (dedup sketches).
   */
-object SurfaceR10bq {
+object SurfaceR10bq extends QueryBatch {
   import Orc.r4
   import Tables._
 

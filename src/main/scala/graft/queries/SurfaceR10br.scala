@@ -18,7 +18,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract
   * areas SURVEY.md §2.13 (statistics), §2.4 (windows).
   */
-object SurfaceR10br {
+object SurfaceR10br extends QueryBatch {
   import Orc.r4
   import Tables._
 

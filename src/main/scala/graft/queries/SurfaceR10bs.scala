@@ -19,7 +19,7 @@ import graft.{Orc, Tables, Windows}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract
   * area SURVEY.md §2.13 (statistics/series), siblings a7/lt11/lt48.
   */
-object SurfaceR10bs {
+object SurfaceR10bs extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -17,7 +17,7 @@ import graft.operators.PrefixSum
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract
   * area SURVEY.md §2.13 (evaluation), sibling m32.
   */
-object SurfaceR10bt {
+object SurfaceR10bt extends QueryBatch {
   import Orc.r4
   import Tables._
 

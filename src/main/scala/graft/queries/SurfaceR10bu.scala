@@ -22,7 +22,7 @@ import graft.operators.PrefixSum
   * area SURVEY.md §2.8/§2.12 (sampling / pipeline ops), siblings
   * lp20/lp59/m32.
   */
-object SurfaceR10bu {
+object SurfaceR10bu extends QueryBatch {
   import Tables._
 
   type Q = (SparkSession, String) => DataFrame

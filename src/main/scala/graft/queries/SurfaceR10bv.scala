@@ -21,7 +21,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract
   * area SURVEY.md §2.13 (statistics), siblings m5/m121/m146.
   */
-object SurfaceR10bv {
+object SurfaceR10bv extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -21,7 +21,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract
   * areas SURVEY.md §2.9 (text/PII ops), §2.13 (statistics).
   */
-object SurfaceR10bw {
+object SurfaceR10bw extends QueryBatch {
   import Orc.r4
   import Tables._
 

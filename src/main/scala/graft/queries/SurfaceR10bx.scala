@@ -19,7 +19,7 @@ import graft.{Orc, Tables, Windows}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract
   * area SURVEY.md §2.13 (statistics), siblings m105/m47/m77.
   */
-object SurfaceR10bx {
+object SurfaceR10bx extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -20,7 +20,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract
   * area SURVEY.md §2.13 (statistics), siblings m47/m152/m121.
   */
-object SurfaceR10by {
+object SurfaceR10by extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -24,7 +24,7 @@ import graft.operators.{Components, Similarity}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract
   * area SURVEY.md §2.10 (dedup family), siblings lc/lc2/lp24.
   */
-object SurfaceR10bz {
+object SurfaceR10bz extends QueryBatch {
   import Tables._
 
   type Q = (SparkSession, String) => DataFrame

@@ -18,7 +18,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract areas
   * SURVEY.md §2.11 (ML surface), §2.5 (windows), §2.13.
   */
-object SurfaceR10c {
+object SurfaceR10c extends QueryBatch {
   import Orc.r4
   import Tables._
 

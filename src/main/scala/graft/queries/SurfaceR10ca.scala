@@ -18,7 +18,7 @@ import graft.{Orc, Tables, Windows}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract
   * area SURVEY.md §2.13 (series statistics), sibling lt37/m123.
   */
-object SurfaceR10ca {
+object SurfaceR10ca extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -27,7 +27,7 @@ import graft.{Orc, Tables, Windows}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract area
   * SURVEY.md §2.13 (statistical tests), siblings m162/m163.
   */
-object SurfaceR10cb {
+object SurfaceR10cb extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -29,7 +29,7 @@ import graft.{Orc, Tables, Windows}
   * areas SURVEY.md §2.13 (tests) and §2.11 (curation), siblings
   * m138/lp42.
   */
-object SurfaceR10cc {
+object SurfaceR10cc extends QueryBatch {
   import Orc.r4
   import Tables._
 

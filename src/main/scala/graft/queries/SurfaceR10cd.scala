@@ -31,7 +31,7 @@ import graft.{Orc, Tables, Windows}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract area
   * SURVEY.md §2.10 (similarity search), siblings lpq/ls3/l4.
   */
-object SurfaceR10cd {
+object SurfaceR10cd extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -32,7 +32,7 @@ import graft.{Orc, Tables}
   * SURVEY.md §2.9 (similarity graph ops) and §2.13 (regression),
   * siblings lg2/lg5/m5/m122.
   */
-object SurfaceR10ce {
+object SurfaceR10ce extends QueryBatch {
   import Orc.r4
   import Tables._
 

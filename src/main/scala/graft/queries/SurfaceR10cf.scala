@@ -36,7 +36,7 @@ import graft.{Orc, Tables}
   * SURVEY.md §2.9 (similarity-graph ops) and §2.13 (drift tests);
   * siblings lg_pagerank (SurfaceR6c), lt36/m121 (SurfaceR10an).
   */
-object SurfaceR10cf {
+object SurfaceR10cf extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -33,7 +33,7 @@ import graft.{Orc, Tables}
   * SURVEY.md §2.9 (text eval) and §2.13 (agreement); siblings
   * lj_ngram_jaccard (LlmOps), m148/m149 (SurfaceR10bk), m150 ICC.
   */
-object SurfaceR10cg {
+object SurfaceR10cg extends QueryBatch {
   import Orc.r4
   import Tables._
 

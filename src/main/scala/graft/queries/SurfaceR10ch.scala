@@ -34,7 +34,7 @@ import graft.{Orc, Tables}
   * SURVEY.md §2.13 (forecast eval) and §2.9 (text analysis); siblings
   * lt39/m102 (forecast family), lt44/lt42 (stylometry family).
   */
-object SurfaceR10ch {
+object SurfaceR10ch extends QueryBatch {
   import Orc.r4
   import Tables._
 

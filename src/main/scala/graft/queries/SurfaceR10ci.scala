@@ -35,7 +35,7 @@ import graft.operators.PrefixSum
   * SURVEY.md §2.9 (graph ops) and §2.13 (feature transforms); siblings
   * lg5 (SurfaceR10j), w8 (WindowsFuncs), m46 (SurfaceR9).
   */
-object SurfaceR10ci {
+object SurfaceR10ci extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -32,7 +32,7 @@ import graft.{Orc, Tables}
   * SURVEY.md §2.4 (approx distinct) and §2.12 (analytics shapes);
   * siblings q32/q31, a3/a16 (Hardening), lp5 md5 idiom (PipelineOps).
   */
-object SurfaceR10cj {
+object SurfaceR10cj extends QueryBatch {
   import Orc.r4
   import Tables._
 

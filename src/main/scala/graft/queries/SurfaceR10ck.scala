@@ -31,7 +31,7 @@ import graft.{Orc, Tables}
   * SURVEY.md §2.10 (sharding/layout) and §2.11 (streaming recovery);
   * siblings lp6 (PipelineOps), t16/t18 (SurfaceR6l/R8).
   */
-object SurfaceR10ck {
+object SurfaceR10ck extends QueryBatch {
   import Tables._
 
   type Q = (SparkSession, String) => DataFrame

@@ -31,7 +31,7 @@ import graft.{Orc, Tables}
   * SURVEY.md §2.13 (econometrics) and §2.12 (analytics shapes);
   * siblings m131/m74, m148 (SurfaceR10bk), q25 (SurfaceR6-era).
   */
-object SurfaceR10cl {
+object SurfaceR10cl extends QueryBatch {
   import Orc.r4
   import Tables._
 

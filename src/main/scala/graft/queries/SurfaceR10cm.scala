@@ -34,7 +34,7 @@ import graft.{Orc, Tables, Windows}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract area
   * SURVEY.md §2.13; siblings m71/m69, m168 (SurfaceR10ce), m97.
   */
-object SurfaceR10cm {
+object SurfaceR10cm extends QueryBatch {
   import Orc.r4
   import Tables._
 

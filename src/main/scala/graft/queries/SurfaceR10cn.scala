@@ -35,7 +35,7 @@ import graft.operators.{PrefixMax, PrefixSum}
   * SURVEY.md §2.12 (analytics shapes) and §2.13 (eval); siblings
   * q27/q37, m32 (SurfaceR8i), operators/PrefixSum.
   */
-object SurfaceR10cn {
+object SurfaceR10cn extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -31,7 +31,7 @@ import graft.operators.PrefixSum
   * SURVEY.md §2.9 (graph ops) and §2.8 (text/tokenizer ops); siblings
   * lg5/lg8, lt26/lt20, lp5 md5 idiom.
   */
-object SurfaceR10co {
+object SurfaceR10co extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -31,7 +31,7 @@ import graft.{Orc, Tables}
   * SURVEY.md §2.12 (analytics) and §2.13 (econometrics); siblings
   * q44 (SurfaceR10cj), m171 (SurfaceR10cl), m168/m173.
   */
-object SurfaceR10cp {
+object SurfaceR10cp extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -30,7 +30,7 @@ import graft.{Orc, Tables}
   * SURVEY.md §2.11 (streaming sinks/sources); siblings t8/t18/t22
   * (StreamingQueries, SurfaceR8, SurfaceR10ck).
   */
-object SurfaceR10cq {
+object SurfaceR10cq extends QueryBatch {
   import Tables._
 
   type Q = (SparkSession, String) => DataFrame

@@ -33,7 +33,7 @@ import graft.{Orc, Tables}
   * SURVEY.md §2.13 (time series) and §2.10 (retrieval); siblings
   * lt22/lt49, ls6 (SurfaceR10cd).
   */
-object SurfaceR10cr {
+object SurfaceR10cr extends QueryBatch {
   import Orc.r4
   import Tables._
 

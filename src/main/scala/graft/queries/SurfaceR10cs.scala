@@ -26,7 +26,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract area
   * SURVEY.md §2.12 (typed API); siblings p4 (SurfaceR5b), t6/t6b.
   */
-object SurfaceR10cs {
+object SurfaceR10cs extends QueryBatch {
   import Tables._
 
   type Q = (SparkSession, String) => DataFrame

@@ -30,7 +30,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract area
   * SURVEY.md §2.13; siblings m134/m146, m123 (SurfaceR10ao).
   */
-object SurfaceR10ct {
+object SurfaceR10ct extends QueryBatch {
   import Orc.r4
   import Tables._
 

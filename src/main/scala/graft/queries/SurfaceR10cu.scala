@@ -30,7 +30,7 @@ import graft.{Orc, Tables}
   * SURVEY.md §2.13 (EVT) and §2.10 (pipeline utilities); siblings
   * a35, f9, lp5 md5 idiom.
   */
-object SurfaceR10cu {
+object SurfaceR10cu extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -28,7 +28,7 @@ import graft.{Orc, Tables}
   * SURVEY.md §2.10 (planning/ops); siblings lp64, l2b (PipelineOps),
   * x13 (SurfaceR8).
   */
-object SurfaceR10cv {
+object SurfaceR10cv extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -39,7 +39,7 @@ import graft.{Orc, Tables}
   * SURVEY.md §2.13 (drift/quality tests); siblings lt51 (SurfaceR10cf),
   * m120/m118 (SurfaceR10am), m121 (SurfaceR10an).
   */
-object SurfaceR10cw {
+object SurfaceR10cw extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -36,7 +36,7 @@ import graft.{Orc, Tables}
   * SURVEY.md §2.8 (curation/mixing); siblings lp63/lp67 (SurfaceR10),
   * lp29 (SurfaceR8), lp34 (SurfaceR6), lp37.
   */
-object SurfaceR10cx {
+object SurfaceR10cx extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -33,7 +33,7 @@ import graft.{Orc, Tables}
   * areas SURVEY.md §2.8 (curation) and §2.13 (series diagnostics);
   * siblings lp8/lp58 (chunking), lt11/lt18/lt25/lt31 (entropy/ACF).
   */
-object SurfaceR10cy {
+object SurfaceR10cy extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -37,7 +37,7 @@ import graft.{Orc, Tables}
   * siblings m155 (SurfaceR10bs), m145/m121, a3/a16/a20, l13b
   * (SurfaceR8).
   */
-object SurfaceR10cz {
+object SurfaceR10cz extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -16,7 +16,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract areas
   * SURVEY.md §2.5 (windows), §2.13 (time series / survival).
   */
-object SurfaceR10d {
+object SurfaceR10d extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -36,7 +36,7 @@ import graft.{Orc, Tables}
   * areas SURVEY.md §2.13; siblings a38/lp13/m28 (robust location),
   * lt11/lt36/lt51/lt61 (series memory).
   */
-object SurfaceR10da {
+object SurfaceR10da extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -34,7 +34,7 @@ import graft.operators.GlobalRowId
   * areas SURVEY.md §2.13; siblings m151 (SurfaceR10bm), m105/m112/
   * m150, lp5/lp10 (PipelineOps).
   */
-object SurfaceR10db {
+object SurfaceR10db extends QueryBatch {
   import Orc.r4
   import Tables._
 

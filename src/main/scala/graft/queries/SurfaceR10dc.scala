@@ -33,7 +33,7 @@ import graft.{Orc, Tables}
   * areas SURVEY.md §2.8 (splits) and §2.13 (drift); siblings
   * lp_hash_split/lp10/lp24/lp46, m46/m151 (SurfaceR10bm).
   */
-object SurfaceR10dc {
+object SurfaceR10dc extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -36,7 +36,7 @@ import graft.{Orc, Tables}
   * areas SURVEY.md §2.6 (functions) and §2.13; siblings f13/f18/lf3
   * (fuzzy), m18/m67/m141 (dependence).
   */
-object SurfaceR10dd {
+object SurfaceR10dd extends QueryBatch {
   import Orc.r4
   import Tables._
 

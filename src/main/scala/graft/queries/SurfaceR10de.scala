@@ -35,7 +35,7 @@ import graft.{Orc, Tables, Windows}
   * area SURVEY.md §2.13; siblings m110/m89 (SurfaceR10q/a-family),
   * m152 (SurfaceR10bo), m47 (Mann–Whitney).
   */
-object SurfaceR10de {
+object SurfaceR10de extends QueryBatch {
   import Orc.r4
   import Tables._
 

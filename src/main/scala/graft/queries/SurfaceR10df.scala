@@ -34,7 +34,7 @@ import graft.functions.VectorFunctions
   * areas SURVEY.md §2.7 (similarity) and §2.13 (experimentation);
   * siblings lp62/l17 (SurfaceR8-family), l4 (LlmOps), m134/m129/q23.
   */
-object SurfaceR10df {
+object SurfaceR10df extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -34,7 +34,7 @@ import graft.{Orc, Tables}
   * area SURVEY.md §2.13; siblings m71/m114 (SurfaceR10d/…), lt13
   * (SurfaceR9), m142 (SurfaceR10bi-family).
   */
-object SurfaceR10dg {
+object SurfaceR10dg extends QueryBatch {
   import Orc.r4
   import Tables._
 

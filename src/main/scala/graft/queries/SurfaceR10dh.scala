@@ -33,7 +33,7 @@ import graft.{Orc, Tables}
   * areas SURVEY.md §2.4 and §2.13; siblings a33/a36, lt11
   * (SurfaceR10-family), lt61/lt51 (unit root/stationarity).
   */
-object SurfaceR10dh {
+object SurfaceR10dh extends QueryBatch {
   import Orc.r4
   import Tables._
 

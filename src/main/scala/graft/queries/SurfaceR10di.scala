@@ -35,7 +35,7 @@ import graft.{Orc, Tables}
   * areas SURVEY.md §2.13 and §2.1 (sources); siblings m76/m112/m150,
   * s17 (SurfaceR6-family), s2b/s3b (Relational).
   */
-object SurfaceR10di {
+object SurfaceR10di extends QueryBatch {
   import Orc.r4
   import Tables._
 

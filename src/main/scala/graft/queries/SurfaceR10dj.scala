@@ -33,7 +33,7 @@ import graft.operators.GlobalRowId
   * areas SURVEY.md §2.8 (splits) and §2.13 (evaluation); siblings
   * lp2/lp_hash_split/lp10, m8/m76/m126/m98.
   */
-object SurfaceR10dj {
+object SurfaceR10dj extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -30,7 +30,7 @@ import graft.{Orc, Tables}
   * areas SURVEY.md §2.11 (analytics) and §2.2 (SQL surface);
   * siblings q19/q22/q43, q7 (SparkEntry).
   */
-object SurfaceR10dk {
+object SurfaceR10dk extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -31,7 +31,7 @@ import graft.operators.GlobalRowId
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract
   * areas SURVEY.md §2.4 and §2.13; siblings a33/a42, m18/m155/m156.
   */
-object SurfaceR10dl {
+object SurfaceR10dl extends QueryBatch {
   import Orc.r4
   import Tables._
 

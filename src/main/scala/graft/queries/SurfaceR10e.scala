@@ -14,7 +14,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract areas
   * SURVEY.md §2.4 (aggregations), §2.13 (robust statistics).
   */
-object SurfaceR10e {
+object SurfaceR10e extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -14,7 +14,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract area
   * SURVEY.md §2.10 (near-dup family).
   */
-object SurfaceR10f {
+object SurfaceR10f extends QueryBatch {
   import Tables._
 
   type Q = (SparkSession, String) => DataFrame

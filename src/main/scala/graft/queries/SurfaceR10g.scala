@@ -16,7 +16,7 @@ import graft.operators.Bucketing
   * SURVEY.md §2.1 (sources/sinks), §4.3 (bucketing), §2.12 (pipeline
   * curation).
   */
-object SurfaceR10g {
+object SurfaceR10g extends QueryBatch {
   import Orc.r4
   import Tables._
 

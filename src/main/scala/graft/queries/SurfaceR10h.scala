@@ -15,7 +15,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract areas
   * SURVEY.md §2.5 (windows), §2.10 (text analysis).
   */
-object SurfaceR10h {
+object SurfaceR10h extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -17,7 +17,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract areas
   * SURVEY.md §2.3 (joins), §2.8 (functions), §2.13 (statistics).
   */
-object SurfaceR10i {
+object SurfaceR10i extends QueryBatch {
   import Orc.r4
   import Tables._
 

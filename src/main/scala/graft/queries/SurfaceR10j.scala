@@ -16,7 +16,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract areas
   * SURVEY.md §2.9 (graph/LLM ops), §2.13 (statistics).
   */
-object SurfaceR10j {
+object SurfaceR10j extends QueryBatch {
   import Orc.r4
   import Tables._
 

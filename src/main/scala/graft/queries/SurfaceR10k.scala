@@ -19,7 +19,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract area
   * SURVEY.md §2.2 (query shapes), §3 (lifecycle/decorrelation).
   */
-object SurfaceR10k {
+object SurfaceR10k extends QueryBatch {
   import Orc.r4
   import Tables._
 

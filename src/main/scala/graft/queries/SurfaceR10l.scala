@@ -21,7 +21,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract areas
   * SURVEY.md §2.5 (aggregation), §2.13 (statistics).
   */
-object SurfaceR10l {
+object SurfaceR10l extends QueryBatch {
   import Orc.r4
   import Tables._
 

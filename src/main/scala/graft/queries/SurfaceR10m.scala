@@ -21,7 +21,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract areas
   * SURVEY.md §2.10–§2.12 (LLM pipeline), §2.13 (statistics).
   */
-object SurfaceR10m {
+object SurfaceR10m extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -19,7 +19,7 @@ import graft.{Orc, Tables, Windows}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract areas
   * SURVEY.md §2.10–§2.12 (LLM pipeline).
   */
-object SurfaceR10n {
+object SurfaceR10n extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -19,7 +19,7 @@ import graft.operators.PrefixSum
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract areas
   * SURVEY.md §2.13 (statistics), §2.14 (ML evaluators).
   */
-object SurfaceR10o {
+object SurfaceR10o extends QueryBatch {
   import Orc.r4
   import Tables._
 

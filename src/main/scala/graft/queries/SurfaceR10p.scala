@@ -17,7 +17,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract areas
   * SURVEY.md §2.10–§2.13.
   */
-object SurfaceR10p {
+object SurfaceR10p extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -16,7 +16,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract areas
   * SURVEY.md §2.1 (sources), §2.11 (corpus stats), graph family (lg*).
   */
-object SurfaceR10q {
+object SurfaceR10q extends QueryBatch {
   import Orc.r4
   import Tables._
 

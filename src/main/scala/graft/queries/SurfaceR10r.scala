@@ -17,7 +17,7 @@ import graft.streaming.StreamingOps
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract areas
   * SURVEY.md §2.9 (streaming), §2.11–§2.12 (LLM pipeline).
   */
-object SurfaceR10r {
+object SurfaceR10r extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -17,7 +17,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract areas
   * SURVEY.md §2.11–§2.13.
   */
-object SurfaceR10s {
+object SurfaceR10s extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -18,7 +18,7 @@ import graft.operators.TextOps
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract areas
   * SURVEY.md §2.11–§2.13.
   */
-object SurfaceR10t {
+object SurfaceR10t extends QueryBatch {
   import Orc.r4
   import Tables._
 

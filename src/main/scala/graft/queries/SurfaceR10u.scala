@@ -17,7 +17,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract area
   * SURVEY.md §2.14 (MLlib parity).
   */
-object SurfaceR10u {
+object SurfaceR10u extends QueryBatch {
   import Orc.r4
   import Tables._
 

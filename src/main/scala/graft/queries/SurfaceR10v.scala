@@ -15,7 +15,7 @@ import graft.{Orc, Tables, Windows}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract areas
   * SURVEY.md §2.10 (fuzzy matching), §2.12 (retrieval).
   */
-object SurfaceR10v {
+object SurfaceR10v extends QueryBatch {
   import Orc.{r4, rN}
   import Tables._
 

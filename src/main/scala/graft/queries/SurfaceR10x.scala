@@ -19,7 +19,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract areas
   * SURVEY.md §2.11–§2.13; privacy family (lp33 k-anonymity).
   */
-object SurfaceR10x {
+object SurfaceR10x extends QueryBatch {
   import Orc.r4
   import Tables._
 

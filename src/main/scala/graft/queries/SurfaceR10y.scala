@@ -16,7 +16,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract areas
   * SURVEY.md §2.13–§2.14.
   */
-object SurfaceR10y {
+object SurfaceR10y extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -16,7 +16,7 @@ import graft.streaming.StreamingOps
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract areas
   * SURVEY.md §2.7 (set ops), §2.9 (streaming), §2.11 (corpus stats).
   */
-object SurfaceR10z {
+object SurfaceR10z extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -13,7 +13,7 @@ import graft.{Orc, Tables}
   * SURVEY.md §2.4 (aggregates), §2.6 (SQL surface), §2.8 (time), §2.9
   * (functions).
   */
-object SurfaceR5 {
+object SurfaceR5 extends QueryBatch {
   import Orc.r4
   import Tables._
 

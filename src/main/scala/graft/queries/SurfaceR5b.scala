@@ -18,7 +18,7 @@ import graft.{Orc, Tables}
 case class LineitemT(l_orderkey: Long, l_quantity: Double,
     l_extendedprice: Double, l_discount: Double, l_returnflag: String)
 
-object SurfaceR5b {
+object SurfaceR5b extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -21,7 +21,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract rows
   * SURVEY.md §2.4 (aggregates), §2.8 (SQL surface), §2.10 (LLM pipeline).
   */
-object SurfaceR6 {
+object SurfaceR6 extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -18,7 +18,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract rows
   * SURVEY.md §2.1 (sources), §2.11 (MLlib surface).
   */
-object SurfaceR6b {
+object SurfaceR6b extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -17,7 +17,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract rows
   * SURVEY.md §2.10 (LLM pipeline), §2.11 (ML stats).
   */
-object SurfaceR6c {
+object SurfaceR6c extends QueryBatch {
   import Orc.r4
   import Tables._
 

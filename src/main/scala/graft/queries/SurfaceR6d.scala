@@ -16,7 +16,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract rows
   * SURVEY.md §2.8 (scalar functions), §2.11 (ML stats).
   */
-object SurfaceR6d {
+object SurfaceR6d extends QueryBatch {
   import Orc.r4
   import Tables._
 

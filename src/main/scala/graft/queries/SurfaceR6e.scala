@@ -14,7 +14,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract rows
   * SURVEY.md §2.8 (SQL surface), §2.9 (event time).
   */
-object SurfaceR6e {
+object SurfaceR6e extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -15,7 +15,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract rows
   * SURVEY.md §2.11 (MLlib surface), §2.1 (sources).
   */
-object SurfaceR6f {
+object SurfaceR6f extends QueryBatch {
   import Orc.r4
   import Tables._
 

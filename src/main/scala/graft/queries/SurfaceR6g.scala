@@ -18,7 +18,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract rows
   * SURVEY.md §2.4 (aggregates), §2.8 (functions).
   */
-object SurfaceR6g {
+object SurfaceR6g extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -22,7 +22,7 @@ import graft.functions.VectorFunctions
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract rows
   * SURVEY.md §2.9 (LLM ops), §2.6 (windows), §2.10 (time).
   */
-object SurfaceR6h {
+object SurfaceR6h extends QueryBatch {
   import Orc.r4
   import Tables._
 

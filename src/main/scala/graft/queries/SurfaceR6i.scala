@@ -17,7 +17,7 @@ import graft.ml.Pipelines
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract rows
   * SURVEY.md §2.3 (joins), §2.11 (MLlib surface).
   */
-object SurfaceR6i {
+object SurfaceR6i extends QueryBatch {
   import Orc.r4
   import Tables._
 

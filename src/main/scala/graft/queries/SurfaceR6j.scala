@@ -12,7 +12,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract rows
   * SURVEY.md §2.4 (aggregates), §2.8 (functions), §2.9 (LLM ops).
   */
-object SurfaceR6j {
+object SurfaceR6j extends QueryBatch {
   import Orc.r4
   import Tables._
 

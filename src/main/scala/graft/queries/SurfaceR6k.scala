@@ -17,7 +17,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract rows
   * SURVEY.md §2.4 (aggregates), §2.9 (pipeline ops), §2.11 (MLlib).
   */
-object SurfaceR6k {
+object SurfaceR6k extends QueryBatch {
   import Orc.r4
   import Tables._
 

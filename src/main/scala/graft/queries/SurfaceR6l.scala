@@ -12,7 +12,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract rows
   * SURVEY.md §2.10 (streaming), §2.8 (functions).
   */
-object SurfaceR6l {
+object SurfaceR6l extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -15,7 +15,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract rows
   * SURVEY.md §2.1 (sources), §2.3 (joins).
   */
-object SurfaceR6m {
+object SurfaceR6m extends QueryBatch {
   import Tables._
 
   type Q = (SparkSession, String) => DataFrame

@@ -19,7 +19,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract rows
   * SURVEY.md §2.9 (LLM pipeline ops).
   */
-object SurfaceR6n {
+object SurfaceR6n extends QueryBatch {
   import Tables._
 
   type Q = (SparkSession, String) => DataFrame

@@ -14,7 +14,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract row
   * SURVEY.md §2.6 (windows).
   */
-object SurfaceR6o {
+object SurfaceR6o extends QueryBatch {
   import Orc.r4
   import Tables._
 

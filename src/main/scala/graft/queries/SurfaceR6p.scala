@@ -12,7 +12,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract rows
   * SURVEY.md §2.9 (LLM ops), §2.12 (extensibility).
   */
-object SurfaceR6p {
+object SurfaceR6p extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -13,7 +13,7 @@ import graft.operators.{GlobalRowId, ProductQuantizer}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract area
   * SURVEY.md §2.10 (pipeline utilities, similarity search).
   */
-object SurfaceR8 {
+object SurfaceR8 extends QueryBatch {
   import Tables._
 
   type Q = (SparkSession, String) => DataFrame

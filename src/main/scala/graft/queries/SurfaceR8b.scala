@@ -14,7 +14,7 @@ import graft.{Orc, Tables}
   * SURVEY.md §2 (W window frames, A aggregates) and §2.13 (product
   * analytics / curation families).
   */
-object SurfaceR8b {
+object SurfaceR8b extends QueryBatch {
   import Tables._
 
   type Q = (SparkSession, String) => DataFrame

@@ -13,7 +13,7 @@ import graft.operators.GlobalRowId
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract areas
   * SURVEY.md §2 (A aggregates, W windows, L text pipeline) and §2.13.
   */
-object SurfaceR8c {
+object SurfaceR8c extends QueryBatch {
   import Tables._
 
   type Q = (SparkSession, String) => DataFrame

@@ -13,7 +13,7 @@ import graft.operators.Upsert
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract areas
   * SURVEY.md §2.10 (pipeline utilities) and §2.11 (M model family).
   */
-object SurfaceR8d {
+object SurfaceR8d extends QueryBatch {
   import Tables._
 
   type Q = (SparkSession, String) => DataFrame

@@ -12,7 +12,7 @@ import graft.{Orc, Tables}
   * SURVEY.md §2 (A aggregates, W windows) and §2.13 (time series,
   * product analytics).
   */
-object SurfaceR8e {
+object SurfaceR8e extends QueryBatch {
   import Tables._
 
   type Q = (SparkSession, String) => DataFrame

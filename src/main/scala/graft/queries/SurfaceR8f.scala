@@ -12,7 +12,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract areas
   * SURVEY.md §2.11 (M model family), §2.13 (time series, graph ops).
   */
-object SurfaceR8f {
+object SurfaceR8f extends QueryBatch {
   import Tables._
 
   type Q = (SparkSession, String) => DataFrame

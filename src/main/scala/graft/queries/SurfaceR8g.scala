@@ -11,7 +11,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract area
   * SURVEY.md §2.13 (product analytics family).
   */
-object SurfaceR8g {
+object SurfaceR8g extends QueryBatch {
   import Tables._
 
   type Q = (SparkSession, String) => DataFrame

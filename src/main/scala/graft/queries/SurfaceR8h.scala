@@ -10,7 +10,7 @@ import graft.Tables
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract areas
   * SURVEY.md §2.1 (S sources) and §2.12 (X engine surface).
   */
-object SurfaceR8h {
+object SurfaceR8h extends QueryBatch {
   import Tables._
 
   type Q = (SparkSession, String) => DataFrame

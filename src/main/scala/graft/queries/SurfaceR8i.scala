@@ -13,7 +13,7 @@ import graft.operators.{GlobalRowId, PrefixSum}
   * SURVEY.md §2.11 (M evaluators), §2 A-family, §2.10 (pipeline
   * utilities).
   */
-object SurfaceR8i {
+object SurfaceR8i extends QueryBatch {
   import Tables._
 
   type Q = (SparkSession, String) => DataFrame

@@ -10,7 +10,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract areas
   * SURVEY.md §2.11 (M family / association mining), §2.13 analytics.
   */
-object SurfaceR8j {
+object SurfaceR8j extends QueryBatch {
   import Tables._
 
   type Q = (SparkSession, String) => DataFrame

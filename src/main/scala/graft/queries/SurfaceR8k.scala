@@ -11,7 +11,7 @@ import graft.Tables
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract area
   * SURVEY.md §2.10 (curation / pipeline family).
   */
-object SurfaceR8k {
+object SurfaceR8k extends QueryBatch {
   import Tables._
 
   type Q = (SparkSession, String) => DataFrame

@@ -11,7 +11,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract areas
   * SURVEY.md §2.11 (M evaluators) and §2.12 (X SQL surface).
   */
-object SurfaceR8l {
+object SurfaceR8l extends QueryBatch {
   import Tables._
 
   type Q = (SparkSession, String) => DataFrame

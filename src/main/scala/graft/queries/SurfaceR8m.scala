@@ -11,7 +11,7 @@ import graft.operators.Upsert
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract area
   * SURVEY.md §2.10 (pipeline utilities / data-ops reporting).
   */
-object SurfaceR8m {
+object SurfaceR8m extends QueryBatch {
   import Tables._
 
   type Q = (SparkSession, String) => DataFrame

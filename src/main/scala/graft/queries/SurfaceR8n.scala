@@ -11,7 +11,7 @@ import graft.{Orc, Tables}
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract areas
   * SURVEY.md §2.11 (M monitoring) and §2.13 (product analytics).
   */
-object SurfaceR8n {
+object SurfaceR8n extends QueryBatch {
   import Tables._
 
   type Q = (SparkSession, String) => DataFrame

@@ -24,7 +24,7 @@ import graft.ml.Pipelines
   * over the same cached features; LDA's EM iterations are joins over
   * the (doc, term) count matrix, never a dense corpus collect.
   */
-object SurfaceR9 {
+object SurfaceR9 extends QueryBatch {
   import Orc.r4
   import Tables._
 

@@ -13,7 +13,7 @@ import graft.operators.AsOfJoin
   * All event timestamps cross the oracle boundary as epoch integers
   * (BIGINT) — timestamp rendering differs between engines; integers don't.
   */
-object TimeJson {
+object TimeJson extends QueryBatch {
   import Orc.r4
   import Tables._
 

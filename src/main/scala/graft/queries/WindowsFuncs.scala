@@ -14,7 +14,7 @@ import graft.functions.GeoMean
   * Window specs always carry a unique tiebreaker in ORDER BY (§5.3);
   * double aggregates are rounded to 4 decimals on both sides.
   */
-object WindowsFuncs {
+object WindowsFuncs extends QueryBatch {
   import Orc.r4
   import Tables._
 

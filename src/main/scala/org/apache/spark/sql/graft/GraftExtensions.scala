@@ -105,6 +105,11 @@ object GraftExtensions {
         "jaro_winkler(a, b) - Jaro-Winkler string similarity in [0,1]"),
       (children: Seq[Expression]) =>
         JaroWinkler.JaroWinklerSimilarity(children(0), children(1))),
+    (FunctionIdentifier("damerau_levenshtein"),
+      info("damerau_levenshtein",
+        "damerau_levenshtein(a, b) - unrestricted Damerau-Levenshtein edit distance"),
+      (children: Seq[Expression]) =>
+        DamerauLevenshtein.DamerauLevenshteinDistance(children(0), children(1))),
     (FunctionIdentifier("bloom_might_contain"),
       info("bloom_might_contain",
         "bloom_might_contain(bloom, xxhash64(col)) - bloom-filter probe; false => definitely absent"),
