@@ -179,7 +179,10 @@ object SparkEntry {
     graft.queries.SurfaceR10dk,
     graft.queries.SurfaceR10dl,
     graft.queries.SurfaceR11a,
-    graft.queries.SurfaceR11b)
+    graft.queries.SurfaceR11b,
+    graft.queries.SurfaceR11c,
+    graft.queries.SurfaceR11d,
+    graft.queries.SurfaceR11e)
 
   private def queryMaps: Seq[Map[String, (SparkSession, String) => DataFrame]] =
     batches.map(_.queries)

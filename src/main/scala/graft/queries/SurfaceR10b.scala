@@ -272,11 +272,11 @@ object SurfaceR10b extends QueryBatch {
       .orderBy("c_custkey")
   }
 
-  /** M64 (rows-only): DCT-II of the first 8 embedding dims. The exact
-    * JTransforms scaling convention is engine-specific, so the registry
-    * row carries the rounded coefficients and the MATH is pinned by the
-    * inverse-roundtrip law (idct(dct(x)) = x) in SurfaceR10bSpec.
-    * Narrow map. */
+  /** M64: DCT-II of the first 8 embedding dims — oracle-checked since
+    * round 11: MLlib's FFT-based transform is hash-compared against the
+    * orthogonal closed form c_k = s_k·Σ x_j·cos(π(2j+1)k/2n) replayed
+    * in DuckDB (the inverse-roundtrip law idct(dct(x)) = x stays in
+    * SurfaceR10bSpec). Narrow map. */
   val m64Dct: Q = (s, d) => {
     val base = embeddings(s, d).select(
       col("vec_id"), array_to_vector(slice(col("embedding"), 1, 8)).as("v"))
@@ -324,6 +324,15 @@ object SurfaceR10b extends QueryBatch {
     "m65_decision_tree" -> m65DecisionTree)
 
   val oracleSql: Map[String, String] = Map(
+    // orthogonal DCT-II closed form (s0 = sqrt(1/n), sk = sqrt(2/n)):
+    // pins MLlib's FFT-based transform cell-by-cell (flipped from
+    // rows-only in round 11; the roundtrip law stays in the spec)
+    "m64_dct" ->
+      """SELECT vec_id,
+        |  round(sqrt(1.0/8) * (CAST(embedding[1] AS DOUBLE) * cos(pi() * 1 * 0 / 16.0) + CAST(embedding[2] AS DOUBLE) * cos(pi() * 3 * 0 / 16.0) + CAST(embedding[3] AS DOUBLE) * cos(pi() * 5 * 0 / 16.0) + CAST(embedding[4] AS DOUBLE) * cos(pi() * 7 * 0 / 16.0) + CAST(embedding[5] AS DOUBLE) * cos(pi() * 9 * 0 / 16.0) + CAST(embedding[6] AS DOUBLE) * cos(pi() * 11 * 0 / 16.0) + CAST(embedding[7] AS DOUBLE) * cos(pi() * 13 * 0 / 16.0) + CAST(embedding[8] AS DOUBLE) * cos(pi() * 15 * 0 / 16.0)), 4) AS c0,
+        |  round(sqrt(2.0/8) * (CAST(embedding[1] AS DOUBLE) * cos(pi() * 1 * 1 / 16.0) + CAST(embedding[2] AS DOUBLE) * cos(pi() * 3 * 1 / 16.0) + CAST(embedding[3] AS DOUBLE) * cos(pi() * 5 * 1 / 16.0) + CAST(embedding[4] AS DOUBLE) * cos(pi() * 7 * 1 / 16.0) + CAST(embedding[5] AS DOUBLE) * cos(pi() * 9 * 1 / 16.0) + CAST(embedding[6] AS DOUBLE) * cos(pi() * 11 * 1 / 16.0) + CAST(embedding[7] AS DOUBLE) * cos(pi() * 13 * 1 / 16.0) + CAST(embedding[8] AS DOUBLE) * cos(pi() * 15 * 1 / 16.0)), 4) AS c1,
+        |  round(sqrt(2.0/8) * (CAST(embedding[1] AS DOUBLE) * cos(pi() * 1 * 2 / 16.0) + CAST(embedding[2] AS DOUBLE) * cos(pi() * 3 * 2 / 16.0) + CAST(embedding[3] AS DOUBLE) * cos(pi() * 5 * 2 / 16.0) + CAST(embedding[4] AS DOUBLE) * cos(pi() * 7 * 2 / 16.0) + CAST(embedding[5] AS DOUBLE) * cos(pi() * 9 * 2 / 16.0) + CAST(embedding[6] AS DOUBLE) * cos(pi() * 11 * 2 / 16.0) + CAST(embedding[7] AS DOUBLE) * cos(pi() * 13 * 2 / 16.0) + CAST(embedding[8] AS DOUBLE) * cos(pi() * 15 * 2 / 16.0)), 4) AS c2
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "s20_xml_file" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,

@@ -130,8 +130,8 @@ object SurfaceR11a extends QueryBatch {
   // ---- LG12: Louvain one-level local move ----
 
   /** Synchronous local-move sweeps; the oracle unrolls exactly this
-    * many rounds. */
-  private val LV_ROUNDS = 3
+    * many rounds. Shared with lg13's coarsened second level. */
+  private[queries] val LV_ROUNDS = 3
 
   /** LG12: LOUVAIN ONE-LEVEL LOCAL MOVE — every vertex starts as its
     * own community; each synchronous round it moves to the candidate
@@ -151,7 +151,10 @@ object SurfaceR11a extends QueryBatch {
     * scalar (2m); eager localCheckpoint pins constant plan depth.
     * Identical plan at a billion edges with pre-partitioned labels.
     */
-  val lg12Louvain: Q = (s, d) => {
+  /** The level-1 label table (v, c) after LV_ROUNDS synchronous sweeps
+    * — factored out so lg13's coarsening consumes the identical
+    * computation lg12 reports. */
+  private[queries] def louvainLabels(s: SparkSession, d: String): DataFrame = {
     val und = SurfaceR6h.knnEdges(s, d).localCheckpoint(true)
     val adj = und.union(und.select(col("t").as("s"), col("s").as("t")))
       .localCheckpoint(true)
@@ -182,14 +185,18 @@ object SurfaceR11a extends QueryBatch {
         .select(col("v"), col("c"))
         .localCheckpoint(true)
     }
-    lab.select(col("v").as("vec_id"), col("c").as("community"))
-      .orderBy("vec_id")
+    lab
   }
+
+  val lg12Louvain: Q = (s, d) =>
+    louvainLabels(s, d)
+      .select(col("v").as("vec_id"), col("c").as("community"))
+      .orderBy("vec_id")
 
   /** Unrolled Louvain local-move rounds for the oracle — the identical
     * integer gain ordering; MATERIALIZED because every round
     * re-references adj/dg/c_i several times (the lg8 OOM lesson). */
-  private def lvRoundsSql(k: Int): String =
+  private[queries] def lvRoundsSql(k: Int): String =
     (0 until k).map { i =>
       s"""kic$i AS MATERIALIZED (
          |  SELECT adj.s AS v, l.c, CAST(count(*) AS BIGINT) AS k
@@ -219,19 +226,26 @@ object SurfaceR11a extends QueryBatch {
          |    FROM sc$i) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
 
-  private def louvainSql: String = {
+  /** The shared WITH-clause prefix: edges, symmetric adjacency,
+    * degrees, 2m, singleton seed labels, and LV_ROUNDS unrolled sweeps
+    * ending in c{LV_ROUNDS}. lg13's oracle extends this same text with
+    * the coarsened level. */
+  private[queries] def louvainCtePrefix: String = {
     val edges = SurfaceR6h.knnEdgesCte
       .replace("e AS (", "e AS MATERIALIZED (")
-    s"""WITH $edges,
+    s"""$edges,
        |adj AS MATERIALIZED (SELECT s, t FROM e UNION ALL SELECT t, s FROM e),
        |dg AS MATERIALIZED (
        |  SELECT s AS v, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
        |mm AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
        |c0 AS MATERIALIZED (SELECT v, v AS c FROM dg),
-       |${lvRoundsSql(LV_ROUNDS)}
+       |${lvRoundsSql(LV_ROUNDS)}""".stripMargin
+  }
+
+  private def louvainSql: String =
+    s"""WITH $louvainCtePrefix
        |SELECT v AS vec_id, c AS community FROM c$LV_ROUNDS
        |ORDER BY vec_id""".stripMargin
-  }
 
   // ---- registry ----
 

@@ -74,11 +74,15 @@ object SurfaceR6f extends QueryBatch {
 
   /** M22: isotonic regression — the monotone (pool-adjacent-violators)
     * fit used for score calibration. Spark's implementation sorts by
-    * feature and PAVs per partition, then merges — one pass, no
-    * iteration. The PAV solution is unique for a given (x, y) multiset,
-    * but its parallel merge is engine-specific, so this is a law-spec
-    * entry (monotonicity + fit-quality vs the unconstrained mean) with
-    * a rows-only registry output of distinct calibrated points.
+    * feature and PAVs per partition, then merges. The PAV solution is
+    * UNIQUE for a given (x, y) multiset, and on the bounded distinct
+    * feature grid it equals the minimax closed form
+    * ŷ_i = max_{j≤i} min_{k≥i} mean(y_j..y_k) — so since round 11 the
+    * MODEL's calibrated values are hash-checked against that formula
+    * replayed in DuckDB (flipped from rows-only; monotonicity and
+    * fit-quality laws stay in the spec). The minimax evaluation is
+    * O(d³) in DISTINCT feature values (11 here; bounded by contract),
+    * not in rows.
     */
   val m22Isotonic: Q = (s, d) => {
     val pts = lineitem(s, d)
@@ -101,6 +105,31 @@ object SurfaceR6f extends QueryBatch {
     "m22_isotonic" -> m22Isotonic)
 
   val oracleSql: Map[String, String] = Map(
+    // PAVA's unique solution via the minimax closed form over the 11
+    // distinct discount values; prefix sums make every range mean one
+    // subtraction + one division
+    "m22_isotonic" ->
+      """WITH pts AS (
+        |  SELECT l_discount AS feature,
+        |    CAST(sum(l_extendedprice) AS DOUBLE) AS sy,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1),
+        |pre AS (
+        |  SELECT feature, n,
+        |    CAST(row_number() OVER (ORDER BY feature) AS BIGINT) AS i,
+        |    sum(sy) OVER (ORDER BY feature) AS cy,
+        |    CAST(sum(n) OVER (ORDER BY feature) AS DOUBLE) AS cn,
+        |    sum(sy) OVER (ORDER BY feature) - sy AS cyp,
+        |    CAST(sum(n) OVER (ORDER BY feature) - n AS DOUBLE) AS cnp
+        |  FROM pts),
+        |pm AS (SELECT j.i AS j, k.i AS k, (k.cy - j.cyp) / (k.cn - j.cnp) AS m
+        |       FROM pre j JOIN pre k ON k.i >= j.i),
+        |mn AS (SELECT pm.j, i.i AS i, min(pm.m) AS mn
+        |       FROM pm JOIN pre i ON pm.k >= i.i AND pm.j <= i.i
+        |       GROUP BY 1, 2),
+        |fit AS (SELECT i, max(mn) AS pred FROM mn GROUP BY 1)
+        |SELECT o.feature, round(f.pred, 4) AS calibrated, o.n
+        |FROM fit f JOIN pre o ON o.i = f.i ORDER BY feature""".stripMargin,
     "m21_fpgrowth" ->
       """WITH b AS (
         |  SELECT DISTINCT l_orderkey, l_returnflag || l_linestatus AS item
