@@ -182,7 +182,11 @@ object SparkEntry {
     graft.queries.SurfaceR11b,
     graft.queries.SurfaceR11c,
     graft.queries.SurfaceR11d,
-    graft.queries.SurfaceR11e)
+    graft.queries.SurfaceR11e,
+    graft.queries.SurfaceR11f,
+    graft.queries.SurfaceR11g,
+    graft.queries.SurfaceR11h,
+    graft.queries.SurfaceR11i)
 
   private def queryMaps: Seq[Map[String, (SparkSession, String) => DataFrame]] =
     batches.map(_.queries)

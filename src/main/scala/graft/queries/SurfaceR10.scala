@@ -166,12 +166,32 @@ object SurfaceR10 extends QueryBatch {
     * trainer's actual artifact. Oracle: the same three rounds unrolled
     * as DuckDB CTEs over the same encoding. */
   val lt14BpeMerges: Q = (s, d) => {
-    val sep = "\u001f"
+    val merges = bpeLearn(s, d)._2
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("round",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("pair",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("cnt",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    s.createDataFrame(s.sparkContext.parallelize(merges, 1), schema)
+      .orderBy("round")
+  }
+
+  /** The shared BPE trainer: 3 greedy merge rounds over the word-count
+    * table (each word's symbols separator-wrapped). Returns the FINAL
+    * encoded table (w, ws, n) — the original word is carried through
+    * untouched so lp79 can read off each word's tokenization — plus the
+    * merge rows lt14 reports. The per-round driver `.collect()` is the
+    * bounded top-1 argmax scalar (the documented BPE pattern). */
+  private[queries] def bpeLearn(
+      s: SparkSession, d: String): (DataFrame, Seq[Row]) = {
+    val sep = ""
     var wc = documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
       .where(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("n"))
-      .select(
+      .select(col("w"),
         array_join(
           transform(filter(split(col("w"), ""), c => length(c) > 0),
             c => concat(lit(sep), c, lit(sep))), "").as("ws"),
@@ -191,7 +211,7 @@ object SurfaceR10 extends QueryBatch {
         .orderBy(col("cnt").desc, col("x"), col("y")).limit(1)
         .collect()(0)
       val (x, y, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
-      val next = wc.select(
+      val next = wc.select(col("w"),
         replace(col("ws"), lit(sep + x + sep + sep + y + sep),
           lit(sep + x + y + sep)).as("ws"),
         col("n"))
@@ -199,15 +219,7 @@ object SurfaceR10 extends QueryBatch {
       wc = next
       Row(r, s"$x $y", cnt)
     }
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("round",
-        org.apache.spark.sql.types.IntegerType, nullable = false),
-      org.apache.spark.sql.types.StructField("pair",
-        org.apache.spark.sql.types.StringType, nullable = false),
-      org.apache.spark.sql.types.StructField("cnt",
-        org.apache.spark.sql.types.LongType, nullable = false)))
-    s.createDataFrame(s.sparkContext.parallelize(merges, 1), schema)
-      .orderBy("round")
+    (wc, merges)
   }
 
   // ---- registry ----
@@ -221,7 +233,7 @@ object SurfaceR10 extends QueryBatch {
     "m54_binarizer" -> m54Binarizer,
     "lt14_bpe_merges" -> lt14BpeMerges)
 
-  private def bpeRound(r: Int): String = {
+  private[queries] def bpeRound(r: Int): String = {
     val r1 = r + 1
     s"""p$r AS (
        |  SELECT list_filter(string_split(ws, chr(31)), x -> len(x) > 0) AS syms, n FROM w$r),
@@ -232,10 +244,26 @@ object SurfaceR10 extends QueryBatch {
        |    FROM p$r WHERE len(syms) >= 2) GROUP BY 1, 2),
        |t$r AS (SELECT $r AS round, x, y, cnt FROM c$r ORDER BY cnt DESC, x, y LIMIT 1),
        |w$r1 AS (
-       |  SELECT replace(ws, chr(31) || t$r.x || chr(31) || chr(31) || t$r.y || chr(31),
+       |  SELECT w, replace(ws, chr(31) || t$r.x || chr(31) || chr(31) || t$r.y || chr(31),
        |                     chr(31) || t$r.x || t$r.y || chr(31)) AS ws, n
        |  FROM w$r CROSS JOIN t$r)""".stripMargin
   }
+
+
+  /** Shared oracle text: the encoded word table w1 plus three unrolled
+    * merge rounds ending in w4 / t1..t3 — lt14 reads the merges, lp79
+    * reads the final encodings. */
+  private[queries] def bpeChainSql: String =
+    s"""w1 AS (
+       |  SELECT w, list_aggr(list_transform(range(len(w)),
+       |           i -> chr(31) || w[CAST(i+1 AS INT)] || chr(31)),
+       |         'string_agg', '') AS ws,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY w),
+       |${bpeRound(1)},
+       |${bpeRound(2)},
+       |${bpeRound(3)}""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "m45b_word2vec_sharded" ->
@@ -266,16 +294,7 @@ object SurfaceR10 extends QueryBatch {
         |  CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS pos
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "lt14_bpe_merges" ->
-      s"""WITH w1 AS (
-         |  SELECT list_aggr(list_transform(range(len(w)),
-         |           i -> chr(31) || w[CAST(i+1 AS INT)] || chr(31)),
-         |         'string_agg', '') AS ws,
-         |         CAST(count(*) AS BIGINT) AS n
-         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-         |  WHERE len(w) > 0 GROUP BY w),
-         |${bpeRound(1)},
-         |${bpeRound(2)},
-         |${bpeRound(3)}
+      s"""WITH $bpeChainSql
          |SELECT round, x || ' ' || y AS pair, cnt FROM (
          |  SELECT * FROM t1 UNION ALL SELECT * FROM t2 UNION ALL SELECT * FROM t3)
          |ORDER BY round""".stripMargin)

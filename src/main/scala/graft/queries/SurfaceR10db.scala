@@ -102,7 +102,10 @@ object SurfaceR10db extends QueryBatch {
       .limit(PANEL)
       .select(col("user_id"))
     val types = e.select(col("event_type")).distinct()
-    val grid = panel.crossJoin(types)
+    // both sides bounded (LIMIT panel × distinct event types); the
+    // broadcast hint makes the bounded build side explicit rather than
+    // leaving it to AQE (r10 verdict consistency nit)
+    val grid = panel.crossJoin(broadcast(types))
     val scores = e.groupBy("user_id", "event_type")
       .agg(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("v"))
     val cells = grid.join(scores, Seq("user_id", "event_type"), "left")

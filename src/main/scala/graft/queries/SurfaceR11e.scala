@@ -102,7 +102,7 @@ object SurfaceR11e extends QueryBatch {
     // Σ_c (4m·ec − dc²) of both labellings and keep the winner —
     // monotone by construction, bit-deterministic, replayable.
     def qnum(assign: DataFrame): DataFrame = {
-      val deg = adjDeg(s, d)
+      val deg = adjDeg(und)
       val dc = assign.join(deg, "v").groupBy("c").agg(sum("deg").as("dc"))
       val ec = und
         .join(assign.select(col("v").as("s"), col("c").as("ca")), "s")
@@ -124,12 +124,12 @@ object SurfaceR11e extends QueryBatch {
   }
 
   /** Symmetric degree table of the LEVEL-1 graph (shared by both
-    * modularity numerators). */
-  private def adjDeg(s: SparkSession, d: String): DataFrame = {
-    val und = SurfaceR6h.knnEdges(s, d)
+    * modularity numerators). Takes the CHECKPOINTED edge table — a
+    * fresh knnEdges call here would re-plan the brute kNN join over
+    * the embeddings fact table (caught by the registry plan audit). */
+  private def adjDeg(und: DataFrame): DataFrame =
     und.union(und.select(col("t").as("s"), col("s").as("t")))
       .groupBy(col("s").as("v")).agg(count(lit(1)).as("deg"))
-  }
 
   /** Unrolled weighted rounds for the oracle (w-prefixed CTE names so
     * they cannot collide with the level-1 chain's). */

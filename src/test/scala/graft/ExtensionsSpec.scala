@@ -29,9 +29,9 @@ class ExtensionsSpec extends SparkSpec {
     // registration is observable through the live-session path above;
     // here we only assert the injector accepts the extension point
     assert(GraftExtensions.functions.map(_._1.funcName).sorted ==
-      Seq("bloom_agg", "bloom_might_contain", "cosine_sim", "dot_product",
-        "explode_ngrams", "heavy_hitters", "jaro_winkler", "l2_norm",
-        "top_k_by_score"))
+      Seq("bloom_agg", "bloom_might_contain", "cosine_sim",
+        "damerau_levenshtein", "dot_product", "explode_ngrams",
+        "heavy_hitters", "jaro_winkler", "l2_norm", "top_k_by_score"))
   }
 
   test("custom aggregates are callable from plain SQL") {

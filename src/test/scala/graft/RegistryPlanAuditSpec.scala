@@ -70,6 +70,11 @@ class RegistryPlanAuditSpec extends SparkSpec {
     // bound, a content no-op the audit CAN verify)
     case _: org.apache.spark.sql.execution.GlobalLimitExec |
          _: org.apache.spark.sql.execution.CollectLimitExec => true
+    // a REUSED exchange is a leaf pointer at another exchange in the
+    // same plan: that original occurrence is audited where it appears,
+    // so reuse itself proves nothing new (hit by lg13, which broadcasts
+    // the same 1-row aggregates into several consumers)
+    case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => true
     case f: FileSourceScanExec =>
       // dimension tables are bounded; fact scans are not
       !f.relation.location.rootPaths.exists(path =>

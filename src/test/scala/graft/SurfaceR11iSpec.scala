@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.SurfaceR11i
+
+class SurfaceR11iSpec extends SparkSpec {
+
+  test("every R11i query runs at sf0.001") {
+    SurfaceR11i.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sfDir).count() > 0, s"$name failed")
+    }
+  }
+
+  test("x32: every sketch estimate lands inside the 5% flag") {
+    val rows = SurfaceR11i.queries("x32_datasketches_hll")(spark, sfDir).collect()
+    assert(rows.length >= 2)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("approx_ok"), s"estimate out of tolerance: $r")
+    }
+    assert(rows.exists(_.getAs[String]("grp") == "_union"))
+  }
+
+  test("x32: the binary sketch is mergeable — union >= every group") {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_r11i_orders")
+    val r = spark.sql(
+      """WITH sk AS (
+        |  SELECT o_orderpriority AS grp,
+        |    hll_sketch_agg(o_custkey, 12) AS sketch
+        |  FROM graft_r11i_orders GROUP BY 1)
+        |SELECT max(hll_sketch_estimate(sketch)) AS max_grp,
+        |  (SELECT hll_sketch_estimate(hll_union_agg(sketch, true)) FROM sk)
+        |    AS union_est
+        |FROM sk""".stripMargin).head
+    assert(r.getLong(1) >= r.getLong(0),
+      s"union estimate ${r.getLong(1)} below a member ${r.getLong(0)}")
+  }
+
+  test("s29: the written file really carries a bloom filter on l_orderkey") {
+    // write via the query, then inspect footers with parquet-hadoop
+    SurfaceR11i.queries("s29_parquet_bloom")(spark, sfDir).count()
+    val dir = new java.io.File("target/tmp/s29_bloom")
+    val part = dir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val conf = spark.sparkContext.hadoopConfiguration
+    val input = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(part.getAbsolutePath), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(input)
+    try {
+      val rg = reader.getRowGroups.get(0)
+      val colChunk = rg.getColumns.asInstanceOf[java.util.List[
+        org.apache.parquet.hadoop.metadata.ColumnChunkMetaData]]
+        .stream.filter(c => c.getPath.toDotString == "l_orderkey")
+        .findFirst.get
+      val bloom = reader.getBloomFilterDataReader(rg).readBloomFilter(colChunk)
+      assert(bloom != null, "no bloom filter written for l_orderkey")
+    } finally reader.close()
+  }
+}
