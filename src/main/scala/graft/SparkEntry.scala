@@ -186,7 +186,8 @@ object SparkEntry {
     graft.queries.SurfaceR11f,
     graft.queries.SurfaceR11g,
     graft.queries.SurfaceR11h,
-    graft.queries.SurfaceR11i)
+    graft.queries.SurfaceR11i,
+    graft.queries.SurfaceR11j)
 
   private def queryMaps: Seq[Map[String, (SparkSession, String) => DataFrame]] =
     batches.map(_.queries)

@@ -66,8 +66,9 @@ object SurfaceR11i extends QueryBatch {
     * read back through a point-lookup filter, and prove the round-trip
     * exact. The bloom filter lives in the file footer and lets the
     * reader skip whole row groups on point predicates over unsorted
-    * high-cardinality columns — the file-metadata complement to s31's
-    * min/max pruning (which needs sorted layout). Correctness here;
+    * high-cardinality columns — the file-metadata complement to
+    * lp31's Z-ordered min/max pruning (which needs sorted layout).
+    * Correctness here;
     * the skipping is a file-format property, not a result property. */
   val s29ParquetBloom: Q = (s, d) => {
     val dir = new java.io.File("target/tmp/s29_bloom").getAbsolutePath
