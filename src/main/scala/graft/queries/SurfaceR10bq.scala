@@ -28,8 +28,16 @@ object SurfaceR10bq extends QueryBatch {
 
   // ---- M153: Cochran's Q ----
 
+  // Degenerate-data guard (found by the round-11 DECADE slope gate at
+  // sf0.1): when every week has all three priorities, L_i = k for all
+  // rows and the discordance denominator kΣL−ΣL² is EXACTLY zero — Q
+  // is undefined (there is no within-subject variation to test). Both
+  // engines take the same limit: Q = 0, p = 1 ("no discordance, no
+  // evidence"). At sf0.01 discordant weeks exist, so the hash-checked
+  // values are unchanged.
   private val cqQ =
-    "((3 - 1) * (3e0 * sg2 - CAST(sg AS DOUBLE) * sg) / (3e0 * sl - sl2))"
+    "(CASE WHEN 3e0 * sl - sl2 = 0e0 THEN 0e0 ELSE " +
+      "(3 - 1) * (3e0 * sg2 - CAST(sg AS DOUBLE) * sg) / (3e0 * sl - sl2) END)"
   private val cqP = s"(exp(-$cqQ / 2e0))"
 
   /** M153: COCHRAN'S Q — subjects are calendar weeks, treatments the
