@@ -6,6 +6,24 @@ import org.apache.spark.sql.SparkSession
   * BASELINE.md q1..q9) against SPARK_GRAFT_SF_DIR and prints one JSON
   * line. Full-registry correctness lives in Verify; bench stays on the
   * fixed subset so totals are comparable to BASELINE.md round over round.
+  *
+  * Round-12 hardening (VERDICT r11 item 1): the r11 driver bench read
+  * lj2 at 59.6 s and ls3 at 14.2 s — 3–6× their isolated fresh-JVM
+  * bands with zero code change — and both run LAST in this JVM. Three
+  * changes make that class of reading impossible or at least named:
+  *  - every probe now starts from a DEFINED block-manager state
+  *    ([[CacheLifecycle.sweep]] before it, counts reported), so one
+  *    probe's cache residue can never tax a later probe's timing;
+  *  - every probe reports its task-level spill bytes (the "execution
+  *    memory was squeezed" signal) via a listener drained per probe;
+  *  - `spark.sql.codegen.fallback=false`: a janino failure aborts the
+  *    probe LOUDLY instead of silently interpreting (the round-1
+  *    failure class — a plausible cause for a 6× slowdown that leaves
+  *    no other trace);
+  *  - lj2/ls3 additionally report their data-dependent cost drivers
+  *    (PPJoin candidate pairs; inverted-index join fanout), computed by
+  *    cheap untimed side jobs, so an out-of-band reading arrives with
+  *    its explanation attached.
   */
 object Bench {
   /** Force a probe result the way Tripwire does: a noop-format write
@@ -23,9 +41,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
+      .config("spark.sql.codegen.fallback", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val tally = org.apache.spark.sql.graft.ListenerBridge.register(spark.sparkContext)
     val headline = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
     // Untimed warm-up: the first query otherwise pays JVM/codegen/session
     // init for the whole run (r02: q1 showed 5.5 s of which ~1 s was real
@@ -43,65 +63,68 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // Probe (kept OUT of `queries`/total so the headline stays comparable
-    // to BASELINE.md): T6 stateful streaming against the RocksDB state
-    // store at bench SF — off-heap state is the 100 TB configuration, and
-    // its cost should be measured, not assumed, before any scale claim.
-    val stateSec = try {
+
+    // ---- probes (all kept OUT of `queries`/total so the headline stays
+    // comparable to BASELINE.md). Each runs from a swept block manager,
+    // with per-probe spill accounting and residue counts recorded.
+    val diag = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def probe(name: String)(body: => Unit): Double = {
+      val pre = CacheLifecycle.sweep(spark)
+      tally.reset()
+      val sec = try {
+        val t0 = System.nanoTime()
+        body
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name probe failed: ${e.getMessage}"); -1.0
+      }
+      org.apache.spark.sql.graft.ListenerBridge.drain(spark.sparkContext)
+      diag(name) =
+        s"""{"swept_pre":${pre.total},"spill_mem_mb":${tally.memSpilled.get / (1L << 20)},""" +
+        s""""spill_disk_mb":${tally.diskSpilled.get / (1L << 20)}}"""
+      sec
+    }
+
+    // Probe: T6 stateful streaming against the RocksDB state store at
+    // bench SF — off-heap state is the 100 TB configuration, and its
+    // cost should be measured, not assumed, before any scale claim.
+    val stateSec = probe("rocksdb") {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      val t0 = System.nanoTime()
       graft.streaming.StreamingOps.runToMemory(
         graft.streaming.StreamingOps.runningUserCountsTWS(
           graft.streaming.StreamingOps.eventsStream(spark, sfDir)),
         "bench_t6_rocksdb",
         org.apache.spark.sql.streaming.OutputMode.Update()).count()
-      (System.nanoTime() - t0) / 1e9
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] rocksdb probe failed: ${e.getMessage}"); -1.0
     }
-    // Probe 2 (also untimed vs BASELINE): the curation ladder a training
-    // pipeline actually runs — quality scoring, contamination, mixing,
-    // chunk dedup — timed as one pass at the bench SF so the cost of the
-    // round-6 surface is observed, not assumed.
-    val curationSec = try {
-      val t0 = System.nanoTime()
+    // Probe 2: the curation ladder a training pipeline actually runs —
+    // quality scoring, contamination, mixing, chunk dedup — timed as one
+    // pass at the bench SF so the cost of the round-6 surface is
+    // observed, not assumed.
+    val curationSec = probe("curation") {
       force(graft.queries.SurfaceR6.l12Repetition(spark, sfDir))
       force(graft.queries.SurfaceR6.l13Contamination(spark, sfDir))
       force(graft.queries.SurfaceR6.l14MixSample(spark, sfDir))
       force(graft.queries.SurfaceR6c.lp12ChunkDedup(spark, sfDir))
-      (System.nanoTime() - t0) / 1e9
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] curation probe failed: ${e.getMessage}"); -1.0
     }
-    // Probe 3 (untimed vs BASELINE): the round-6/7 scale incident query.
-    // lt2's forward-fill was O(n²) (~9 min at sf0.01) until the reversed
-    // running-frame fix; timing it at bench SF every round keeps the fix
-    // observable — a regression here shows up as minutes, not a wobble.
-    val interpSec = try {
-      val t0 = System.nanoTime()
+    // Probe 3: the round-6/7 scale incident query. lt2's forward-fill
+    // was O(n²) (~9 min at sf0.01) until the reversed running-frame fix;
+    // timing it at bench SF every round keeps the fix observable — a
+    // regression here shows up as minutes, not a wobble.
+    val interpSec = probe("interp") {
       force(graft.queries.SurfaceR6e.lt2LinearInterp(spark, sfDir))
-      (System.nanoTime() - t0) / 1e9
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] interp probe failed: ${e.getMessage}"); -1.0
     }
-    // Probe 4 (untimed vs BASELINE): the round-8 PQ-ADC + re-rank ANN
-    // path — m seeded KMeans fits + encode + ADC join + exact re-rank.
-    // Model-fit cost dominates at bench SF; tracking it keeps the
-    // "compressed ANN is affordable" claim measured, not assumed.
-    val pqSec = try {
-      val t0 = System.nanoTime()
+    // Probe 4: the round-8 PQ-ADC + re-rank ANN path — m seeded KMeans
+    // fits + encode + ADC join + exact re-rank. Model-fit cost dominates
+    // at bench SF; tracking it keeps the "compressed ANN is affordable"
+    // claim measured, not assumed.
+    val pqSec = probe("pq") {
       force(graft.queries.SurfaceR8.lpqPqAnn(spark, sfDir))
-      (System.nanoTime() - t0) / 1e9
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] pq probe failed: ${e.getMessage}"); -1.0
     }
-    // Probe 5 (untimed vs BASELINE): the round-8 product-analytics
-    // family — funnel, retention, streaks, attribution, A/B, OHLC,
-    // MAD, chi-square — all window/hash-agg shapes that must stay
-    // sub-second-ish at bench SF.
-    val analyticsSec = try {
-      val t0 = System.nanoTime()
+    // Probe 5: the round-8 product-analytics family — funnel, retention,
+    // streaks, attribution, A/B, OHLC, MAD, chi-square — all window/
+    // hash-agg shapes that must stay sub-second-ish at bench SF.
+    val analyticsSec = probe("analytics") {
       force(graft.queries.SurfaceR8.q19Funnel(spark, sfDir))
       force(graft.queries.SurfaceR8.q20Retention(spark, sfDir))
       force(graft.queries.SurfaceR8.q21Streaks(spark, sfDir))
@@ -110,17 +133,13 @@ object Bench {
       force(graft.queries.SurfaceR8.lt7OhlcBars(spark, sfDir))
       force(graft.queries.SurfaceR8.m28MadOutliers(spark, sfDir))
       force(graft.queries.SurfaceR8.m29Chi2(spark, sfDir))
-      (System.nanoTime() - t0) / 1e9
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] analytics probe failed: ${e.getMessage}"); -1.0
     }
-    // Probe 5b (untimed vs BASELINE): the round-8 sequence/series batch
-    // — sweep-line concurrency, Markov transitions, sessionization,
-    // rolling z-score, ACF, BPE pairs, ABC classing. All delta-agg /
-    // per-entity-window shapes; measured so a frame regression (the lt2
-    // class of bug) in any of them shows up as minutes here.
-    val seqAnalyticsSec = try {
-      val t0 = System.nanoTime()
+    // Probe 5b: the round-8 sequence/series batch — sweep-line
+    // concurrency, Markov transitions, sessionization, rolling z-score,
+    // ACF, BPE pairs, ABC classing. All delta-agg / per-entity-window
+    // shapes; measured so a frame regression (the lt2 class of bug) in
+    // any of them shows up as minutes here.
+    val seqAnalyticsSec = probe("seq_analytics") {
       force(graft.queries.SurfaceR8b.q24OpenOrders(spark, sfDir))
       force(graft.queries.SurfaceR8b.q25Markov(spark, sfDir))
       force(graft.queries.SurfaceR8b.lt9RollingZscore(spark, sfDir))
@@ -128,31 +147,32 @@ object Bench {
       force(graft.queries.SurfaceR8c.lt10BpePairs(spark, sfDir))
       force(graft.queries.SurfaceR8e.lt11Acf(spark, sfDir))
       force(graft.queries.SurfaceR8e.q27AbcPareto(spark, sfDir))
-      (System.nanoTime() - t0) / 1e9
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] seq-analytics probe failed: ${e.getMessage}"); -1.0
     }
-    // Probe 5c (untimed vs BASELINE): prefix-filtered exact Jaccard —
-    // its candidate count is data-dependent (near-dup density), so the
-    // cost is measured rather than assumed.
-    val lj2Sec = try {
-      val t0 = System.nanoTime()
+    // Probe 5c: prefix-filtered exact Jaccard — its candidate count is
+    // data-dependent (near-dup density), so the cost is measured rather
+    // than assumed, and the candidate count itself is reported by an
+    // untimed side job so an out-of-band timing arrives explained.
+    val lj2Sec = probe("lj2") {
       force(graft.queries.SurfaceR8c.lj2PrefixJaccard(spark, sfDir))
-      (System.nanoTime() - t0) / 1e9
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] lj2 probe failed: ${e.getMessage}"); -1.0
     }
-    // Probe 6 (untimed vs BASELINE): the inverted-index sparse top-k —
-    // the one new query whose join fanout grows with corpus size, so
-    // its bench-SF cost is measured rather than assumed.
-    val ls3Sec = try {
-      val t0 = System.nanoTime()
+    val lj2Cand = try {
+      CacheLifecycle.sweep(spark)
+      graft.queries.SurfaceR8c.lj2CandidateCount(spark, sfDir)
+    } catch { case _: Throwable => -1L }
+    // Probe 6: the inverted-index sparse top-k — the one query whose
+    // join fanout grows with corpus size, so its bench-SF cost is
+    // measured rather than assumed; the closed-form fanout count is the
+    // reported explanation.
+    val ls3Sec = probe("ls3") {
       force(graft.queries.SurfaceR8.ls3TfidfTopk(spark, sfDir))
-      (System.nanoTime() - t0) / 1e9
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] ls3 probe failed: ${e.getMessage}"); -1.0
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rocksdb_state_t6_sec":$stateSec,"curation_sec":$curationSec,"interp_sec":$interpSec,"pq_sec":$pqSec,"analytics_sec":$analyticsSec,"seq_analytics_sec":$seqAnalyticsSec,"lj2_sec":$lj2Sec,"ls3_sec":$ls3Sec,"sf":"$sfDir"}""")
+    val ls3Fanout = try {
+      CacheLifecycle.sweep(spark)
+      graft.queries.SurfaceR8.ls3PostingsFanout(spark, sfDir)
+    } catch { case _: Throwable => -1L }
+    val diagJson = diag.map { case (k, v) => s"\"$k\":$v" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rocksdb_state_t6_sec":$stateSec,"curation_sec":$curationSec,"interp_sec":$interpSec,"pq_sec":$pqSec,"analytics_sec":$analyticsSec,"seq_analytics_sec":$seqAnalyticsSec,"lj2_sec":$lj2Sec,"ls3_sec":$ls3Sec,"lj2_candidates":$lj2Cand,"ls3_fanout":$ls3Fanout,"probe_diag":$diagJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

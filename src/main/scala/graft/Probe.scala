@@ -30,6 +30,10 @@ object Probe {
     val fn = SparkEntry.queries.getOrElse(key,
       sys.error(s"unknown query key: $key"))
     val walls = (1 to reps).map { i =>
+      // defined block-manager state per rep: without the sweep, rep 1's
+      // persist/localCheckpoint residue warms (or taxes) reps 2..N and
+      // the band stops being an isolated-cost measurement
+      CacheLifecycle.sweep(spark)
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val w = (System.nanoTime() - t0) / 1e9

@@ -119,6 +119,17 @@ object Tripwire {
           offenders += s"$name FAILED: ${e.getMessage}"
           System.err.println(f"[tripwire] $name FAILED after $wall%.1fs: ${e.getMessage}")
       }
+      // Registry-wide persist-lifecycle gate (VERDICT r11 item 2): this
+      // drive touches EVERY entry each round, so leak accounting here IS
+      // the repo-wide audit. A key that leaves a plain (non-checkpoint)
+      // persisted RDD behind and is not on the named multi-consumer
+      // allowlist fails the run by name; the sweep also puts the next
+      // query's timing on a defined block-manager state.
+      val swept = CacheLifecycle.sweep(spark)
+      if (swept.plain > 0 && !CacheLifecycle.persistAllowlist(name)) {
+        offenders += s"$name PERSIST LEAK: ${swept.plain} non-checkpoint cached RDD(s)"
+        System.err.println(s"[tripwire] $name PERSIST LEAK: ${swept.plain}")
+      }
     }
     spark.stop()
     if (offenders.nonEmpty) {

@@ -83,6 +83,15 @@ object Verify {
           QueryGuard.deleteRec(new java.io.File(s"$outDir/$name"))
           System.err.println(f"[verify] $name failed after $wall%.1fs: ${e.getMessage}")
       }
+      // Defined JVM state between queries (VERDICT r11 items 1-2): a
+      // 604-query drive otherwise accumulates persist/localCheckpoint
+      // residue in the block manager and late queries inherit a
+      // degraded JVM. Plain (non-checkpoint) residue outside the named
+      // multi-consumer allowlist is a lifecycle bug — named here.
+      val swept = CacheLifecycle.sweep(spark)
+      if (swept.plain > 0 && !CacheLifecycle.persistAllowlist(name))
+        System.err.println(
+          s"[verify] $name PERSIST LEAK: ${swept.plain} non-checkpoint cached RDD(s)")
     }
     spark.stop()
   }

@@ -200,15 +200,7 @@ object SurfaceR8 extends QueryBatch {
     * Ranking cuts on the r8-rounded cosine with an id tiebreak (§5.3). */
   val ls3TfidfTopk: Q = (s, d) => {
     val w = org.apache.spark.sql.expressions.Window
-    val docs = documents(s, d)
-    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val dfreq = toks.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("n_docs"))
-    val wts = tf.join(dfreq, "tok").crossJoin(broadcast(n))
-      .where(col("df") * 10 <= col("n_docs") * 9)
-      .select(col("doc_id"), col("tok"),
-        (col("tf") * (log((col("n_docs") + 1) / (col("df") + 1.0)) + 1)).as("w"))
+    val wts = ls3Weights(s, d)
     val norms = wts.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     val dots = wts.where(col("doc_id") % 53 === 0).as("q")
       .join(wts.as("c"),
@@ -225,6 +217,40 @@ object SurfaceR8 extends QueryBatch {
       .where(col("rn") <= 3)
       .select(col("q_id"), col("c_id"), col("rn"), Orc.r4(col("cos8")).as("cos"))
       .orderBy("q_id", "rn")
+  }
+
+  /** Shared postings builder for [[ls3TfidfTopk]] and its fanout
+    * diagnostic — one definition so the diagnostic cannot drift from
+    * the plan it explains. */
+  private def ls3Weights(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "tok").crossJoin(broadcast(n))
+      .where(col("df") * 10 <= col("n_docs") * 9)
+      .select(col("doc_id"), col("tok"),
+        (col("tf") * (log((col("n_docs") + 1) / (col("df") + 1.0)) + 1)).as("w"))
+  }
+
+  /** Bench self-diagnosis (VERDICT r11 item 1b): ls3's cost driver is
+    * the inverted-index join fanout — the number of (query-posting,
+    * corpus-posting) rows the term equi-join emits before the per-pair
+    * aggregate. Computed in CLOSED FORM from per-token posting counts
+    * (Σ_tok nq·n − |query postings|, since (doc, tok) is unique after
+    * the tf groupBy), so the diagnostic costs two narrow aggregates and
+    * a vocabulary-sized join — never the quadratic join itself. */
+  private[graft] def ls3PostingsFanout(s: SparkSession, d: String): Long = {
+    val wts = ls3Weights(s, d)
+    val perTok = wts.groupBy("tok").agg(
+      count(lit(1)).as("n_post"),
+      sum(when(col("doc_id") % 53 === 0, 1L).otherwise(0L)).as("nq_post"))
+    val r = perTok.agg(
+      sum(col("nq_post") * col("n_post")).as("cross"),
+      sum(col("nq_post")).as("self")).collect()(0)
+    (if (r.isNullAt(0)) 0L else r.getLong(0)) -
+      (if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
   /** LS4: BM25 ranking — the standard retrieval scorer on top of ls3's

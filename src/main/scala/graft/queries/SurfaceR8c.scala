@@ -125,6 +125,44 @@ object SurfaceR8c extends QueryBatch {
     * `size(array_intersect(..))` per-row hash set was itself 2.2×
     * slower than the kernel. */
   val lj2PrefixJaccard: Q = (s, d) => {
+    val (docArrs, _, sized) = lj2Build(s, d)
+    val verified = sized
+      .join(docArrs.select(col("doc_id").as("a_id"), col("ts").as("ta")), "a_id")
+      .join(docArrs.select(col("doc_id").as("b_id"), col("ts").as("tb")), "b_id")
+      .withColumn("i",
+        graft.functions.SetFunctions.sortedIntersectCount(col("ta"), col("tb")))
+    val j = col("i").cast("double") /
+      (col("ma") + col("mb") - col("i")).cast("double")
+    verified
+      .where(j >= lit(0.95))
+      .select(col("a_id"), col("b_id"), Orc.r4(j).as("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Bench self-diagnosis (VERDICT r11 item 1b): the PPJoin candidate
+    * count is the data-dependent quantity that decides lj2's cost, so
+    * the bench reports it alongside the timing instead of leaving an
+    * out-of-band reading unexplained. Builds the same frames as the
+    * production query, counts the post-prune candidates, and cleans up
+    * its own persists (this path's frames are never handed to a
+    * caller, so the in-function unpersist is safe here). */
+  private[graft] def lj2CandidateCount(s: SparkSession, d: String): Long = {
+    val (docArrs, pref, sized) = lj2Build(s, d)
+    try sized.count()
+    finally {
+      docArrs.unpersist(blocking = false)
+      pref.unpersist(blocking = false)
+    }
+  }
+
+  /** Shared frame builder for [[lj2PrefixJaccard]] and its candidate
+    * diagnostic — one definition so the diagnostic can never drift from
+    * the plan it is explaining. Returns (docArrs, pref, sized); the two
+    * persisted handles stay cached for the caller's materialization and
+    * are swept by the drive loop's [[graft.CacheLifecycle]] afterwards
+    * (lj2 is on its persist allowlist). */
+  private def lj2Build(
+      s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     val thr = 0.95
     val toks = documents(s, d)
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
@@ -178,17 +216,7 @@ object SurfaceR8c extends QueryBatch {
       .groupBy("a_id", "b_id", "ma", "mb").agg(min("ub").as("ub"))
       .where(lit(39L) * col("ub") >= lit(19L) * (col("ma") + col("mb")))
       .select("a_id", "b_id", "ma", "mb")
-    val verified = sized
-      .join(docArrs.select(col("doc_id").as("a_id"), col("ts").as("ta")), "a_id")
-      .join(docArrs.select(col("doc_id").as("b_id"), col("ts").as("tb")), "b_id")
-      .withColumn("i",
-        graft.functions.SetFunctions.sortedIntersectCount(col("ta"), col("tb")))
-    val j = col("i").cast("double") /
-      (col("ma") + col("mb") - col("i")).cast("double")
-    verified
-      .where(j >= lit(thr))
-      .select(col("a_id"), col("b_id"), Orc.r4(j).as("jaccard"))
-      .orderBy("a_id", "b_id")
+    (docArrs, pref, sized)
   }
 
   // ---- registry ----
