@@ -60,6 +60,13 @@ object SurfaceR11a extends QueryBatch {
     val cv = new CountVectorizer().setInputCol("toks").setOutputCol("tf")
       .setMinDF(2.0).setVocabSize(1 << 18)
     val model = cv.fit(docs)
+    // The oracle is a PURE minDF filter, which is only what MLlib fits
+    // while vocabSize stays non-binding: at the cap MLlib truncates by
+    // frequency and the row would diverge with no named failure mode.
+    // Fail loudly at the boundary instead (ADVICE r11).
+    require(model.vocabulary.length < (1 << 18),
+      s"m200: fitted vocabulary (${model.vocabulary.length}) hit vocabSize " +
+        "— the oracle models an uncapped minDF filter; raise the cap")
     val vocab = model.vocabulary.toSeq.toDF("term")
     docs.select(col("doc_id"), explode(col("toks")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))

@@ -48,9 +48,14 @@ object SurfaceR11c extends QueryBatch {
     * and O(L); series length is bounded by distinct DAYS — the daily
     * pre-aggregation is the distributed pass. */
   val lt69HoltWinters: Q = (s, d) => {
+    // Per-row values quantized to the 1e-6 grid BEFORE the daily mean
+    // (sum of exact integers / count), so the doubles seeding the fold
+    // are bit-identical cross-engine — a raw avg()'s summation order
+    // can differ by an ulp, the knife-edge class lt71 hit (ADVICE r11).
     val daily = events(s, d)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(avg("value").as("v"))
+      .agg(expr("CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)" +
+        " / (count(*) * 1000000.0)").as("v"))
     daily.groupBy("event_type")
       .agg(sort_array(collect_list(struct(col("day"), col("v")))).as("sv"),
         count(lit(1)).as("n_days"))
@@ -141,7 +146,8 @@ object SurfaceR11c extends QueryBatch {
       """WITH RECURSIVE daily AS (
         |  SELECT event_type,
         |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
-        |    avg(value) AS v
+        |    CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / (count(*) * 1000000.0) AS v
         |  FROM events GROUP BY 1, 2),
         |idx AS (
         |  SELECT event_type,

@@ -71,7 +71,11 @@ object SurfaceR11i extends QueryBatch {
     * Correctness here;
     * the skipping is a file-format property, not a result property. */
   val s29ParquetBloom: Q = (s, d) => {
-    val dir = new java.io.File("target/tmp/s29_bloom").getAbsolutePath
+    // per-invocation temp dir (the s17 idiom): a fixed CWD-relative path
+    // races concurrent sessions / parallel runners — one overwrites while
+    // the other reads, a spurious failure with no code cause (ADVICE r11)
+    val dir = java.nio.file.Files.createTempDirectory("graft_s29_bloom_").toString
+    graft.QueryGuard.deleteRecOnExit(new java.io.File(dir))
     lineitem(s, d).select("l_orderkey", "l_quantity", "l_returnflag")
       .write.mode("overwrite")
       .option("parquet.bloom.filter.enabled#l_orderkey", "true")

@@ -38,11 +38,14 @@ object SurfaceR11j extends QueryBatch {
     * Scale: one bounded fold per group over a days-bounded series; the
     * daily pre-agg is the distributed pass. */
   val lt77Theta: Q = (s, d) => {
+    // Per-row values quantized to the 1e-6 grid BEFORE the daily mean:
+    // qv = round(sum(quantized)/count) is an exact-integer-seeded
+    // division, identical cross-engine, where floor(avg(value)·1e6+0.5)
+    // on a raw avg sits one ulp from flipping (ADVICE r11, lt71 class).
     val daily = events(s, d)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(avg("value").as("v"))
-      .select(col("event_type"), col("day"),
-        expr("CAST(floor(v * 1000000 + 0.5) AS BIGINT)").as("qv"))
+      .agg(expr("CAST(floor(CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))" +
+        " AS DOUBLE) / count(*) + 0.5) AS BIGINT)").as("qv"))
     // ordinal j by day: collect the sorted series and fold — j is the
     // array position, so no window is needed at all
     val folded = daily
@@ -101,7 +104,8 @@ object SurfaceR11j extends QueryBatch {
       """WITH RECURSIVE daily AS (
         |  SELECT event_type,
         |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
-        |    CAST(floor(avg(value) * 1000000 + 0.5) AS BIGINT) AS qv
+        |    CAST(floor(CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+        |      AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS qv
         |  FROM events GROUP BY 1, 2),
         |idx AS (
         |  SELECT event_type, qv,

@@ -107,7 +107,15 @@ object SurfaceR6f extends QueryBatch {
   val oracleSql: Map[String, String] = Map(
     // PAVA's unique solution via the minimax closed form over the 11
     // distinct discount values; prefix sums make every range mean one
-    // subtraction + one division
+    // subtraction + one division.
+    // ACCEPTED KNIFE-EDGE (ADVICE r11, same class as the lt71 note):
+    // MLlib's float PAV pooling and this prefix-sum both sum raw
+    // l_extendedprice doubles in engine-chosen order, so a pooled mean
+    // landing exactly on an r4 rounding boundary at some SF could
+    // differ by one ulp and flip the 1e-4 digit. Unfixable without
+    // changing MLlib's fit input (quantizing the LABELS would change
+    // what the operator computes); green at sf0.001/0.01/0.1 and
+    // tripwired every round — if it ever flips, this note names why.
     "m22_isotonic" ->
       """WITH pts AS (
         |  SELECT l_discount AS feature,

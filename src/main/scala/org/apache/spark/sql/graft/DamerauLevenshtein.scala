@@ -32,12 +32,29 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object DamerauLevenshtein {
 
+  /** Inputs beyond this many UTF-8 bytes per side are rejected loudly.
+    * The unrestricted algorithm's transposition term reads row
+    * `da(ch)` — arbitrarily far back — so the FULL (n+2)×(m+2) matrix
+    * is irreducible (no rolling-rows variant exists, unlike plain
+    * Levenshtein); at document lengths that is ~4·|s|·|t| bytes PER ROW
+    * (two 10 KB strings ≈ 400 MB) and an executor OOM. The function is
+    * registered globally, so the short-key contract is enforced here,
+    * not left as a doc comment (ADVICE r11). 2 KB covers every
+    * name/label/code key; document-scale similarity belongs to the
+    * token-set family (lj2/lj3/lf6). */
+  val MaxBytes = 2048
+
   /** Static entry point shared by eval and generated code. */
   def distance(a: UTF8String, b: UTF8String): Long = {
     val s = a.getBytes
     val t = b.getBytes
     val n = s.length
     val m = t.length
+    if (n > MaxBytes || m > MaxBytes)
+      throw new IllegalArgumentException(
+        s"damerau_levenshtein: input exceeds $MaxBytes bytes ($n, $m) — " +
+          "the unrestricted algorithm allocates O(|s|*|t|) per row; use the " +
+          "token-set similarity operators for document-length inputs")
     if (n == 0) return m.toLong
     if (m == 0) return n.toLong
     // Lowrance–Wagner: d is (n+2)×(m+2) with a sentinel row/col of
