@@ -47,7 +47,14 @@ object CacheLifecycle {
     "lj3_containment",    // docArrs (3 consumers) — SurfaceR10f
     "m207_lasso_cd",      // standardized zt, 16 sweep passes — SurfaceR11h
     "lt14_bpe_merges",    // bpeLearn per-round word table — SurfaceR10
-    "lp79_bpe_apply")     // same trainer via SurfaceR11g
+    "lp79_bpe_apply",     // same trainer via SurfaceR11g
+    // MLlib-INTERNAL persists (observed by the r12 drive accounting,
+    // not ours to unpersist mid-query): ALS caches its user/item
+    // factor RDDs inside the fitted model; LDA's EM optimizer keeps
+    // its graph RDDs cached until the model is GC'd. The sweep still
+    // reclaims them right after each drive materialization.
+    "m7_als",
+    "m40_lda")
 
   /** Unpersist every persistent RDD and clear the SQL cache. Returns
     * the leak accounting. Safe ONLY between queries: unpersisting a

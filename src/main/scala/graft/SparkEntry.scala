@@ -187,7 +187,11 @@ object SparkEntry {
     graft.queries.SurfaceR11g,
     graft.queries.SurfaceR11h,
     graft.queries.SurfaceR11i,
-    graft.queries.SurfaceR11j)
+    graft.queries.SurfaceR11j,
+    graft.queries.SurfaceR12a,
+    graft.queries.SurfaceR12b,
+    graft.queries.SurfaceR12c,
+    graft.queries.SurfaceR12d)
 
   private def queryMaps: Seq[Map[String, (SparkSession, String) => DataFrame]] =
     batches.map(_.queries)

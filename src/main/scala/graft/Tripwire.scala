@@ -33,6 +33,11 @@ object SlopeGate {
   * Usage: runMain graft.Tripwire [sfDir]   (default /root/testdata/sf0.001)
   *   SPARK_GRAFT_TRIPWIRE_BUDGET_S  per-query ceiling, default 30
   *
+  * SPARK_GRAFT_ONLY=k1,k2 restricts the drive to the named keys — the
+  * decade-3 run (sf0.1 → the generated target/sf1) uses this to time
+  * the headline + heavy-probe subset under a long budget without
+  * paying an hours-long full-registry drive at 6 M rows.
+  *
   * SCALE-SLOPE MODE (round 11): the 30 s ceiling and the plan audit
   * catch shapes, but a super-linear operator that is merely FAST at
   * sf0.001 slips both. Set SPARK_GRAFT_SLOPE_DIR=/root/testdata/sf0.01
@@ -73,7 +78,12 @@ object Tripwire {
     val sc = spark.sparkContext
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
     var slowest = ("", 0.0)
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       def wall = (System.nanoTime() - t0) / 1e9
       QueryGuard.run(sc, s"tripwire-$name", Some(budgetS)) {
@@ -138,7 +148,7 @@ object Tripwire {
       sys.exit(1)
     }
     val mode = slopeDir.map(d => s" + slope vs $d").getOrElse("")
-    println(f"[tripwire] PASS: ${SparkEntry.queries.size} queries under ${budgetS}s$mode " +
+    println(f"[tripwire] PASS: ${selected.size} queries under ${budgetS}s$mode " +
       f"(slowest ${slowest._1} ${slowest._2}%.1fs)")
   }
 }
