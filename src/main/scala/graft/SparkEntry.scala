@@ -191,7 +191,9 @@ object SparkEntry {
     graft.queries.SurfaceR12a,
     graft.queries.SurfaceR12b,
     graft.queries.SurfaceR12c,
-    graft.queries.SurfaceR12d)
+    graft.queries.SurfaceR12d,
+    graft.queries.SurfaceR12e,
+    graft.queries.SurfaceR12f)
 
   private def queryMaps: Seq[Map[String, (SparkSession, String) => DataFrame]] =
     batches.map(_.queries)
