@@ -193,7 +193,9 @@ object SparkEntry {
     graft.queries.SurfaceR12c,
     graft.queries.SurfaceR12d,
     graft.queries.SurfaceR12e,
-    graft.queries.SurfaceR12f)
+    graft.queries.SurfaceR12f,
+    graft.queries.SurfaceR12g,
+    graft.queries.SurfaceR12h)
 
   private def queryMaps: Seq[Map[String, (SparkSession, String) => DataFrame]] =
     batches.map(_.queries)
