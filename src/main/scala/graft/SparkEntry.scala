@@ -195,7 +195,9 @@ object SparkEntry {
     graft.queries.SurfaceR12e,
     graft.queries.SurfaceR12f,
     graft.queries.SurfaceR12g,
-    graft.queries.SurfaceR12h)
+    graft.queries.SurfaceR12h,
+    graft.queries.SurfaceR12i,
+    graft.queries.SurfaceR12j)
 
   private def queryMaps: Seq[Map[String, (SparkSession, String) => DataFrame]] =
     batches.map(_.queries)
