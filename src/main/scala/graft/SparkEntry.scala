@@ -198,7 +198,8 @@ object SparkEntry {
     graft.queries.SurfaceR12h,
     graft.queries.SurfaceR12i,
     graft.queries.SurfaceR12j,
-    graft.queries.SurfaceR12k)
+    graft.queries.SurfaceR12k,
+    graft.queries.SurfaceR12l)
 
   private def queryMaps: Seq[Map[String, (SparkSession, String) => DataFrame]] =
     batches.map(_.queries)
