@@ -78,7 +78,25 @@ object Tripwire {
     val sc = spark.sparkContext
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
     var slowest = ("", 0.0)
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // SPARK_GRAFT_ONLY key validation (ADVICE r12, medium): a misspelled
+    // key list used to silently filter to an empty/partial set and let
+    // the slope gate record a vacuous "PASS: 0 queries". Unknown names
+    // or an empty selection now abort BEFORE any driving, exit 1.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.filterNot(SparkEntry.queries.contains)
+      if (unknown.nonEmpty) {
+        System.err.println(
+          s"[tripwire] FATAL: SPARK_GRAFT_ONLY names unknown key(s): " +
+            unknown.toSeq.sorted.mkString(", "))
+        spark.stop(); sys.exit(1)
+      }
+      if (names.isEmpty) {
+        System.err.println("[tripwire] FATAL: SPARK_GRAFT_ONLY selects zero keys")
+        spark.stop(); sys.exit(1)
+      }
+    }
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries

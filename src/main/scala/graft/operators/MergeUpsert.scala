@@ -27,12 +27,18 @@ import org.apache.spark.sql.functions._
   * (an anti-join + union formulation reads the source twice).
   *
   * Preconditions (standard SQL MERGE): `keys` are non-null and UNIQUE
-  * in `source` — with duplicate source keys a matched target row would
-  * fan out, which ANSI MERGE rejects at runtime. `source` must carry
-  * every `target` column (extra columns, e.g. the delete flag, are
-  * dropped from the output). The delete condition applies to MATCHED
-  * rows only; a not-matched source row flagged for delete is simply
-  * not inserted IS NOT the semantics — it inserts, exactly as
+  * in `source`. ANSI MERGE rejects duplicate source keys at runtime;
+  * THIS operator by default does NOT — a matched target row silently
+  * fans out into one output row per duplicate source row (a join, not
+  * an error). Pass `validateUniqueKeys = true` to get the ANSI
+  * behavior: one extra count-vs-distinct aggregate over `source`
+  * (a single shuffle on the merge keys, same keys the join shuffles
+  * on) that throws IllegalArgumentException naming the duplicate
+  * count before any output is produced. `source` must carry every
+  * `target` column (extra columns, e.g. the delete flag, are dropped
+  * from the output). The delete condition applies to MATCHED rows
+  * only; a not-matched source row flagged for delete is simply not
+  * inserted IS NOT the semantics — it inserts, exactly as
   * `WHEN NOT MATCHED THEN INSERT` says.
   *
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract area
@@ -44,13 +50,26 @@ object MergeUpsert {
       target: DataFrame,
       source: DataFrame,
       keys: Seq[String],
-      deleteCol: Option[String] = None): DataFrame = {
+      deleteCol: Option[String] = None,
+      validateUniqueKeys: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "mergeUpsert: at least one merge key")
     val dataCols = target.columns.toSeq
     require(keys.forall(dataCols.contains),
       s"mergeUpsert: keys ${keys.mkString(",")} must be target columns")
     require(dataCols.forall(source.columns.contains),
       "mergeUpsert: source must carry every target column")
+    if (validateUniqueKeys) {
+      // ANSI MERGE's duplicate-source-key rejection, opt-in: one
+      // aggregate over source (shuffles on the same merge keys the join
+      // will) comparing total rows vs distinct key tuples.
+      val Array(total, distinct) = source
+        .agg(count(lit(1)), countDistinct(keys.head, keys.tail: _*))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      require(total == distinct,
+        s"mergeUpsert: source has ${total - distinct} duplicate merge-key " +
+          s"row(s) on (${keys.mkString(",")}) — ANSI MERGE rejects this; " +
+          "dedup the source or drop validateUniqueKeys to accept fan-out")
+    }
     // Rename the source side up front: after a self-shaped join both
     // sides expose identical column names and resolution turns on
     // fragile alias scoping; explicit __s_ prefixes make every

@@ -42,8 +42,13 @@ object SurfaceR12b extends QueryBatch {
     * hash. */
   val t25ProcessingTime: Q = (s, d) => {
     val runId = java.util.UUID.randomUUID().toString.take(8)
-    val dir = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_t25_landing_$runId").getAbsolutePath
+    val dirFile = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_t25_landing_$runId")
+    val dir = dirFile.getAbsolutePath
+    // ADVICE r12: register cleanup BEFORE any throw site — the deadline
+    // IllegalStateException used to leak the landing dir and the sink
+    // temp view into the shared drive session (the s29/x21 idiom).
+    graft.QueryGuard.deleteRecOnExit(dirFile)
     val sink = s"graft_t25_$runId"
     val src = documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
     src.write.mode("overwrite").parquet(dir)
@@ -56,26 +61,30 @@ object SurfaceR12b extends QueryBatch {
     val q = stream.writeStream.format("memory").queryName(sink)
       .outputMode("complete")
       .trigger(Trigger.ProcessingTime("250 milliseconds")).start()
-    // external stop condition: poll the sink until the complete-mode
-    // snapshot covers the full input, bounded by a deadline so a wedged
-    // stream fails THIS query rather than hanging the drive
-    val deadline = System.nanoTime() + 120L * 1000000000L
-    var caughtUp = false
-    while (!caughtUp && System.nanoTime() < deadline) {
-      Thread.sleep(200L)
-      val got = s.table(sink).select(sum("n_docs")).collect()(0)
-      caughtUp = !got.isNullAt(0) && got.getLong(0) == expected
+    try {
+      // external stop condition: poll the sink until the complete-mode
+      // snapshot covers the full input, bounded by a deadline so a wedged
+      // stream fails THIS query rather than hanging the drive
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      var caughtUp = false
+      while (!caughtUp && System.nanoTime() < deadline) {
+        Thread.sleep(200L)
+        val got = s.table(sink).select(sum("n_docs")).collect()(0)
+        caughtUp = !got.isNullAt(0) && got.getLong(0) == expected
+      }
+      q.stop()
+      q.awaitTermination(30000L)
+      if (!caughtUp)
+        throw new IllegalStateException(
+          s"t25 processing-time stream did not cover $expected docs in 120s")
+      val out = s.table(sink).orderBy("source").collect().toSeq
+      val schema = s.table(sink).schema
+      s.createDataFrame(s.sparkContext.parallelize(out, 1), schema).orderBy("source")
+    } finally {
+      if (q.isActive) q.stop()
+      s.catalog.dropTempView(sink)
+      graft.QueryGuard.deleteRec(dirFile)
     }
-    q.stop()
-    q.awaitTermination(30000L)
-    if (!caughtUp)
-      throw new IllegalStateException(
-        s"t25 processing-time stream did not cover $expected docs in 120s")
-    val out = s.table(sink).orderBy("source").collect().toSeq
-    val schema = s.table(sink).schema
-    s.catalog.dropTempView(sink)
-    graft.QueryGuard.deleteRec(new java.io.File(dir))
-    s.createDataFrame(s.sparkContext.parallelize(out, 1), schema).orderBy("source")
   }
 
   // ---- LT78: Theil–Sen robust trend ----

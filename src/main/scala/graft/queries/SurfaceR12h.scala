@@ -34,15 +34,23 @@ object SurfaceR12h extends QueryBatch {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** X21: reliable checkpoint mid-pipeline. The checkpoint directory is
-    * per-invocation and cleaned on exit; the aggregate downstream of the
+  /** One stable per-JVM checkpoint root (ADVICE r12: the per-invocation
+    * dir left the session's checkpoint dir dangling after exit-cleanup
+    * when no prior dir existed — SparkContext has no unset API). Every
+    * x21 call points the session here; Spark writes each checkpoint
+    * into its own UUID subdir, and the whole root dies with the JVM. */
+  private lazy val ckptRoot: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_root_").toString
+    graft.QueryGuard.deleteRecOnExit(new java.io.File(dir))
+    dir
+  }
+
+  /** X21: reliable checkpoint mid-pipeline. The checkpoint root is
+    * JVM-stable and cleaned on exit; the aggregate downstream of the
     * checkpoint must equal the oracle's straight-through computation —
     * any loss/duplication through the file round-trip fails the hash. */
   val x21ReliableCheckpoint: Q = (s, d) => {
-    val dir = java.nio.file.Files.createTempDirectory("graft_x21_ckpt_").toString
-    graft.QueryGuard.deleteRecOnExit(new java.io.File(dir))
-    val prev = Option(s.sparkContext.getCheckpointDir.orNull)
-    s.sparkContext.setCheckpointDir(dir)
+    s.sparkContext.setCheckpointDir(ckptRoot)
     val enriched = orders(s, d)
       .join(customer(s, d), col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment"), col("o_orderpriority"),
@@ -57,25 +65,32 @@ object SurfaceR12h extends QueryBatch {
         r4(expr("CAST(sum(qprice) AS DOUBLE) / 1e4")).as("revenue"),
         countDistinct("o_orderpriority").as("n_priorities"))
       .orderBy("c_mktsegment")
-    prev.foreach(p => s.sparkContext.setCheckpointDir(p))
     out
   }
 
   /** M211: Wilson 95% score interval for P(o_orderstatus = 'F') per
     * order priority — lower/upper bounds plus the Wald half-width for
-    * contrast (Wilson never exits [0,1]; Wald does at the extremes). */
+    * contrast (Wilson never exits [0,1]; Wald does at the extremes).
+    *
+    * ADVICE r12: z*z as two literals diverged 1 ulp cross-engine
+    * (DuckDB squares the DECIMAL literal exactly before double
+    * promotion → ...125; the JVM squares the rounded double → ...1254).
+    * Fix: z² is a SINGLE shared literal, explicitly cast to DOUBLE in
+    * both texts so neither engine re-derives it, and z itself is
+    * likewise pinned to DOUBLE for the sqrt multiplier. */
   val m211WilsonCi: Q = (s, d) => {
-    val z = "1.959963984540054" // Φ⁻¹(0.975), shared literal
+    val z = "CAST(1.959963984540054 AS DOUBLE)" // Φ⁻¹(0.975)
+    val z2 = "CAST(3.8414588206941254 AS DOUBLE)" // z² squared in double
     orders(s, d).groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"),
         sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("c"))
       .selectExpr("o_orderpriority", "n", "c",
         "CAST(c AS DOUBLE) / n AS p")
       .selectExpr("o_orderpriority", "n", "c",
-        s"(p + $z * $z / (2 * n) - $z * sqrt(p * (1 - p) / n" +
-          s" + $z * $z / (4 * n * n))) / (1 + $z * $z / n) AS lo",
-        s"(p + $z * $z / (2 * n) + $z * sqrt(p * (1 - p) / n" +
-          s" + $z * $z / (4 * n * n))) / (1 + $z * $z / n) AS hi",
+        s"(p + $z2 / (2 * n) - $z * sqrt(p * (1 - p) / n" +
+          s" + $z2 / (4 * n * n))) / (1 + $z2 / n) AS lo",
+        s"(p + $z2 / (2 * n) + $z * sqrt(p * (1 - p) / n" +
+          s" + $z2 / (4 * n * n))) / (1 + $z2 / n) AS hi",
         "p")
       .select(col("o_orderpriority"), col("n"), col("c"),
         r4(col("p")).as("p_hat"), r4(col("lo")).as("wilson_lo"),
@@ -107,13 +122,13 @@ object SurfaceR12h extends QueryBatch {
         |       FROM agg)
         |SELECT o_orderpriority, n, c,
         |  round(p, 4) AS p_hat,
-        |  round((p + 1.959963984540054 * 1.959963984540054 / (2 * n)
-        |    - 1.959963984540054 * sqrt(p * (1 - p) / n
-        |      + 1.959963984540054 * 1.959963984540054 / (4 * n * n)))
-        |    / (1 + 1.959963984540054 * 1.959963984540054 / n), 4) AS wilson_lo,
-        |  round((p + 1.959963984540054 * 1.959963984540054 / (2 * n)
-        |    + 1.959963984540054 * sqrt(p * (1 - p) / n
-        |      + 1.959963984540054 * 1.959963984540054 / (4 * n * n)))
-        |    / (1 + 1.959963984540054 * 1.959963984540054 / n), 4) AS wilson_hi
+        |  round((p + CAST(3.8414588206941254 AS DOUBLE) / (2 * n)
+        |    - CAST(1.959963984540054 AS DOUBLE) * sqrt(p * (1 - p) / n
+        |      + CAST(3.8414588206941254 AS DOUBLE) / (4 * n * n)))
+        |    / (1 + CAST(3.8414588206941254 AS DOUBLE) / n), 4) AS wilson_lo,
+        |  round((p + CAST(3.8414588206941254 AS DOUBLE) / (2 * n)
+        |    + CAST(1.959963984540054 AS DOUBLE) * sqrt(p * (1 - p) / n
+        |      + CAST(3.8414588206941254 AS DOUBLE) / (4 * n * n)))
+        |    / (1 + CAST(3.8414588206941254 AS DOUBLE) / n), 4) AS wilson_hi
         |FROM p0 ORDER BY o_orderpriority""".stripMargin)
 }

@@ -56,6 +56,25 @@ class SurfaceR12aSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, "a"), (9L, "new")))
   }
 
+  test("q49: validateUniqueKeys rejects duplicate source keys by count") {
+    import spark.implicits._
+    val t = Seq((1L, "a")).toDF("k", "v")
+    val dup = Seq((1L, "x"), (1L, "y"), (2L, "z")).toDF("k", "v")
+    // default: silent fan-out (documented contract) — 1 matched row
+    // fans out to 2, plus the insert
+    assert(operators.MergeUpsert.mergeUpsert(t, dup, Seq("k")).count() === 3)
+    // opt-in ANSI behavior: throws, naming the duplicate count
+    val e = intercept[IllegalArgumentException] {
+      operators.MergeUpsert.mergeUpsert(t, dup, Seq("k"),
+        validateUniqueKeys = true)
+    }
+    assert(e.getMessage.contains("1 duplicate merge-key"))
+    // unique source passes validation unchanged
+    val uniq = Seq((1L, "x"), (2L, "z")).toDF("k", "v")
+    assert(operators.MergeUpsert.mergeUpsert(t, uniq, Seq("k"),
+      validateUniqueKeys = true).count() === 2)
+  }
+
   test("lg14: class counts partition the 2-paths") {
     val bad = census.where(
       col("n_open") + col("n_ffl") + col("n_cycle") + col("n_both")
