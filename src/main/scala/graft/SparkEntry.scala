@@ -199,7 +199,8 @@ object SparkEntry {
     graft.queries.SurfaceR12i,
     graft.queries.SurfaceR12j,
     graft.queries.SurfaceR12k,
-    graft.queries.SurfaceR12l)
+    graft.queries.SurfaceR12l,
+    graft.queries.SurfaceR13a)
 
   private def queryMaps: Seq[Map[String, (SparkSession, String) => DataFrame]] =
     batches.map(_.queries)
