@@ -200,7 +200,8 @@ object SparkEntry {
     graft.queries.SurfaceR12j,
     graft.queries.SurfaceR12k,
     graft.queries.SurfaceR12l,
-    graft.queries.SurfaceR13a)
+    graft.queries.SurfaceR13a,
+    graft.queries.SurfaceR13b)
 
   private def queryMaps: Seq[Map[String, (SparkSession, String) => DataFrame]] =
     batches.map(_.queries)

@@ -3,7 +3,8 @@ package graft.operators
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, when}
 
 /** Versioned snapshot table over a plain parquet directory — the
   * minimal lakehouse contract (VERDICT r12 item 2): MERGE-writes
@@ -104,6 +105,115 @@ object VersionedTable {
     val merged = MergeUpsert.mergeUpsert(
       target, changes, keys, deleteCol, validateUniqueKeys)
     writeSnapshot(baseDir, current + 1, merged)
+  }
+
+  /** OPTIMIZE: rewrite the latest snapshot into `numFiles` bin-packed
+    * files and commit the rewrite as the next version. Data is
+    * unchanged BY CONSTRUCTION (same frame, `coalesce` only merges
+    * partitions, never reorders rows within one) — the commit exists
+    * so readers atomically switch layouts and time travel still
+    * reaches the pre-compaction file set. At 100 TB this is the
+    * standard small-file compaction pass: `coalesce` is shuffle-free
+    * (each output file concatenates whole input partitions); use a
+    * [[ZOrder.cluster]] rewrite instead when re-clustering is the
+    * goal. Returns the new version. */
+  def compact(spark: SparkSession, baseDir: String, numFiles: Int): Int = {
+    val current = latestVersion(baseDir)
+    require(current > 0, s"VersionedTable.compact: $baseDir has no v1 — create() first")
+    writeSnapshot(baseDir, current + 1, read(spark, baseDir).coalesce(numFiles))
+  }
+
+  /** DELETE FROM t WHERE cond — commits the retained rows as the next
+    * version (copy-on-write deletes, the parquet-table strategy; a
+    * deletion-vector variant would keep files and mask rows). */
+  def deleteWhere(spark: SparkSession, baseDir: String, cond: Column): Int = {
+    val current = latestVersion(baseDir)
+    require(current > 0, s"VersionedTable.deleteWhere: $baseDir has no v1 — create() first")
+    writeSnapshot(baseDir, current + 1, read(spark, baseDir).where(!cond))
+  }
+
+  /** UPDATE t SET col = expr, ... WHERE cond — commits the rewritten
+    * rows as the next version. Assignments apply only where `cond`
+    * holds; all other rows pass through bit-unchanged. */
+  def updateWhere(
+      spark: SparkSession,
+      baseDir: String,
+      cond: Column,
+      assignments: Seq[(String, Column)]): Int = {
+    val current = latestVersion(baseDir)
+    require(current > 0, s"VersionedTable.updateWhere: $baseDir has no v1 — create() first")
+    val cur = read(spark, baseDir)
+    val updated = assignments.foldLeft(cur) { case (df, (c, e)) =>
+      require(cur.columns.contains(c),
+        s"VersionedTable.updateWhere: $c is not a column of $baseDir")
+      df.withColumn(c, when(cond, e).otherwise(col(c)))
+    }
+    writeSnapshot(baseDir, current + 1, updated)
+  }
+
+  /** Change data feed between two committed versions: one row per
+    * changed key, tagged `_change_type` ∈ {insert, delete,
+    * update_preimage, update_postimage} (the Delta CDF vocabulary).
+    * Diff semantics are BY KEY: a key present in both versions emits
+    * the pre/post pair only when any non-key column differs. One
+    * full-outer shuffle on the keys — the same at-scale plan as the
+    * MERGE that produced the versions; no driver-side diffing. */
+  def changes(
+      spark: SparkSession,
+      baseDir: String,
+      fromVersion: Int,
+      toVersion: Int,
+      keys: Seq[String]): DataFrame = {
+    require(fromVersion < toVersion,
+      s"VersionedTable.changes: fromVersion $fromVersion must precede toVersion $toVersion")
+    val pre  = readAsOf(spark, baseDir, fromVersion)
+    val post = readAsOf(spark, baseDir, toVersion)
+    val dataCols = pre.columns.toSeq
+    require(keys.forall(dataCols.contains),
+      s"VersionedTable.changes: keys ${keys.mkString(",")} must be table columns")
+    val nonKey = dataCols.filterNot(keys.contains)
+    val t = pre.select(dataCols.map(c => col(c).as(s"t_$c")): _*)
+    val s = post.select(dataCols.map(c => col(c).as(s"s_$c")): _*)
+    val joinCond = keys.map(k => col(s"t_$k") <=> col(s"s_$k")).reduce(_ && _)
+    val joined = t.join(s, joinCond, "full_outer")
+    val inPre  = keys.map(k => col(s"t_$k").isNotNull).reduce(_ && _)
+    val inPost = keys.map(k => col(s"s_$k").isNotNull).reduce(_ && _)
+    val differs =
+      if (nonKey.isEmpty) lit(false)
+      else nonKey.map(c => !(col(s"t_$c") <=> col(s"s_$c"))).reduce(_ || _)
+    def shaped(prefix: String, tag: String) =
+      dataCols.map(c => col(s"${prefix}_$c").as(c)) :+ lit(tag).as("_change_type")
+    val inserts = joined.where(!inPre && inPost).select(shaped("s", "insert"): _*)
+    val deletes = joined.where(inPre && !inPost).select(shaped("t", "delete"): _*)
+    val updPre  = joined.where(inPre && inPost && differs)
+      .select(shaped("t", "update_preimage"): _*)
+    val updPost = joined.where(inPre && inPost && differs)
+      .select(shaped("s", "update_postimage"): _*)
+    inserts.unionByName(deletes).unionByName(updPre).unionByName(updPost)
+  }
+
+  /** VACUUM: drop every committed version strictly below `keepFrom`.
+    * Publish-then-delete ordering — the manifest stops referencing the
+    * expired versions ATOMICALLY before any data dir is removed, so a
+    * concurrent reader either resolved the old manifest already (and
+    * races only against physical deletion, the same window every
+    * vacuum implementation has) or resolves the new one and never
+    * sees an expired version. Time travel below `keepFrom` then fails
+    * loudly in [[readAsOf]]'s committed-versions check. */
+  def expire(baseDir: String, keepFrom: Int): Seq[Int] = {
+    val vs = versions(baseDir)
+    require(vs.contains(keepFrom),
+      s"VersionedTable.expire: keepFrom $keepFrom not a committed version of $baseDir")
+    val (drop, keep) = vs.partition(_ < keepFrom)
+    publish(baseDir, keep)
+    drop.foreach { v =>
+      val dir = Paths.get(snapshotDir(baseDir, v))
+      if (Files.exists(dir)) {
+        Files.walk(dir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+    }
+    keep
   }
 
   /** Time travel: read the exact committed snapshot `version`. */

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Laws for round-13 batch 2: the lakehouse suite. The oracle
+  * hash-check is the authority for the registry keys; these pin the
+  * mechanisms a hash can't name — Morton-code bit math, zone-map
+  * conservatism (pruning never drops a matching row), CDF set algebra,
+  * copy-on-write DML, and publish-then-delete expiry ordering.
+  */
+class SurfaceR13bSpec extends SparkSpec {
+  import operators.{TableStats, VersionedTable, ZOrder}
+
+  private def freshRoot(): java.io.File = {
+    val f = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_r13b_spec_${java.util.UUID.randomUUID().toString.take(8)}")
+    QueryGuard.deleteRecOnExit(f)
+    f
+  }
+
+  // ---- ZOrder bit math ----
+
+  test("zorder: spread16/morton2 match a reference bit-interleave on samples") {
+    import spark.implicits._
+    def mortonRef(x: Int, y: Int): Long = {
+      var z = 0L
+      var i = 0
+      while (i < 16) {
+        z |= ((x >> i) & 1).toLong << (2 * i)
+        z |= ((y >> i) & 1).toLong << (2 * i + 1)
+        i += 1
+      }
+      z
+    }
+    val samples = Seq((0, 0), (1, 0), (0, 1), (255, 255), (65535, 65535),
+      (12345, 54321), (1, 65535), (32768, 1))
+    val got = samples.toDF("x", "y")
+      .select(col("x"), col("y"), ZOrder.morton2(col("x"), col("y")).as("z"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    samples.foreach { case (x, y) =>
+      assert(got((x, y)) === mortonRef(x, y), s"morton2($x, $y)")
+    }
+  }
+
+  test("zorder: morton locality — files cut from z-ranges bound both dims") {
+    import spark.implicits._
+    val root = freshRoot()
+    val df = (0 until 4096).map(i => (i % 64, (i / 64) % 64, i.toLong))
+      .toDF("x", "y", "v")
+    ZOrder.cluster(df, "x", "y", 16)
+      .write.parquet(root.getAbsolutePath)
+    val stats = TableStats.collect(spark, root.getAbsolutePath, Seq("x", "y"))
+      .collect()
+    // Each of the 16 files covers a z-range of 4096/16 = 256 z-values =
+    // one 16x16 tile (possibly straddling one boundary): both per-file
+    // spans must be far below the full 64-wide extent.
+    stats.foreach { r =>
+      val xSpan = r.getAs[Long]("x_max") - r.getAs[Long]("x_min")
+      val ySpan = r.getAs[Long]("y_max") - r.getAs[Long]("y_min")
+      assert(xSpan <= 32, s"x span $xSpan not tile-bounded")
+      assert(ySpan <= 32, s"y span $ySpan not tile-bounded")
+    }
+  }
+
+  // ---- TableStats conservatism ----
+
+  test("zone maps: pruned read is row-identical to full scan + filter") {
+    import spark.implicits._
+    val root = freshRoot()
+    val df = (1 to 10000).map(i => (i.toLong, (i * 7 % 1000).toLong)).toDF("k", "w")
+    df.repartitionByRange(8, col("k")).write.parquet(root.getAbsolutePath)
+    val stats = TableStats.collect(spark, root.getAbsolutePath, Seq("k"))
+    val (pruned, read, total) = TableStats.readPruned(spark, stats,
+      Seq(("k", 2500L, 4999L)))
+    assert(read < total, "a quarter-range predicate must prune on a range layout")
+    val got = pruned.orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = (2500 to 4999).map(i => (i.toLong, (i * 7 % 1000).toLong))
+    assert(got === want)
+  }
+
+  test("zone maps: all-files-pruned predicate fails loudly") {
+    import spark.implicits._
+    val root = freshRoot()
+    (1 to 100).map(_.toLong).toDF("k").write.parquet(root.getAbsolutePath)
+    val stats = TableStats.collect(spark, root.getAbsolutePath, Seq("k"))
+    val e = intercept[IllegalArgumentException] {
+      TableStats.readPruned(spark, stats, Seq(("k", 5000L, 6000L)))
+    }
+    assert(e.getMessage.contains("every file pruned"))
+  }
+
+  // ---- VersionedTable DML + CDF + expiry ----
+
+  test("change feed: insert/delete/update pre+post classify exactly") {
+    import spark.implicits._
+    val root = freshRoot().getAbsolutePath
+    VersionedTable.create(root,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    VersionedTable.writeVersion(spark, root,
+      Seq((2L, "b2", false), (3L, "c", true), (4L, "d", false)).toDF("k", "v", "del"),
+      Seq("k"), Some("del"))
+    val feed = VersionedTable.changes(spark, root, 1, 2, Seq("k"))
+      .orderBy("k", "_change_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(feed === Seq(
+      (2L, "b2", "update_postimage"), (2L, "b", "update_preimage"),
+      (3L, "c", "delete"),
+      (4L, "d", "insert")))
+    // k=1 unchanged: no row at all — the feed is the exact delta
+    assert(!feed.exists(_._1 == 1L))
+  }
+
+  test("deleteWhere/updateWhere commit versions; compact preserves rows") {
+    import spark.implicits._
+    val root = freshRoot().getAbsolutePath
+    val base = (1 to 100).map(i => (i.toLong, i.toLong * 10)).toDF("k", "w")
+    VersionedTable.create(root, base.repartition(16))
+    VersionedTable.deleteWhere(spark, root, col("k") % 10 === 0)
+    VersionedTable.updateWhere(spark, root, col("k") < 5,
+      Seq("w" -> (col("w") + 1L)))
+    VersionedTable.compact(spark, root, 2)
+    assert(VersionedTable.versions(root) === Seq(1, 2, 3, 4))
+    val want = (1 to 100).filter(_ % 10 != 0)
+      .map(i => (i.toLong, i.toLong * 10 + (if (i < 5) 1 else 0)))
+    def rows(v: Int) = VersionedTable.readAsOf(spark, root, v)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows(3) === want)
+    assert(rows(4) === want, "compaction must move bytes, not rows")
+    assert(rows(1).size === 100, "v1 untouched by the DML chain")
+  }
+
+  test("expire: manifest updates atomically, expired data dirs removed") {
+    import spark.implicits._
+    val root = freshRoot()
+    val p = root.getAbsolutePath
+    VersionedTable.create(p, Seq((1L, "a")).toDF("k", "v"))
+    VersionedTable.updateWhere(spark, p, lit(true), Seq("v" -> lit("b")))
+    VersionedTable.updateWhere(spark, p, lit(true), Seq("v" -> lit("c")))
+    assert(VersionedTable.expire(p, keepFrom = 2) === Seq(2, 3))
+    assert(VersionedTable.versions(p) === Seq(2, 3))
+    assert(!new java.io.File(root, "v1").exists())
+    intercept[IllegalArgumentException] {
+      VersionedTable.readAsOf(spark, p, 1)
+    }
+    // keepFrom must itself be committed
+    intercept[IllegalArgumentException] {
+      VersionedTable.expire(p, keepFrom = 1)
+    }
+    assert(VersionedTable.read(spark, p).collect().map(_.getString(1)).toSeq === Seq("c"))
+  }
+}
