@@ -201,7 +201,9 @@ object SparkEntry {
     graft.queries.SurfaceR12k,
     graft.queries.SurfaceR12l,
     graft.queries.SurfaceR13a,
-    graft.queries.SurfaceR13b)
+    graft.queries.SurfaceR13b,
+    graft.queries.SurfaceR13c,
+    graft.queries.SurfaceR13d)
 
   private def queryMaps: Seq[Map[String, (SparkSession, String) => DataFrame]] =
     batches.map(_.queries)

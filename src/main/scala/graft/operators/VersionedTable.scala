@@ -192,6 +192,28 @@ object VersionedTable {
     inserts.unionByName(deletes).unionByName(updPre).unionByName(updPost)
   }
 
+  /** ALTER TABLE ADD COLUMN — commits the widened schema as the next
+    * version, backfilling every existing row with `default` (a literal
+    * or an expression over existing columns). Earlier snapshots keep
+    * their narrower schema: time travel returns what the table LOOKED
+    * LIKE, exactly (the Delta/Iceberg schema-evolution contract;
+    * full-snapshot form makes it a rewrite here, while a metadata-only
+    * add at 100 TB leaves old files narrow and lets the reader
+    * backfill — the version/travel surface is unchanged by that
+    * storage choice). */
+  def addColumn(
+      spark: SparkSession,
+      baseDir: String,
+      name: String,
+      default: Column): Int = {
+    val current = latestVersion(baseDir)
+    require(current > 0, s"VersionedTable.addColumn: $baseDir has no v1 — create() first")
+    val cur = read(spark, baseDir)
+    require(!cur.columns.contains(name),
+      s"VersionedTable.addColumn: $name already exists in $baseDir")
+    writeSnapshot(baseDir, current + 1, cur.withColumn(name, default))
+  }
+
   /** VACUUM: drop every committed version strictly below `keepFrom`.
     * Publish-then-delete ordering — the manifest stops referencing the
     * expired versions ATOMICALLY before any data dir is removed, so a

@@ -275,10 +275,26 @@ object LlmOps extends QueryBatch {
       .select(col("e.term").as("term"), col("e.min_count").as("n"))
       .orderBy("term")
 
-  /** IVF ANN (rows-only): KMeans coarse quantizer + nprobe cell search. */
-  val liIvfAnn: Q = (s, d) =>
-    Similarity.ivfTopK(embeddings(s, d), 3, nlist = 8, nprobe = 3)
+  /** IVF ANN (rows-only): KMeans coarse quantizer + nprobe cell search.
+    * All-queries form — the kNN-GRAPH construction workload (l4c is the
+    * bounded-query serving twin). nlist grows with corpus size so cells
+    * stay ~512 vectors and candidate volume is O(n·nprobe·512), LINEAR
+    * in n — a fixed nlist makes cells O(n) and the search O(n²), which
+    * is exactly the r13 sf1 slope breach (5.4 s → 193 s on 10×). The
+    * quantizer fit is bounded the same way: a seeded ≤8192-row sample,
+    * so KMeans cost is O(nlist·8192·dim), never O(nlist·n). Below
+    * n = 4096 both knobs hit their floors (nlist = 8, full fit), so
+    * every driver-checked SF (≤2000 vectors) is bit-identical to the
+    * fixed-constant form. */
+  val liIvfAnn: Q = (s, d) => {
+    val e = embeddings(s, d)
+    val n = math.max(1L, e.count()) // metadata-only count
+    val nlist = math.max(8L, (n + 511L) / 512L).toInt
+    val fitFrac = math.min(1.0, 8192.0 / n)
+    Similarity.ivfTopK(e, 3, nlist = nlist, nprobe = 3,
+      fitSampleFraction = fitFrac)
       .orderBy("q_id", "rn")
+  }
 
   /** SimHash signatures (no-oracle: xxhash64 seeds are engine-specific). */
   val lsSimhash: Q = (s, d) =>
