@@ -134,7 +134,7 @@ object SurfaceR13d extends QueryBatch {
           |  DECLARE v_band INT DEFAULT 0;
           |  DECLARE v_acc BIGINT DEFAULT 0;
           |  DECLARE v_result MAP<INT, BIGINT> DEFAULT CAST(map() AS MAP<INT, BIGINT>);
-          |  CREATE TEMPORARY VIEW x33_bands_src AS
+          |  CREATE OR REPLACE TEMPORARY VIEW x33_bands_src AS
           |    SELECT CAST(o_orderkey % 4 AS INT) AS band,
           |           CAST(floor(o_totalprice * 100 + 5e-1) AS BIGINT) AS qprice
           |    FROM x33_orders;
@@ -147,7 +147,13 @@ object SurfaceR13d extends QueryBatch {
           |  SELECT explode(v_result) AS (band, qsum);
           |END""".stripMargin)
         .orderBy("band")
-    } finally s.catalog.dropTempView("x33_orders")
+    } finally {
+      // the script's own view must not leak into the next drive of this
+      // key (OR REPLACE above guards the same race; both are needed —
+      // the second drive may interleave with a concurrent session user)
+      s.catalog.dropTempView("x33_bands_src")
+      s.catalog.dropTempView("x33_orders")
+    }
   }
 
   // ---- F31: SQL UDFs (CREATE FUNCTION … RETURN expr) ----
