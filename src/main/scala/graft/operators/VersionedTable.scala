@@ -123,6 +123,21 @@ object VersionedTable {
     writeSnapshot(baseDir, current + 1, read(spark, baseDir).coalesce(numFiles))
   }
 
+  /** Commit an arbitrary frame as the next version — the general
+    * commit primitive the specialized ops (merge/compact/DML) build
+    * on; exposed for pipelines whose new state is computed outside the
+    * table (e.g. a cascade anti-join against ANOTHER table's keys,
+    * q62). The frame must carry the table's schema. */
+  def commitNext(spark: SparkSession, baseDir: String, df: DataFrame): Int = {
+    val current = latestVersion(baseDir)
+    require(current > 0, s"VersionedTable.commitNext: $baseDir has no v1 — create() first")
+    val cur = read(spark, baseDir).columns.toSeq
+    require(df.columns.toSeq.sorted == cur.sorted,
+      s"VersionedTable.commitNext: schema mismatch — table has ${cur.mkString(",")}, " +
+        s"frame has ${df.columns.mkString(",")}")
+    writeSnapshot(baseDir, current + 1, df.select(cur.map(col): _*))
+  }
+
   /** DELETE FROM t WHERE cond — commits the retained rows as the next
     * version (copy-on-write deletes, the parquet-table strategy; a
     * deletion-vector variant would keep files and mask rows). */

@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.VersionedTable
+
+/** Round-13 surface batch 6: referential-cascade deletion (the
+  * right-to-be-forgotten pipeline, q62) and MinHash-LSH parameter
+  * auto-tuning (lt87).
+  *
+  * Contrast with near-siblings: q56 deletes rows from ONE table by
+  * predicate; q62 forgets an ENTITY across a table GRAPH — the seed
+  * predicate picks customers, the cascade anti-joins orders off the
+  * surviving customers and lineitem off the surviving orders, and
+  * every step is a committed, time-travelable version (the audit
+  * trail a compliance delete needs). l2/l2b RUN MinHash banding at
+  * fixed (bands, rows); lt87 picks those constants — the closed-form
+  * S-curve arithmetic (P(candidate) = 1 − (1 − s^r)^b, per Leskovec/
+  * Rajaraman/Ullman, Mining of Massive Datasets ch. 3) swept over the
+  * divisor grid of the signature length, minimizing FP+FN mass
+  * against a target threshold. Tuning is pure per-row math (a
+  * sequence-literal cross product — no data scan at all), so the
+  * oracle replays it exactly.
+  *
+  * Reference: /root/reference is empty (SURVEY.md §0.1); contract
+  * areas SURVEY.md §2.11 + §2.13.
+  */
+object SurfaceR13f extends QueryBatch {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def scratch(tag: String): java.io.File = {
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_${tag}_${java.util.UUID.randomUUID().toString.take(8)}")
+    graft.QueryGuard.deleteRecOnExit(root)
+    root
+  }
+
+  // ---- Q62: cascading forget across a table graph ----
+
+  /** Q62: forget every mod-13 customer across three versioned tables.
+    * Cascade order is parent-first: customers lose the seed rows,
+    * orders anti-join the FORGOTTEN keys, lineitem anti-joins the
+    * forgotten ORDER keys — two anti-join shuffles, each on the
+    * child's foreign key, the minimal at-scale plan (no fact-table
+    * rescans beyond one pass each). Every table commits v2, so the
+    * pre-forget state stays auditable (and expirable via q57's
+    * retention op once the legal hold lapses). Output: per-table v2
+    * row counts plus orphan checks (zero orders of forgotten
+    * customers, zero lineitems of forgotten orders) folded into the
+    * hash. */
+  val q62CascadeForget: Q = (s, d) => {
+    val root = scratch("q62")
+    val custDir = new java.io.File(root, "customer").getAbsolutePath
+    val ordDir = new java.io.File(root, "orders").getAbsolutePath
+    val liDir = new java.io.File(root, "lineitem").getAbsolutePath
+    VersionedTable.create(custDir, customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment")))
+    VersionedTable.create(ordDir, orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey")))
+    VersionedTable.create(liDir, lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber")))
+    // seed: the entities to forget
+    val forgetCust = col("c_custkey") % 13 === 0
+    VersionedTable.deleteWhere(s, custDir, forgetCust)
+    // cascade to orders: drop rows whose customer is gone
+    val keptCust = VersionedTable.read(s, custDir).select(col("c_custkey"))
+    val ordV1 = VersionedTable.readAsOf(s, ordDir, 1)
+    VersionedTable.commitNext(s, ordDir, ordV1.join(keptCust,
+      ordV1("o_custkey") === keptCust("c_custkey"), "left_semi"))
+    // cascade to lineitem: drop rows whose order is gone
+    val keptOrd = VersionedTable.read(s, ordDir).select(col("o_orderkey"))
+    val liV1 = VersionedTable.readAsOf(s, liDir, 1)
+    VersionedTable.commitNext(s, liDir, liV1.join(keptOrd,
+      liV1("l_orderkey") === keptOrd("o_orderkey"), "left_semi"))
+    // orphan audits: forgotten parents must have zero surviving children
+    val forgottenCust = VersionedTable.readAsOf(s, custDir, 1)
+      .where(forgetCust).select("c_custkey")
+    val orphanOrders = VersionedTable.read(s, ordDir)
+      .join(forgottenCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .count()
+    val droppedOrd = ordV1
+      .join(VersionedTable.read(s, ordDir).select("o_orderkey"),
+        Seq("o_orderkey"), "left_anti")
+      .select("o_orderkey")
+    val orphanLis = VersionedTable.read(s, liDir)
+      .join(droppedOrd, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .count()
+    import s.implicits._
+    Seq(
+      ("customer_v2", VersionedTable.read(s, custDir).count()),
+      ("lineitem_v2", VersionedTable.read(s, liDir).count()),
+      ("orders_v2", VersionedTable.read(s, ordDir).count()),
+      ("orphan_lineitems", orphanLis),
+      ("orphan_orders", orphanOrders))
+      .toDF("tbl", "n")
+      .orderBy("tbl")
+  }
+
+  // ---- LT87: MinHash-LSH (bands, rows) auto-tuning ----
+
+  /** LT87: for a 128-hash MinHash signature and a 0.8 Jaccard target,
+    * sweep every (b, r) with b·r = 128 and score the S-curve
+    * P(s) = 1 − (1 − s^r)^b: false-positive mass = ∫P below the
+    * threshold, false-negative mass = ∫(1−P) above it (midpoint rule
+    * on a fixed 0.01 grid — pure arithmetic, both engines replay it
+    * bit-for-bit after the r6 quantization). Output: the full scored
+    * grid ordered by total error — row one is the tuning answer
+    * (what l2b should run). No table scan at all: the frame is a
+    * sequence literal, the kind of metadata-only query a planner
+    * constant-folds. */
+  val lt87LshTuning: Q = (s, d) => {
+    import s.implicits._
+    val n = 128
+    val configs = (1 to n).filter(n % _ == 0).map(r => (n / r, r)) // (b, r)
+    val threshold = 0.8
+    val grid = BigDecimal(0.005) to BigDecimal(0.995) by BigDecimal(0.01)
+    val scored = configs.map { case (b, r) =>
+      var fp = 0.0
+      var fn = 0.0
+      grid.foreach { sBD =>
+        val sim = sBD.toDouble
+        val p = 1.0 - math.pow(1.0 - math.pow(sim, r.toDouble), b.toDouble)
+        if (sim < threshold) fp += p * 0.01 else fn += (1.0 - p) * 0.01
+      }
+      (b, r, fp, fn, fp + fn)
+    }
+    scored.toDF("b", "r", "fp_mass", "fn_mass", "total_err")
+      .select(col("b"), col("r"),
+        graft.Orc.rN(col("fp_mass"), 6).as("fp6"),
+        graft.Orc.rN(col("fn_mass"), 6).as("fn6"),
+        graft.Orc.rN(col("total_err"), 6).as("err6"))
+      .orderBy("err6", "b")
+  }
+
+  // ---- registry ----
+
+  val queries: Map[String, Q] = Map(
+    "q62_cascade_forget" -> q62CascadeForget,
+    "lt87_lsh_tuning" -> lt87LshTuning)
+
+  val oracleSql: Map[String, String] = Map(
+    "q62_cascade_forget" ->
+      """WITH kept_c AS (SELECT c_custkey FROM customer WHERE c_custkey % 13 <> 0),
+        |kept_o AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM kept_c)),
+        |kept_l AS (
+        |  SELECT l_orderkey FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM kept_o))
+        |SELECT 'customer_v2' AS tbl, CAST(count(*) AS BIGINT) AS n FROM kept_c
+        |UNION ALL SELECT 'lineitem_v2', CAST(count(*) AS BIGINT) FROM kept_l
+        |UNION ALL SELECT 'orders_v2', CAST(count(*) AS BIGINT) FROM kept_o
+        |UNION ALL SELECT 'orphan_lineitems', 0
+        |UNION ALL SELECT 'orphan_orders', 0
+        |ORDER BY tbl""".stripMargin,
+    "lt87_lsh_tuning" ->
+      """WITH cfg AS (
+        |  SELECT 128 // r AS b, r FROM generate_series(1, 128) AS t(r)
+        |  WHERE 128 % r = 0),
+        |grid AS (
+        |  SELECT 0.005 + 0.01 * i AS s FROM generate_series(0, 99) AS g(i)),
+        |scored AS (
+        |  SELECT b, r,
+        |    sum(CASE WHEN s < 0.8
+        |      THEN (1 - pow(1 - pow(s, r), b)) * 0.01 ELSE 0 END) AS fp_mass,
+        |    sum(CASE WHEN s >= 0.8
+        |      THEN pow(1 - pow(s, r), b) * 0.01 ELSE 0 END) AS fn_mass
+        |  FROM cfg, grid GROUP BY b, r)
+        |SELECT CAST(b AS INTEGER) AS b, CAST(r AS INTEGER) AS r,
+        |  round(fp_mass, 6) AS fp6, round(fn_mass, 6) AS fn6,
+        |  round(fp_mass + fn_mass, 6) AS err6
+        |FROM scored
+        |ORDER BY err6, b""".stripMargin)
+}

@@ -65,6 +65,21 @@ class SurfaceR13cSpec extends SparkSpec {
     assert(mv1 === Seq(("a", 2L, 30L)))
   }
 
+  test("commitNext: column order normalizes; schema mismatch fails by name") {
+    import spark.implicits._
+    val root = freshRoot()
+    VersionedTable.create(root, Seq((1L, "a")).toDF("k", "v"))
+    // reordered columns are fine — commitNext normalizes to table order
+    VersionedTable.commitNext(spark, root,
+      Seq(("b", 2L)).toDF("v", "k"))
+    assert(VersionedTable.read(spark, root).columns.toSeq === Seq("k", "v"))
+    assert(VersionedTable.read(spark, root).collect()(0).getLong(0) === 2L)
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.commitNext(spark, root, Seq((3L, "c", 1)).toDF("k", "v", "extra"))
+    }
+    assert(e.getMessage.contains("schema mismatch"))
+  }
+
   test("addColumn: rejects an existing name; v1 keeps the narrow schema") {
     import spark.implicits._
     val root = freshRoot()
