@@ -27,7 +27,32 @@ import org.apache.spark.sql.streaming.Trigger
 class StreamingCrashRecoverySpec extends SparkSpec {
 
   test("t6b RocksDB query killed mid-batch recovers to exact per-user counts") {
+    crashRecoveryScenario(Map.empty)
+  }
+
+  test("t6b recovery holds under RocksDB CHANGELOG checkpointing") {
+    // changelog mode uploads per-batch deltas instead of full RocksDB
+    // snapshots — faster commits, but recovery must REPLAY the
+    // changelog onto the last snapshot, which is exactly the path a
+    // mid-batch kill stresses (an unflushed changelog for the failed
+    // attempt must not be applied twice)
+    crashRecoveryScenario(Map(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        -> "true"))
+  }
+
+  private def crashRecoveryScenario(extraConfs: Map[String, String]): Unit = {
     val s = spark
+    val prevExtra = extraConfs.keys.map(k => k -> s.conf.getOption(k)).toSeq
+    extraConfs.foreach { case (k, v) => s.conf.set(k, v) }
+    try crashRecoveryBody(s)
+    finally prevExtra.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  private def crashRecoveryBody(s: org.apache.spark.sql.SparkSession): Unit = {
     val base = java.nio.file.Files.createTempDirectory("graft_crash_").toString
     QueryGuard.deleteRecOnExit(new java.io.File(base))
     val landing = s"$base/landing"
