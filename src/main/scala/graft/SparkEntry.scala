@@ -205,7 +205,8 @@ object SparkEntry {
     graft.queries.SurfaceR13c,
     graft.queries.SurfaceR13d,
     graft.queries.SurfaceR13e,
-    graft.queries.SurfaceR13f)
+    graft.queries.SurfaceR13f,
+    graft.queries.SurfaceR13g)
 
   private def queryMaps: Seq[Map[String, (SparkSession, String) => DataFrame]] =
     batches.map(_.queries)

@@ -79,6 +79,8 @@ object SurfaceR13e extends QueryBatch {
     val sk = base.where(col("st").isin("F", "O"))
       .groupBy("st").agg(SketchAggs.thetaSketch(col("ck"), 12).as("sk"))
       .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    require(sk.contains("F") && sk.contains("O"),
+      s"a36: fixture is missing an order status — have ${sk.keys.mkString(",")}, need F and O")
     val (fBytes, oBytes) = (sk("F"), sk("O"))
     val estF = SketchAggs.thetaEstimate(fBytes)
     val estO = SketchAggs.thetaEstimate(oBytes)
