@@ -84,12 +84,19 @@ object SurfaceR13c extends QueryBatch {
     try {
       keep.foreach { case (k, v) => s.conf.set(k, v) }
       // no orderBy here: a global sort would append a legitimate range
-      // Exchange and mask the assertion; rows re-sort after collect
+      // Exchange and mask the assertion; rows re-sort after collect.
+      // The post-agg residue filter (a narrow Filter, never an
+      // Exchange) bounds the collected readout to ~1/16 of the
+      // orderkeys — the configs are session-localized, so the result
+      // must materialize while they are live (the s30 pattern), and an
+      // unfiltered per-orderkey collect is O(fact keys) driver memory
+      // at sf1+
       val out = s.table(s"$db.ord_b")
         .join(s.table(s"$db.li_b"), col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderkey")
         .agg(count(lit(1)).as("n_li"), sum("qp").as("qsum"),
           max("o_custkey").as("custkey"))
+        .where(col("o_orderkey") % 16 === 0)
       val rows = out.collect().toSeq // executes under the live configs
       val plan = out.queryExecution.executedPlan.toString
       require(!plan.contains("Exchange"),
@@ -308,6 +315,7 @@ object SurfaceR13c extends QueryBatch {
         |  max(o_custkey) AS custkey
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderkey
+        |HAVING o_orderkey % 16 = 0
         |ORDER BY o_orderkey""".stripMargin,
     "s34_cbo_stats" ->
       """WITH mx AS (SELECT max(o_custkey) AS m FROM orders)
