@@ -14,6 +14,9 @@
 #                         COMPUTE by design (anchor for l4c)
 #
 # Usage: scripts/slope_full.sh [keysFile] [batchSize]
+#   keysFile: one registry key per line — regenerate with
+#     java -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+#       graft.DumpKeys > /tmp/all_keys.txt
 set -uo pipefail
 cd "$(dirname "$0")/.."
 

@@ -246,8 +246,10 @@ object VersionedTable {
     drop.foreach { v =>
       val dir = Paths.get(snapshotDir(baseDir, v))
       if (Files.exists(dir)) {
-        Files.walk(dir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        val walk = Files.walk(dir) // stream holds directory handles — close it
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
           .forEach(p => Files.deleteIfExists(p))
+        finally walk.close()
       }
     }
     keep
