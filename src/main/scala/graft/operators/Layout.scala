@@ -22,9 +22,16 @@ object Layout {
   /** Morton (Z-order) interleave of two bucket ids: bit i of `a` lands at
     * position 2i+1, bit i of `b` at 2i. Pure shift/mask column algebra —
     * stays in whole-stage codegen, no UDF.
+    *
+    * The 16-bit default delegates to [[ZOrder.morton2]]'s magic-mask
+    * bit spreading (≈12 expression nodes vs ≈96 for the per-bit fold —
+    * same value bit-for-bit: `zValue(a, b)` places a on odd bits, which
+    * is `morton2(x = b, y = a)`). The fold remains for non-default
+    * widths.
     */
   def zValue(a: Column, b: Column, bits: Int = 16): Column =
-    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+    if (bits == 16) ZOrder.morton2(b, a)
+    else (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
       acc
         .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1))
         .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))

@@ -19,6 +19,15 @@ import org.apache.spark.sql.functions._
   * of Delta Lake's OPTIMIZE ZORDER BY and Databricks' liquid
   * clustering — reimplemented here from the published technique).
   *
+  * Contrast with [[Layout.writeZOrdered]] (lp31): Layout wraps the
+  * interleave for CONTINUOUS domains — broadcast min/max bounds,
+  * linear bucketization, then write; this object exposes the raw
+  * fixed-width interleave as a reusable `Column` plus a
+  * frame-returning `cluster` that composes with [[VersionedTable]] /
+  * [[TableStats]] instead of writing directly. One interleave
+  * implementation serves both: `Layout.zValue` delegates here for its
+  * 16-bit default.
+  *
   * Scale shape: clustering = ONE range-shuffle on the z-value (the same
   * cost as any global sort-write), after which selective scans prune at
   * file granularity forever. At 100 TB the range shuffle is the

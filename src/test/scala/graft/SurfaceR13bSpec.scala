@@ -42,6 +42,24 @@ class SurfaceR13bSpec extends SparkSpec {
     }
   }
 
+  test("zorder: Layout.zValue 16-bit delegation equals the per-bit fold") {
+    import spark.implicits._
+    // the old fold, inlined as the reference (a at odd bits, b at even)
+    def foldRef(a: Long, b: Long): Long =
+      (0 until 16).foldLeft(0L) { (acc, i) =>
+        acc | (((a >> i) & 1L) << (2 * i + 1)) | (((b >> i) & 1L) << (2 * i))
+      }
+    val samples = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (12345L, 54321L), (40000L, 7L), (65536L + 5L, 3L)) // incl. >16-bit input
+    val got = samples.toDF("a", "b")
+      .select(col("a"), col("b"),
+        operators.Layout.zValue(col("a"), col("b")).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    samples.foreach { case (a, b) =>
+      assert(got((a, b)) === foldRef(a & 0xFFFFL, b & 0xFFFFL), s"zValue($a, $b)")
+    }
+  }
+
   test("zorder: morton locality — files cut from z-ranges bound both dims") {
     import spark.implicits._
     val root = freshRoot()
