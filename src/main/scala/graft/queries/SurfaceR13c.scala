@@ -17,11 +17,18 @@ import graft.operators.VersionedTable
   * RUNTIME over unorganized data — s33 removes the shuffle
   * STRUCTURALLY by bucketing both sides at write time (the 100 TB
   * co-location discipline: pay one layout shuffle once, join free
-  * forever). j1 broadcasts because the DIM FILE is small — s34
-  * broadcasts because COLUMN STATISTICS prove a filtered dim is small,
-  * which file size alone cannot (CBO). lp26/q55 move CDC in/out of
-  * tables — q58 consumes the feed to maintain a grouped AGGREGATE
-  * incrementally, never rescanning the fact table.
+  * forever). s21 exercises the same Bucketing op but hash-checks only
+  * the VALUES — s33 REQUIREs the Exchange-free executed plan (the s30
+  * fail-loudly posture), rides the bucketing through the downstream
+  * same-key aggregate too, and isolates its tables in a per-invocation
+  * scratch database instead of fixed warehouse names (the s29
+  * shared-session-race class). j1 broadcasts because the DIM FILE is
+  * small — s34 broadcasts because COLUMN STATISTICS prove a filtered
+  * dim is small, which file size alone cannot (CBO). lp32 merges
+  * partial aggregate states for APPEND-ONLY batches — q58 consumes a
+  * change feed with UPDATES and DELETES (signed contributions, the
+  * thing state-merge cannot subtract); lp26/q55 move the CDC rows
+  * themselves in/out of tables.
   *
   * Catalog scratch: s33/s34 need real catalog tables (bucket metadata
   * and ANALYZE statistics live in the catalog, not in files), so each
