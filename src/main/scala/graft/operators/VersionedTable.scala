@@ -138,6 +138,25 @@ object VersionedTable {
     writeSnapshot(baseDir, current + 1, df.select(cur.map(col): _*))
   }
 
+  /** OPTIMIZE … ZORDER BY (x, y): rewrite the latest snapshot
+    * Morton-clustered on two 16-bit-folded key columns and commit it —
+    * [[compact]]'s re-CLUSTERING sibling (compact merges small files
+    * without moving rows between them; this pays one range shuffle to
+    * make zone maps prune on both keys, per [[ZOrder.cluster]]). Rows
+    * are unchanged; only layout moves — time travel still reaches the
+    * pre-rewrite file set. */
+  def rewriteClustered(
+      spark: SparkSession,
+      baseDir: String,
+      xCol: String,
+      yCol: String,
+      numFiles: Int): Int = {
+    val current = latestVersion(baseDir)
+    require(current > 0, s"VersionedTable.rewriteClustered: $baseDir has no v1 — create() first")
+    writeSnapshot(baseDir, current + 1,
+      ZOrder.cluster(read(spark, baseDir), xCol, yCol, numFiles))
+  }
+
   /** DELETE FROM t WHERE cond — commits the retained rows as the next
     * version (copy-on-write deletes, the parquet-table strategy; a
     * deletion-vector variant would keep files and mask rows). */

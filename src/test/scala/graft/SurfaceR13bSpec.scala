@@ -80,6 +80,35 @@ class SurfaceR13bSpec extends SparkSpec {
     }
   }
 
+  test("rewriteClustered: OPTIMIZE ZORDER commits a version, moves bytes not rows") {
+    import spark.implicits._
+    val root = freshRoot().getAbsolutePath
+    val df = (0 until 4096).map(i => ((i * 7 % 64).toLong, (i * 13 % 64).toLong, i.toLong))
+      .toDF("x", "y", "v")
+    VersionedTable.create(root, df.repartition(16))
+    VersionedTable.rewriteClustered(spark, root, "x", "y", 8)
+    assert(VersionedTable.versions(root) === Seq(1, 2))
+    // rows identical across the rewrite
+    def rows(ver: Int) = VersionedTable.readAsOf(spark, root, ver)
+      .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows(1) === rows(2))
+    // layout actually clustered: the property that matters is PRUNING —
+    // a quarter-box predicate must skip files on the rewritten layout
+    // and cannot skip any on the random-partitioned v1 (per-file spans
+    // there are full-width). Exact per-file span bounds would be
+    // brittle: repartitionByRange samples its boundaries, so one file
+    // can straddle two Morton tiles.
+    def pruned(ver: Int): (Int, Int) = {
+      val st = TableStats.collect(spark, s"$root/v$ver", Seq("x", "y"))
+      val hit = TableStats.prunedPaths(st, Seq(("x", 0L, 15L), ("y", 0L, 15L))).size
+      (hit, st.count().toInt)
+    }
+    val (hit1, total1) = pruned(1)
+    val (hit2, total2) = pruned(2)
+    assert(hit1 === total1, s"v1 unexpectedly clustered ($hit1 of $total1)")
+    assert(hit2 * 2 < total2, s"v2 box scan not pruned ($hit2 of $total2)")
+  }
+
   // ---- TableStats conservatism ----
 
   test("zone maps: pruned read is row-identical to full scan + filter") {
