@@ -125,6 +125,42 @@ class SurfaceR13bSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("zone maps: conjunctive bounds — surviving one dim but not the other prunes") {
+    import spark.implicits._
+    val root = freshRoot()
+    // x clustered ascending, y descending: every file's x-zone and
+    // y-zone select DIFFERENT file subsets, so the conjunction must
+    // intersect them
+    val df = (0 until 1024).map(i => (i.toLong, (1023 - i).toLong)).toDF("x", "y")
+    df.repartitionByRange(8, col("x")).write.parquet(root.getAbsolutePath)
+    val stats = TableStats.collect(spark, root.getAbsolutePath, Seq("x", "y"))
+    val xOnly = TableStats.prunedPaths(stats, Seq(("x", 0L, 127L))).toSet
+    val yOnly = TableStats.prunedPaths(stats, Seq(("y", 0L, 127L))).toSet
+    val both = TableStats.prunedPaths(stats,
+      Seq(("x", 0L, 127L), ("y", 0L, 127L))).toSet
+    assert(both === (xOnly intersect yOnly))
+    // with this data x∈[0,127] ⇒ y∈[896,1023]: the conjunction with
+    // y∈[0,127] is empty at FILE level too
+    assert(both.isEmpty)
+  }
+
+  test("change feed: a null→value transition in a non-key column is an update") {
+    import spark.implicits._
+    val root = freshRoot().getAbsolutePath
+    VersionedTable.create(root,
+      Seq((1L, Option.empty[String]), (2L, Some("b"))).toDF("k", "v"))
+    VersionedTable.writeVersion(spark, root,
+      Seq((1L, Some("a"), false), (2L, Option.empty[String], false))
+        .toDF("k", "v", "del"),
+      Seq("k"))
+    // both rows changed: null→"a" and "b"→null — the <=> comparison
+    // must see both directions (a plain <> would see neither)
+    val feed = VersionedTable.changes(spark, root, 1, 2, Seq("k"))
+      .groupBy("_change_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(feed === Map("update_preimage" -> 2L, "update_postimage" -> 2L))
+  }
+
   test("zone maps: all-files-pruned predicate fails loudly") {
     import spark.implicits._
     val root = freshRoot()
