@@ -172,6 +172,35 @@ class SurfaceR13bSpec extends SparkSpec {
     assert(e.getMessage.contains("every file pruned"))
   }
 
+  test("zone maps: an all-null stat column prunes the file (nulls match no range)") {
+    import spark.implicits._
+    val root = freshRoot()
+    // file A: real values 1..100; file B: all-null k (two writes → two files)
+    Seq.tabulate(100)(i => Some((i + 1).toLong)).toDF("k")
+      .coalesce(1).write.mode("append").parquet(root.getAbsolutePath)
+    Seq.fill(50)(Option.empty[Long]).toDF("k")
+      .coalesce(1).write.mode("append").parquet(root.getAbsolutePath)
+    val stats = TableStats.collect(spark, root.getAbsolutePath, Seq("k"))
+    assert(stats.count() === 2)
+    val paths = TableStats.prunedPaths(stats, Seq(("k", 1L, 100L)))
+    // the all-null file's min/max are null → the zone predicate is null
+    // → dropped; correct, because NULL can never satisfy a range filter
+    assert(paths.size === 1)
+    val (pruned, read, total) = TableStats.readPruned(spark, stats, Seq(("k", 1L, 100L)))
+    assert((read, total) === ((1, 2)))
+    assert(pruned.count() === 100)
+  }
+
+  test("zorder: cluster with more files than distinct z-values still round-trips") {
+    import spark.implicits._
+    val root = freshRoot()
+    val df = Seq((1L, 1L, "a"), (1L, 1L, "b"), (2L, 2L, "c")).toDF("x", "y", "v")
+    ZOrder.cluster(df, "x", "y", 16).write.parquet(root.getAbsolutePath)
+    val got = spark.read.parquet(root.getAbsolutePath)
+      .orderBy("v").collect().map(_.getString(2)).toSeq
+    assert(got === Seq("a", "b", "c"))
+  }
+
   // ---- VersionedTable DML + CDF + expiry ----
 
   test("change feed: insert/delete/update pre+post classify exactly") {
