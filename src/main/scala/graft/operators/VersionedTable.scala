@@ -274,6 +274,23 @@ object VersionedTable {
     keep
   }
 
+  /** DESCRIBE HISTORY: one row per committed version — version number,
+    * row count, data-file count, and total bytes. Row counts come from
+    * parquet footers via Spark's metadata-only count (no data pages
+    * read); file counts and bytes are direct directory listings. At
+    * 100 TB this is a manifest walk, not a table scan. */
+  def history(spark: SparkSession, baseDir: String): DataFrame = {
+    import spark.implicits._
+    versions(baseDir).map { v =>
+      val dir = new java.io.File(snapshotDir(baseDir, v))
+      val files = Option(dir.listFiles())
+        .map(_.filter(f => f.isFile && f.getName.endsWith(".parquet")))
+        .getOrElse(Array.empty[java.io.File])
+      val nRows = spark.read.parquet(dir.getAbsolutePath).count()
+      (v, nRows, files.length, files.map(_.length()).sum)
+    }.toDF("version", "n_rows", "n_files", "n_bytes")
+  }
+
   /** Time travel: read the exact committed snapshot `version`. */
   def readAsOf(spark: SparkSession, baseDir: String, version: Int): DataFrame = {
     require(versions(baseDir).contains(version),

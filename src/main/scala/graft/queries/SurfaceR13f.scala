@@ -136,10 +136,34 @@ object SurfaceR13f extends QueryBatch {
       .orderBy("err6", "b")
   }
 
+  // ---- Q63: DESCRIBE HISTORY readout ----
+
+  /** Q63: the table-history surface (Delta's DESCRIBE HISTORY shape)
+    * over a deterministic 3-commit chain — create, DELETE the mod-3
+    * residue, UPDATE the mod-5 survivors. [[VersionedTable.history]]
+    * walks footers and listings, never data pages; the key emits the
+    * layout-INDEPENDENT columns (version, row count) and the oracle
+    * recomputes each version's cardinality from the predicate chain.
+    * File counts/bytes stay in the API but out of the hash — they are
+    * layout facts, not logical ones. */
+  val q63TableHistory: Q = (s, d) => {
+    val root = scratch("q63")
+    val base = part(s, d).select(col("p_partkey"),
+      expr("CAST(floor(p_retailprice * 100 + 5e-1) AS BIGINT)").as("qprice"))
+    VersionedTable.create(root.getAbsolutePath, base)
+    VersionedTable.deleteWhere(s, root.getAbsolutePath, col("p_partkey") % 3 === 0)
+    VersionedTable.updateWhere(s, root.getAbsolutePath,
+      col("p_partkey") % 5 === 0, Seq("qprice" -> (col("qprice") + 1L)))
+    VersionedTable.history(s, root.getAbsolutePath)
+      .select(col("version"), col("n_rows"))
+      .orderBy("version")
+  }
+
   // ---- registry ----
 
   val queries: Map[String, Q] = Map(
     "q62_cascade_forget" -> q62CascadeForget,
+    "q63_table_history" -> q63TableHistory,
     "lt87_lsh_tuning" -> lt87LshTuning)
 
   val oracleSql: Map[String, String] = Map(
@@ -157,6 +181,13 @@ object SurfaceR13f extends QueryBatch {
         |UNION ALL SELECT 'orphan_lineitems', 0
         |UNION ALL SELECT 'orphan_orders', 0
         |ORDER BY tbl""".stripMargin,
+    "q63_table_history" ->
+      """WITH n1 AS (SELECT count(*) AS c FROM part),
+        |n2 AS (SELECT count(*) AS c FROM part WHERE p_partkey % 3 <> 0)
+        |SELECT CAST(1 AS INTEGER) AS version, CAST(c AS BIGINT) AS n_rows FROM n1
+        |UNION ALL SELECT CAST(2 AS INTEGER), CAST(c AS BIGINT) FROM n2
+        |UNION ALL SELECT CAST(3 AS INTEGER), CAST(c AS BIGINT) FROM n2
+        |ORDER BY version""".stripMargin,
     "lt87_lsh_tuning" ->
       """WITH cfg AS (
         |  SELECT 128 // r AS b, r FROM generate_series(1, 128) AS t(r)
