@@ -67,11 +67,22 @@ object TableStats {
       bounds: Seq[(String, Long, Long)]): (DataFrame, Int, Int) = {
     val total = stats.select("path").count().toInt
     val paths = prunedPaths(stats, bounds)
-    require(paths.nonEmpty,
-      "TableStats.readPruned: every file pruned — predicate selects nothing")
     val exact: Column = bounds.map { case (c, lo, hi) =>
       col(c).cast("bigint") >= lo && col(c).cast("bigint") <= hi
     }.reduce(_ && _)
-    (spark.read.parquet(paths: _*).where(exact), paths.size, total)
+    if (paths.isEmpty) {
+      // A predicate entirely outside the data range legitimately prunes
+      // EVERY file; the result is an empty frame, not an error — the
+      // documented "hash-identical to full scan + filter" equivalence
+      // must hold for empty selections too (ADVICE r13). One footer
+      // read supplies the schema; `lit(false)` guarantees zero rows
+      // without scanning a data page. Callers asserting that pruning
+      // ENGAGED (read*2 < total) are unaffected: 0 < total still holds.
+      val any = stats.select("path").limit(1).collect()
+      require(any.nonEmpty, "TableStats.readPruned: stats frame lists no files")
+      (spark.read.parquet(any(0).getString(0)).where(lit(false)), 0, total)
+    } else {
+      (spark.read.parquet(paths: _*).where(exact), paths.size, total)
+    }
   }
 }

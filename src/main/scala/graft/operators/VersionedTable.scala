@@ -206,12 +206,22 @@ object VersionedTable {
     require(keys.forall(dataCols.contains),
       s"VersionedTable.changes: keys ${keys.mkString(",")} must be table columns")
     val nonKey = dataCols.filterNot(keys.contains)
+    // Presence derives from marker columns tagged BEFORE the join, not
+    // from key-null tests: the <=> join condition matches null keys as
+    // values, so a null-keyed row is a legitimate table row — under a
+    // key-null presence test it fell into none of the four change
+    // classes and silently vanished from the feed (ADVICE r13). After
+    // the full outer join an unmatched side nulls ALL its columns
+    // including the marker, so marker-not-null IS side-presence,
+    // independent of the key's own nullability.
     val t = pre.select(dataCols.map(c => col(c).as(s"t_$c")): _*)
+      .withColumn("__graft_in_pre", lit(true))
     val s = post.select(dataCols.map(c => col(c).as(s"s_$c")): _*)
+      .withColumn("__graft_in_post", lit(true))
     val joinCond = keys.map(k => col(s"t_$k") <=> col(s"s_$k")).reduce(_ && _)
     val joined = t.join(s, joinCond, "full_outer")
-    val inPre  = keys.map(k => col(s"t_$k").isNotNull).reduce(_ && _)
-    val inPost = keys.map(k => col(s"s_$k").isNotNull).reduce(_ && _)
+    val inPre  = col("__graft_in_pre").isNotNull
+    val inPost = col("__graft_in_post").isNotNull
     val differs =
       if (nonKey.isEmpty) lit(false)
       else nonKey.map(c => !(col(s"t_$c") <=> col(s"s_$c"))).reduce(_ || _)

@@ -70,6 +70,18 @@ object SurfaceR11i extends QueryBatch {
     * lp31's Z-ordered min/max pruning (which needs sorted layout).
     * Correctness here;
     * the skipping is a file-format property, not a result property. */
+  /** s29's exact write configuration, exposed so SurfaceR11iSpec's
+    * footer assertion replays THE KEY's options rather than a
+    * hand-copied duplicate that could silently drift (ADVICE r13).
+    * parquet-mr skips the bloom when a column stays fully
+    * dictionary-encoded (the dictionary already answers membership
+    * exactly); disabling the dictionary for the key column makes the
+    * bloom real at every SF instead of only past the dict page limit. */
+  val s29BloomWriteOptions: Map[String, String] = Map(
+    "parquet.bloom.filter.enabled#l_orderkey" -> "true",
+    "parquet.bloom.filter.expected.ndv#l_orderkey" -> "100000",
+    "parquet.enable.dictionary#l_orderkey" -> "false")
+
   val s29ParquetBloom: Q = (s, d) => {
     // per-invocation temp dir (the s17 idiom): a fixed CWD-relative path
     // races concurrent sessions / parallel runners — one overwrites while
@@ -78,13 +90,7 @@ object SurfaceR11i extends QueryBatch {
     graft.QueryGuard.deleteRecOnExit(new java.io.File(dir))
     lineitem(s, d).select("l_orderkey", "l_quantity", "l_returnflag")
       .write.mode("overwrite")
-      .option("parquet.bloom.filter.enabled#l_orderkey", "true")
-      .option("parquet.bloom.filter.expected.ndv#l_orderkey", "100000")
-      // parquet-mr skips the bloom when a column stays fully
-      // dictionary-encoded (the dictionary already answers membership
-      // exactly); disabling the dictionary for the key column makes the
-      // bloom real at every SF instead of only past the dict page limit
-      .option("parquet.enable.dictionary#l_orderkey", "false")
+      .options(s29BloomWriteOptions)
       .parquet(dir)
     s.read.parquet(dir)
       .where(col("l_orderkey") % 1000 === 1)

@@ -37,19 +37,23 @@ class SurfaceR11iSpec extends SparkSpec {
   }
 
   test("s29: the written file really carries a bloom filter on l_orderkey") {
-    // replay the key's exact write options into a dir THIS SPEC owns,
-    // then inspect footers with parquet-hadoop — the key itself uses a
+    // replay the key's OWN write-option map (SurfaceR11i.s29BloomWriteOptions,
+    // the exact map the registry key writes with — ADVICE r13: a
+    // hand-copied duplicate here would keep passing even if the key's
+    // bloom option drifted) into a dir THIS SPEC owns, then inspect
+    // footers with parquet-hadoop — the key itself uses a
     // per-invocation temp dir (the ADVICE r11 race fix), so its output
     // location is deliberately unknowable from here
+    assert(SurfaceR11i.s29BloomWriteOptions
+      .get("parquet.bloom.filter.enabled#l_orderkey").contains("true"),
+      "s29's write-option map no longer enables the l_orderkey bloom filter")
     val dir = java.nio.file.Files
       .createTempDirectory("graft_s29_spec_").toFile
     QueryGuard.deleteRecOnExit(dir)
     Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_quantity", "l_returnflag")
       .write.mode("overwrite")
-      .option("parquet.bloom.filter.enabled#l_orderkey", "true")
-      .option("parquet.bloom.filter.expected.ndv#l_orderkey", "100000")
-      .option("parquet.enable.dictionary#l_orderkey", "false")
+      .options(SurfaceR11i.s29BloomWriteOptions)
       .parquet(dir.getAbsolutePath)
     val part = dir.listFiles().filter(_.getName.endsWith(".parquet")).head
     val conf = spark.sparkContext.hadoopConfiguration

@@ -161,15 +161,46 @@ class SurfaceR13bSpec extends SparkSpec {
     assert(feed === Map("update_preimage" -> 2L, "update_postimage" -> 2L))
   }
 
-  test("zone maps: all-files-pruned predicate fails loudly") {
+  test("zone maps: all-files-pruned predicate returns an empty frame, not an error") {
     import spark.implicits._
     val root = freshRoot()
     (1 to 100).map(_.toLong).toDF("k").write.parquet(root.getAbsolutePath)
     val stats = TableStats.collect(spark, root.getAbsolutePath, Seq("k"))
-    val e = intercept[IllegalArgumentException] {
-      TableStats.readPruned(spark, stats, Seq(("k", 5000L, 6000L)))
-    }
-    assert(e.getMessage.contains("every file pruned"))
+    // a predicate entirely outside the data range is a legitimate empty
+    // selection (ADVICE r13): the scan/filter equivalence must hold for
+    // zero rows — schema intact, zero files counted as read
+    val (pruned, read, total) = TableStats.readPruned(
+      spark, stats, Seq(("k", 5000L, 6000L)))
+    assert(read === 0)
+    assert(total >= 1)
+    assert(pruned.columns.toSeq === Seq("k"))
+    assert(pruned.count() === 0)
+  }
+
+  test("change feed: null-keyed rows classify instead of vanishing (ADVICE r13)") {
+    import spark.implicits._
+    val root = freshRoot().getAbsolutePath
+    // v1 holds a null-keyed row whose value then changes in v2, plus a
+    // null-keyed row that disappears is modeled by the k=9 delete; the
+    // <=> join matches null keys as values, and presence now derives
+    // from pre-join markers, so the null key lands in the update class
+    // rather than falling out of all four (the old key-null presence
+    // test classified it as neither inserted, deleted, nor updated)
+    VersionedTable.create(root,
+      Seq((Option.empty[Long], "x"), (Some(1L), "a"), (Some(9L), "z"))
+        .toDF("k", "v"))
+    VersionedTable.writeVersion(spark, root,
+      Seq((Option.empty[Long], "x2", false), (Some(9L), "z", true))
+        .toDF("k", "v", "del"),
+      Seq("k"), Some("del"))
+    val feed = VersionedTable.changes(spark, root, 1, 2, Seq("k"))
+      .collect().map(r => (Option(r.get(0)), r.getString(1), r.getString(2))).toSeq
+    assert(feed.count(_._3 == "update_preimage") === 1)
+    assert(feed.count(_._3 == "update_postimage") === 1)
+    assert(feed.filter(_._3.startsWith("update")).forall(_._1.isEmpty),
+      "the null-keyed update must surface with its null key")
+    assert(feed.exists(t => t._1.contains(9L) && t._3 == "delete"))
+    assert(feed.size === 3, s"exact delta only, got $feed")
   }
 
   test("zone maps: an all-null stat column prunes the file (nulls match no range)") {
