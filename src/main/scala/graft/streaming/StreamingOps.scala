@@ -308,4 +308,72 @@ object StreamingOps {
     finally q.stop()
     df.sparkSession.table(name)
   }
+
+  /** [[runToMemory]] plus the run's state-store cost drivers, aggregated
+    * from the query's own progress events (VERDICT r13 item 1: the
+    * rocksdb bench probe was the one out-of-band number with no work
+    * counter attached — a reading with its state rows, checkpoint
+    * bytes, and commit time in hand is self-adjudicating; one without
+    * is a coin flip between host load and a real regression).
+    *
+    * Fields are LONG key/value pairs ready for the bench's probe_diag:
+    *  - n_batches: progress events observed (microbatches executed)
+    *  - state_rows_total: keys resident in the store after the LAST batch
+    *  - state_rows_updated / state_rows_removed: committed row churn,
+    *    summed across batches — the "state rows committed" driver
+    *  - state_commit_ms / state_update_ms: per-batch store commit and
+    *    update wall, summed — where checkpointing cost shows up
+    *  - state_mem_mb: provider-reported memory after the last batch
+    *  - plus each whitelisted provider custom metric, summed (for
+    *    RocksDB: bytes/files copied into the checkpoint, SST bytes
+    *    loaded back, compaction latencies) — absent metrics emit 0 so
+    *    the JSON shape is stable across providers.
+    *
+    * Progress retention: recentProgress keeps the last
+    * `spark.sql.streaming.numRecentProgressUpdates` (default 100)
+    * entries — the fixture drive runs single-digit microbatches, so
+    * nothing is dropped. */
+  def runToMemoryDiag(
+      df: DataFrame,
+      name: String,
+      mode: OutputMode): (DataFrame, Seq[(String, Long)]) = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val progs = q.recentProgress.toSeq
+    val ops = progs.flatMap(_.stateOperators.toSeq)
+    val lastOps = progs.lastOption.map(_.stateOperators.toSeq).getOrElse(Seq.empty)
+    val custom = scala.collection.mutable.Map.empty[String, Long]
+    ops.foreach { op =>
+      op.customMetrics.forEach((k, v) => custom(k) = custom.getOrElse(k, 0L) + v)
+    }
+    // RocksDBStateStoreProvider metric names (Spark's published
+    // provider metrics): checkpoint upload (FilesCopied/BytesCopied,
+    // FilesReused), load-side reads, and commit-phase latencies.
+    val whitelist = Seq(
+      "rocksdbFilesCopied" -> "rdb_files_copied",
+      "rocksdbBytesCopied" -> "rdb_bytes_copied",
+      "rocksdbFilesReused" -> "rdb_files_reused",
+      "rocksdbSstFileSize" -> "rdb_sst_bytes",
+      "rocksdbCommitFlushLatency" -> "rdb_flush_ms",
+      "rocksdbCommitCompactLatency" -> "rdb_compact_ms",
+      "rocksdbCommitCheckpointLatency" -> "rdb_checkpoint_ms",
+      "rocksdbCommitFileSyncLatencyMs" -> "rdb_filesync_ms")
+    val fields = Seq(
+      "n_batches" -> progs.size.toLong,
+      "state_rows_total" -> lastOps.map(_.numRowsTotal).sum,
+      "state_rows_updated" -> ops.map(_.numRowsUpdated).sum,
+      "state_rows_removed" -> ops.map(_.numRowsRemoved).sum,
+      "state_commit_ms" -> ops.map(_.commitTimeMs).sum,
+      "state_update_ms" -> ops.map(_.allUpdatesTimeMs).sum,
+      "state_mem_mb" -> lastOps.map(_.memoryUsedBytes).sum / (1L << 20)) ++
+      whitelist.map { case (metric, field) =>
+        field -> custom.getOrElse(metric, 0L)
+      }
+    (df.sparkSession.table(name), fields)
+  }
 }
