@@ -1,0 +1,257 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Delta-commit storage for a versioned keyed table — the at-scale
+  * sibling of [[VersionedTable]] (VERDICT r13 item 2). VersionedTable
+  * commits a FULL snapshot per version: read-as-of is O(1) but every
+  * commit rewrites the whole table — write amplification ∝ table size,
+  * untenable at 100 TB. This layout commits per-version CHANGE files
+  * plus a checkpoint snapshot every `checkpointEvery` commits, so
+  * commit cost is ∝ the delta and read-as-of is one checkpoint scan
+  * plus a bounded replay — exactly the Delta-log/Iceberg-manifest
+  * storage trade, built from the ops this repo already proved: the
+  * replay IS [[Upsert.applyCdc]] (the lp26 fold — one window pass by
+  * key over checkpoint ∪ deltas, cost ∝ rows touched, regardless of
+  * how many commits the chain holds).
+  *
+  * Layout:
+  * {{{
+  *   baseDir/
+  *     _graft_manifest     committed versions, ascending; ATOMIC_MOVE-
+  *                         published per commit (the VersionedTable
+  *                         publish-by-rename discipline, shared code)
+  *     _graft_delta_meta   keys + checkpoint cadence, written once at
+  *                         create (layout facts a reader must know)
+  *     c1/                 checkpoint parquet: the FULL state at v1
+  *     d2/ d3/ …           per-version change files: table columns +
+  *                         `_op` ∈ {U, D} (upsert / delete-by-key)
+  *     c4/ …               periodic checkpoint (ALSO has d4 — the
+  *                         change record stays, so the changelog is
+  *                         complete at every version)
+  * }}}
+  *
+  * Commit protocol: write `d{n+1}` (and `c{n+1}` when the cadence is
+  * due) COMPLETELY, then publish the manifest — a crash mid-commit
+  * leaves orphan dirs no manifest references, never a torn read
+  * (identical guarantee to VersionedTable; the manifest rename is the
+  * single visibility point for BOTH dirs of a checkpoint commit).
+  *
+  * Keyed contract: this storage mode REQUIRES a primary key (declared
+  * at create) — a delta row replaces or deletes BY KEY, which is what
+  * makes replay a window pass instead of positional bookkeeping. Key
+  * tuples must be unique within each committed delta (validated,
+  * ANSI-MERGE style) and non-null (asserted at commit — fail loudly,
+  * the changes() lesson from ADVICE r13).
+  *
+  * Scale shape at 100 TB: commits write O(|delta|) bytes (the q64 key
+  * requires this with a byte census against a full-snapshot twin);
+  * `readAsOf` scans one checkpoint + ≤`checkpointEvery` deltas and
+  * pays ONE shuffle on the key; `changelog` between versions is a
+  * pure union of stored delta files — zero joins, the CDC-feed read
+  * path that VersionedTable.changes needs a full-outer diff for.
+  *
+  * Reference: /root/reference is empty (SURVEY.md §0.1); contract area
+  * SURVEY.md §2.11 + the 100 TB efficiency brief, VERDICT r13 item 2.
+  */
+object DeltaChain {
+
+  private val MetaName = "_graft_delta_meta"
+  private val OpCol = "_op"
+
+  final case class Meta(keys: Seq[String], checkpointEvery: Int)
+
+  private def metaPath(baseDir: String) = Paths.get(baseDir, MetaName)
+
+  /** Table metadata written once at create: `keys=<k1,k2>;every=<n>`
+    * (a two-field flat format — no JSON parser dependency). */
+  def meta(baseDir: String): Meta = {
+    val raw = new String(Files.readAllBytes(metaPath(baseDir)),
+      StandardCharsets.UTF_8).trim
+    val fields = raw.split(";").map { f =>
+      val Array(k, v) = f.split("=", 2); k -> v
+    }.toMap
+    Meta(fields("keys").split(",").toSeq, fields("every").toInt)
+  }
+
+  def versions(baseDir: String): Seq[Int] = VersionedTable.versions(baseDir)
+  def latestVersion(baseDir: String): Int = VersionedTable.latestVersion(baseDir)
+
+  private def checkpointDir(baseDir: String, v: Int) = s"$baseDir/c$v"
+  private def deltaDir(baseDir: String, v: Int) = s"$baseDir/d$v"
+  private def hasCheckpoint(baseDir: String, v: Int): Boolean =
+    Files.exists(Paths.get(checkpointDir(baseDir, v)))
+
+  /** Create the table at version 1: one checkpoint, no delta. */
+  def create(
+      baseDir: String,
+      df: DataFrame,
+      keys: Seq[String],
+      checkpointEvery: Int = 4): Int = {
+    require(versions(baseDir).isEmpty,
+      s"DeltaChain.create: $baseDir already has committed versions")
+    require(keys.nonEmpty && keys.forall(df.columns.contains),
+      s"DeltaChain.create: keys ${keys.mkString(",")} must be table columns")
+    require(checkpointEvery >= 1, "DeltaChain.create: checkpointEvery >= 1")
+    Files.createDirectories(Paths.get(baseDir))
+    df.write.mode("errorifexists").parquet(checkpointDir(baseDir, 1))
+    Files.write(metaPath(baseDir),
+      s"keys=${keys.mkString(",")};every=$checkpointEvery"
+        .getBytes(StandardCharsets.UTF_8))
+    VersionedTable.publishManifest(baseDir, Seq(1))
+    1
+  }
+
+  /** Commit a change batch as the next version. `delta` carries every
+    * table column plus, optionally, a boolean `deleteCol`: true rows
+    * delete their key, all others upsert (replace-or-insert whole-row,
+    * the MERGE vocabulary). Bytes written ∝ |delta|, plus a full
+    * checkpoint when the cadence is due. Returns the new version. */
+  def commitDelta(
+      spark: SparkSession,
+      baseDir: String,
+      delta: DataFrame,
+      deleteCol: Option[String] = None): Int = {
+    val m = meta(baseDir)
+    val current = latestVersion(baseDir)
+    require(current > 0, s"DeltaChain.commitDelta: $baseDir has no v1 — create() first")
+    val lastCp = versions(baseDir).filter(hasCheckpoint(baseDir, _)).max
+    // schema is fixed at create in this storage mode, so the latest
+    // checkpoint's footer is the authoritative column list — one
+    // metadata read, never a replay
+    val tableCols = spark.read.parquet(checkpointDir(baseDir, lastCp)).columns.toSeq
+    require(tableCols.forall(delta.columns.contains),
+      s"DeltaChain.commitDelta: delta must carry every table column " +
+        s"(${tableCols.mkString(",")}); has ${delta.columns.mkString(",")}")
+    val next = current + 1
+    val op = deleteCol match {
+      case Some(d) => when(col(d), lit("D")).otherwise(lit("U"))
+      case None    => lit("U")
+    }
+    val shaped = delta.select(tableCols.map(col) :+ op.as(OpCol): _*)
+    // ANSI-MERGE preconditions, both fail-loudly: unique key tuples per
+    // commit (a duplicate would tie on (_seq) and replay one of the two
+    // nondeterministically) and non-null keys (the replay window
+    // GROUPS null keys — legal — but a caller deleting "key = null"
+    // almost always holds a data bug; reject at the write boundary).
+    val Seq(total, distinct, nullKeys) = shaped
+      .agg(count(lit(1)), countDistinct(m.keys.head, m.keys.tail: _*),
+        count(when(m.keys.map(col(_).isNull).reduce(_ || _), 1)))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long])
+    require(nullKeys == 0,
+      s"DeltaChain.commitDelta: $nullKeys delta row(s) carry a NULL key " +
+        s"on (${m.keys.mkString(",")})")
+    require(total == distinct,
+      s"DeltaChain.commitDelta: ${total - distinct} duplicate key row(s) " +
+        s"in the delta on (${m.keys.mkString(",")})")
+    shaped.write.mode("errorifexists").parquet(deltaDir(baseDir, next))
+    if (next - lastCp >= m.checkpointEvery) {
+      // materialize by replaying from the last checkpoint INCLUDING the
+      // just-written delta dir (readable before publish — the manifest,
+      // not dir existence, is the reader-visibility point)
+      replay(spark, baseDir, lastCp, next, tableCols, m.keys)
+        .write.mode("errorifexists").parquet(checkpointDir(baseDir, next))
+    }
+    VersionedTable.publishManifest(baseDir, versions(baseDir) :+ next)
+    next
+  }
+
+  /** Checkpoint `fromCp` + deltas (fromCp, to] → the exact state at
+    * `to`: tag the checkpoint seq=fromCp op=I and each delta with its
+    * version as seq, then one [[Upsert.applyCdc]] window pass by key
+    * keeps the last write per key and drops deleted keys. ONE shuffle,
+    * chain length only widens the union — the lp26 fold. */
+  private def replay(
+      spark: SparkSession,
+      baseDir: String,
+      fromCp: Int,
+      to: Int,
+      tableCols: Seq[String],
+      keys: Seq[String]): DataFrame = {
+    val cp = spark.read.parquet(checkpointDir(baseDir, fromCp))
+      .select(tableCols.map(col) :+ lit("I").as(OpCol): _*)
+      .withColumn("_seq", lit(fromCp))
+    val deltas = ((fromCp + 1) to to).map { v =>
+      spark.read.parquet(deltaDir(baseDir, v))
+        .select(tableCols.map(col) :+ col(OpCol): _*)
+        .withColumn("_seq", lit(v))
+    }
+    val all = deltas.foldLeft(cp)(_.unionByName(_))
+    Upsert.applyCdc(all, keys, "_seq", OpCol).select(tableCols.map(col): _*)
+  }
+
+  /** Time travel: nearest checkpoint at-or-below `version` + replay.
+    * Hash-identical to a full snapshot of the same chain (the q64
+    * oracle-checked equivalence). */
+  def readAsOf(spark: SparkSession, baseDir: String, version: Int): DataFrame = {
+    require(versions(baseDir).contains(version),
+      s"DeltaChain.readAsOf: version $version not in committed " +
+        s"versions ${versions(baseDir).mkString("[", ",", "]")} of $baseDir")
+    if (hasCheckpoint(baseDir, version))
+      spark.read.parquet(checkpointDir(baseDir, version))
+    else {
+      val cp = versions(baseDir)
+        .filter(v => v <= version && hasCheckpoint(baseDir, v)).max
+      val cols = spark.read.parquet(checkpointDir(baseDir, cp)).columns.toSeq
+      replay(spark, baseDir, cp, version, cols, meta(baseDir).keys)
+    }
+  }
+
+  /** Latest state. */
+  def read(spark: SparkSession, baseDir: String): DataFrame =
+    readAsOf(spark, baseDir, latestVersion(baseDir))
+
+  /** The stored change feed between two committed versions: a pure
+    * union of the delta files in (fromVersion, toVersion], each row
+    * tagged `_commit_version` and `_change_type` ∈ {upsert, delete}.
+    * ZERO joins — this is the read path a CDC consumer wants, and the
+    * structural advantage over [[VersionedTable.changes]]'s full-outer
+    * snapshot diff: cost ∝ change bytes, never table size. (Upsert is
+    * not split into insert vs update_pre/postimage here because the
+    * pre-state is not stored with the delta; consumers needing
+    * preimages join against `readAsOf(fromVersion)`.) */
+  def changelog(
+      spark: SparkSession,
+      baseDir: String,
+      fromVersion: Int,
+      toVersion: Int): DataFrame = {
+    val vs = versions(baseDir)
+    require(fromVersion < toVersion && vs.contains(fromVersion) && vs.contains(toVersion),
+      s"DeltaChain.changelog: need committed fromVersion < toVersion, " +
+        s"got $fromVersion, $toVersion of ${vs.mkString("[", ",", "]")}")
+    ((fromVersion + 1) to toVersion)
+      .map { v =>
+        spark.read.parquet(deltaDir(baseDir, v))
+          .withColumn("_commit_version", lit(v))
+      }
+      .reduce(_.unionByName(_))
+      .withColumn("_change_type",
+        when(col(OpCol) === "D", lit("delete")).otherwise(lit("upsert")))
+      .drop(OpCol)
+  }
+
+  /** Per-commit storage census: version, kind, file count, bytes for
+    * the delta and (when present) checkpoint dirs — the evidence that
+    * commit cost tracks the delta, not the table (directory listings
+    * only; no data read). */
+  def commitBytes(spark: SparkSession, baseDir: String): DataFrame = {
+    import spark.implicits._
+    def dirBytes(dir: String): (Int, Long) = {
+      val d = new java.io.File(dir)
+      val fs = Option(d.listFiles())
+        .map(_.filter(f => f.isFile && f.getName.endsWith(".parquet")))
+        .getOrElse(Array.empty[java.io.File])
+      (fs.length, fs.map(_.length()).sum)
+    }
+    versions(baseDir).map { v =>
+      val (df, db) = dirBytes(deltaDir(baseDir, v))
+      val (cf, cb) = dirBytes(checkpointDir(baseDir, v))
+      (v, df, db, cf, cb)
+    }.toDF("version", "delta_files", "delta_bytes",
+      "checkpoint_files", "checkpoint_bytes")
+  }
+}

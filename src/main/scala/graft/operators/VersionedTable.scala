@@ -65,6 +65,11 @@ object VersionedTable {
   def latestVersion(baseDir: String): Int =
     versions(baseDir).lastOption.getOrElse(0)
 
+  /** The publish-by-rename commit point, shared with [[DeltaChain]] so
+    * both storage modes carry the identical manifest discipline. */
+  private[operators] def publishManifest(baseDir: String, vs: Seq[Int]): Unit =
+    publish(baseDir, vs)
+
   private def publish(baseDir: String, vs: Seq[Int]): Unit = {
     val tmp = Paths.get(baseDir, s".$ManifestName.tmp")
     Files.write(tmp, vs.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
