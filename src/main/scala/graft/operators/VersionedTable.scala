@@ -259,12 +259,112 @@ object VersionedTable {
     }
 
   /** DELETE FROM t WHERE cond — commits the retained rows as the next
-    * version (copy-on-write deletes, the parquet-table strategy; a
-    * deletion-vector variant would keep files and mask rows). */
+    * version (copy-on-write deletes, the parquet-table strategy;
+    * [[deleteWhereDV]] is the merge-on-read variant that keeps files
+    * and masks rows). */
   def deleteWhere(spark: SparkSession, baseDir: String, cond: Column): Int = {
     val current = latestVersion(baseDir)
     require(current > 0, s"VersionedTable.deleteWhere: $baseDir has no v1 — create() first")
     writeSnapshot(baseDir, current + 1, read(spark, baseDir).where(!cond))
+  }
+
+  // ---- deletion vectors: merge-on-read DELETE (VERDICT r13 item 4) ----
+
+  private val DvBaseName = "_dv_base"
+  private def dvBasePath(baseDir: String, v: Int) =
+    Paths.get(snapshotDir(baseDir, v), DvBaseName)
+  private def dvMaskDir(baseDir: String, v: Int) =
+    s"${snapshotDir(baseDir, v)}/_dv"
+  private def isDvVersion(baseDir: String, v: Int): Boolean =
+    Files.exists(dvBasePath(baseDir, v))
+
+  /** (plain data dir, accumulated mask if the version is mask-based).
+    * A DV version stores the ABSOLUTE dir of its plain ancestor, so
+    * chained DV deletes resolve in one hop, never recursively. */
+  private def resolveDv(
+      spark: SparkSession,
+      baseDir: String,
+      v: Int): (String, Option[DataFrame]) =
+    if (isDvVersion(baseDir, v)) {
+      val dataDir = new String(
+        Files.readAllBytes(dvBasePath(baseDir, v)), StandardCharsets.UTF_8).trim
+      (dataDir, Some(spark.read.parquet(dvMaskDir(baseDir, v))))
+    } else (snapshotDir(baseDir, v), None)
+
+  /** Base files with their (file, position) identity attached and the
+    * mask anti-joined away. The mask is rows-deleted — tiny relative
+    * to the table — so Spark broadcasts it and the anti-join costs a
+    * map-side probe, ZERO shuffle of the data: the merge-on-read
+    * contract. `_metadata.row_index` is the parquet reader's per-file
+    * row position — stable because DV commits never rewrite base
+    * files (the q65 file-census REQUIRE pins exactly that). */
+  private def readMasked(
+      spark: SparkSession,
+      dataDir: String,
+      mask: DataFrame): DataFrame = {
+    val base = spark.read.parquet(dataDir)
+      .withColumn("__graft_dv_file", col("_metadata.file_path"))
+      .withColumn("__graft_dv_pos", col("_metadata.row_index"))
+    val m = mask.select(col("file_path").as("__graft_m_file"),
+      col("row_index").as("__graft_m_pos"))
+    base.join(org.apache.spark.sql.functions.broadcast(m),
+        col("__graft_dv_file") === col("__graft_m_file") &&
+          col("__graft_dv_pos") === col("__graft_m_pos"),
+        "left_anti")
+      .drop("__graft_dv_file", "__graft_dv_pos")
+  }
+
+  /** DELETE FROM t WHERE cond, merge-on-read: instead of rewriting the
+    * retained rows ([[deleteWhere]]'s copy-on-write), commit a version
+    * that keeps the base data files UNTOUCHED and carries a row-mask
+    * sidecar — (file_path, row_index) per deleted row, accumulated
+    * across chained DV deletes. Readers apply the mask as a broadcast
+    * anti-join; any rewriting commit ([[compact]], [[deleteWhere]],
+    * [[writeVersion]]) naturally materializes the mask away because it
+    * reads through [[readAsOf]]. At 100 TB this is THE delete shape:
+    * bytes written ∝ rows deleted (the q65 census proves ≪ the
+    * copy-on-write twin), and the data files' immutability is what
+    * keeps row_index a stable row identity. Time travel semantics are
+    * identical to every other commit.
+    *
+    * Version-dir layout: `v{n}/_dv/` (mask parquet) + `v{n}/_dv_base`
+    * (one line: the plain ancestor's data dir). Underscore-prefixed,
+    * so a raw directory scan ignores both — only the manifest-driven
+    * reader interprets them. VACUUM note: [[expire]] retains a plain
+    * snapshot dir as long as any SURVIVING version's `_dv_base` points
+    * at it, even when the manifest no longer lists that version —
+    * files outliving their version is the normal lakehouse state of
+    * affairs (Delta/Iceberg vacuum walks reachability the same way). */
+  def deleteWhereDV(spark: SparkSession, baseDir: String, cond: Column): Int = {
+    val current = latestVersion(baseDir)
+    require(current > 0, s"VersionedTable.deleteWhereDV: $baseDir has no v1 — create() first")
+    val next = current + 1
+    val (dataDir, oldMask) = resolveDv(spark, baseDir, current)
+    val base = spark.read.parquet(dataDir)
+      .withColumn("__graft_dv_file", col("_metadata.file_path"))
+      .withColumn("__graft_dv_pos", col("_metadata.row_index"))
+    val live = oldMask match {
+      case Some(m) =>
+        val mm = m.select(col("file_path").as("__graft_m_file"),
+          col("row_index").as("__graft_m_pos"))
+        base.join(org.apache.spark.sql.functions.broadcast(mm),
+          col("__graft_dv_file") === col("__graft_m_file") &&
+            col("__graft_dv_pos") === col("__graft_m_pos"),
+          "left_anti")
+      case None => base
+    }
+    val newMask = live.where(cond)
+      .select(col("__graft_dv_file").as("file_path"),
+        col("__graft_dv_pos").as("row_index"))
+    val fullMask = oldMask.map(_.unionByName(newMask)).getOrElse(newMask)
+    // sidecar first, pointer second, manifest last — a crash at any
+    // point leaves an unreferenced dir, never a torn version
+    fullMask.coalesce(1).write.mode("errorifexists")
+      .parquet(dvMaskDir(baseDir, next))
+    Files.write(dvBasePath(baseDir, next),
+      dataDir.getBytes(StandardCharsets.UTF_8))
+    publish(baseDir, versions(baseDir) :+ next)
+    next
   }
 
   /** UPDATE t SET col = expr, ... WHERE cond — commits the rewritten
@@ -373,9 +473,31 @@ object VersionedTable {
       s"VersionedTable.expire: keepFrom $keepFrom not a committed version of $baseDir")
     val (drop, keep) = vs.partition(_ < keepFrom)
     publish(baseDir, keep)
-    drop.foreach { v =>
+    // Reachability, not manifest membership, governs PHYSICAL deletion:
+    // a surviving deletion-vector version's base pointer may target a
+    // dropped version's data dir — that dir must outlive its manifest
+    // entry (the Delta/Iceberg vacuum rule: walk what live versions
+    // reference before touching bytes). Time travel to the dropped
+    // version still fails loudly — the manifest is gone either way.
+    val referenced: Set[String] = keep.filter(isDvVersion(baseDir, _)).map { v =>
+      new String(Files.readAllBytes(dvBasePath(baseDir, v)),
+        StandardCharsets.UTF_8).trim
+    }.toSet
+    // Sweep set: the versions dropped NOW plus any on-disk v-dir below
+    // keepFrom that an EARLIER expire retained by reference (its
+    // manifest entry is long gone, so `drop` alone would never revisit
+    // it — it must be reclaimed the moment the referencing DV version
+    // dies). Restricting the orphan scan to numbers < keepFrom keeps
+    // the in-flight-commit guarantee: an unpublished writer dir is
+    // always latestVersion+1 ≥ keepFrom and is never touched.
+    val onDisk = Option(new java.io.File(baseDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName.drop(1).toInt)
+      .filter(v => v < keepFrom && !keep.contains(v))
+    (drop ++ onDisk).distinct.foreach { v =>
       val dir = Paths.get(snapshotDir(baseDir, v))
-      if (Files.exists(dir)) {
+      if (Files.exists(dir) && !referenced.contains(dir.toString)) {
         val walk = Files.walk(dir) // stream holds directory handles — close it
         try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
           .forEach(p => Files.deleteIfExists(p))
@@ -393,21 +515,37 @@ object VersionedTable {
   def history(spark: SparkSession, baseDir: String): DataFrame = {
     import spark.implicits._
     versions(baseDir).map { v =>
-      val dir = new java.io.File(snapshotDir(baseDir, v))
-      val files = Option(dir.listFiles())
-        .map(_.filter(f => f.isFile && f.getName.endsWith(".parquet")))
-        .getOrElse(Array.empty[java.io.File])
-      val nRows = spark.read.parquet(dir.getAbsolutePath).count()
-      (v, nRows, files.length, files.map(_.length()).sum)
+      // recursive walk: a DV version's payload (mask + base pointer)
+      // lives one level down; for plain versions this matches the old
+      // top-level listing (n_files counts parquet, n_bytes everything
+      // the commit wrote — for a DV commit that's the sidecar only,
+      // which is what makes history the bytes-written census)
+      val root = Paths.get(snapshotDir(baseDir, v))
+      var nFiles = 0
+      var nBytes = 0L
+      val walk = Files.walk(root)
+      try walk.forEach { p =>
+        if (Files.isRegularFile(p)) {
+          nBytes += Files.size(p)
+          if (p.getFileName.toString.endsWith(".parquet")) nFiles += 1
+        }
+      } finally walk.close()
+      val nRows = readAsOf(spark, baseDir, v).count()
+      (v, nRows, nFiles, nBytes)
     }.toDF("version", "n_rows", "n_files", "n_bytes")
   }
 
-  /** Time travel: read the exact committed snapshot `version`. */
+  /** Time travel: read the exact committed snapshot `version` — a
+    * plain dir scan for snapshot versions, base-files + broadcast mask
+    * anti-join for deletion-vector versions. */
   def readAsOf(spark: SparkSession, baseDir: String, version: Int): DataFrame = {
     require(versions(baseDir).contains(version),
       s"VersionedTable.readAsOf: version $version not in committed " +
         s"versions ${versions(baseDir).mkString("[", ",", "]")} of $baseDir")
-    spark.read.parquet(snapshotDir(baseDir, version))
+    resolveDv(spark, baseDir, version) match {
+      case (dataDir, Some(mask)) => readMasked(spark, dataDir, mask)
+      case (dataDir, None)       => spark.read.parquet(dataDir)
+    }
   }
 
   /** Latest snapshot (the plain-read a non-time-travel user does). */

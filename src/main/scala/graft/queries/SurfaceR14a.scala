@@ -139,10 +139,77 @@ object SurfaceR14a extends QueryBatch {
       .orderBy("version", "o_orderkey")
   }
 
+  // ---- Q65: deletion vectors (merge-on-read DELETE) ----
+
+  /** Q65: the merge-on-read twin of q56's copy-on-write DML
+    * (VERDICT r13 item 4) — two chained [[VersionedTable.deleteWhereDV]]
+    * commits (mod-7, then mod-11) on `customer`, against a
+    * copy-on-write twin running [[VersionedTable.deleteWhere]] with
+    * the same predicates. REQUIRED in-key: (1) the base data-file set
+    * is BYTE-IDENTICAL (names + sizes) across both DV commits — the
+    * files-never-rewritten contract that keeps row_index a stable row
+    * identity; (2) the DV commits' bytes written are under half the
+    * copy-on-write twin's (rows-deleted-proportional, not
+    * table-proportional); (3) both tables read back set-equal at
+    * every version. Output is the version-tagged union of the DV
+    * table's reads; the oracle recomputes each version from the
+    * residue algebra. */
+  val q65DeleteDv: Q = (s, d) => {
+    val dvRoot = scratch("q65dv").getAbsolutePath
+    val cowRoot = scratch("q65cw").getAbsolutePath
+    val base = customer(s, d).select(col("c_custkey"),
+      expr("CAST(floor(c_acctbal * 100 + 5e-1) AS BIGINT)").as("qbal"),
+      col("c_mktsegment"))
+    VersionedTable.create(dvRoot, base.coalesce(2))
+    VersionedTable.create(cowRoot, base.coalesce(2))
+    def fileSet(dir: String): Set[(String, Long)] = {
+      val dd = new java.io.File(dir)
+      Option(dd.listFiles()).map(_.filter(f =>
+        f.isFile && f.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length())).toSet).getOrElse(Set.empty)
+    }
+    val before = fileSet(s"$dvRoot/v1")
+    VersionedTable.deleteWhereDV(s, dvRoot, col("c_custkey") % 7 === 0)
+    VersionedTable.deleteWhere(s, cowRoot, col("c_custkey") % 7 === 0)
+    VersionedTable.deleteWhereDV(s, dvRoot, col("c_custkey") % 11 === 0)
+    VersionedTable.deleteWhere(s, cowRoot, col("c_custkey") % 11 === 0)
+    // (1) merge-on-read never touched the base files
+    require(fileSet(s"$dvRoot/v1") == before && before.nonEmpty,
+      "q65: DV commits altered the base data-file set")
+    // (2) bytes written ∝ rows deleted: sidecar commits vs full rewrites
+    def verBytes(root: String, v: Int): Long = {
+      var b = 0L
+      val walk = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$root/v$v"))
+      try walk.forEach(p =>
+        if (java.nio.file.Files.isRegularFile(p)) b += java.nio.file.Files.size(p))
+      finally walk.close()
+      b
+    }
+    val dvBytes = verBytes(dvRoot, 2) + verBytes(dvRoot, 3)
+    val cowBytes = verBytes(cowRoot, 2) + verBytes(cowRoot, 3)
+    require(dvBytes * 2 < cowBytes,
+      s"q65: DV commits wrote $dvBytes bytes vs copy-on-write $cowBytes " +
+        "— not rows-deleted-proportional")
+    // (3) the two delete strategies are observationally identical
+    (1 to 3).foreach { v =>
+      val a = VersionedTable.readAsOf(s, dvRoot, v)
+      val b = VersionedTable.readAsOf(s, cowRoot, v)
+      val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+      require(diff == 0, s"q65: DV v$v diverges from copy-on-write ($diff rows)")
+    }
+    (1 to 3).map { v =>
+      VersionedTable.readAsOf(s, dvRoot, v).withColumn("version", lit(v))
+    }.reduce(_.unionByName(_))
+      .select("version", "c_custkey", "qbal", "c_mktsegment")
+      .orderBy("version", "c_custkey")
+  }
+
   // ---- registry ----
 
   val queries: Map[String, Q] = Map(
-    "q64_delta_chain" -> q64DeltaChain)
+    "q64_delta_chain" -> q64DeltaChain,
+    "q65_delete_dv" -> q65DeleteDv)
 
   val oracleSql: Map[String, String] = Map(
     "q64_delta_chain" ->
@@ -169,5 +236,17 @@ object SurfaceR14a extends QueryBatch {
         |SELECT CAST(ver AS INTEGER) AS version, k AS o_orderkey, qprice,
         |  st AS o_orderstatus
         |FROM state WHERE present
-        |ORDER BY version, o_orderkey""".stripMargin)
+        |ORDER BY version, o_orderkey""".stripMargin,
+    "q65_delete_dv" ->
+      """WITH base AS (
+        |  SELECT c_custkey,
+        |    CAST(floor(c_acctbal * 100 + 5e-1) AS BIGINT) AS qbal,
+        |    c_mktsegment
+        |  FROM customer),
+        |v(ver) AS (VALUES (1), (2), (3))
+        |SELECT CAST(ver AS INTEGER) AS version, c_custkey, qbal, c_mktsegment
+        |FROM base, v
+        |WHERE (ver < 2 OR c_custkey % 7 <> 0)
+        |  AND (ver < 3 OR c_custkey % 11 <> 0)
+        |ORDER BY version, c_custkey""".stripMargin)
 }
