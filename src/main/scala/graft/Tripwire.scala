@@ -101,6 +101,75 @@ object Tripwire {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
     }
+    // SAME-SESSION double-drive mode (VERDICT r13 item 5): the standing
+    // determinism gate drives the registry in two FRESH JVMs — it can
+    // never see the class of bug where a key corrupts ITS OWN second
+    // run through session residue (the r13 x33 temp-view leak was
+    // caught only by accident at decade-3). With
+    // SPARK_GRAFT_DOUBLE_DRIVE=1 every selected key runs twice in THIS
+    // session and the two order-independent content hashes (count +
+    // exact decimal sum of per-row xxhash64 over the JSON rendering —
+    // the SpillGate hash) must match; a mismatch, or a second run that
+    // errors where the first succeeded, fails the gate BY NAME.
+    val doubleDrive = sys.env.get("SPARK_GRAFT_DOUBLE_DRIVE").contains("1")
+    def contentHash(name: String, slot: String): Either[String, (Long, String)] = {
+      var h: Option[(Long, String)] = None
+      QueryGuard.run(sc, s"dd-$slot-$name", Some(budgetS)) {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        val row = df.select(org.apache.spark.sql.functions.to_json(
+            org.apache.spark.sql.functions.struct(
+              df.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*))
+            .as("j"))
+          .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)),
+            org.apache.spark.sql.functions.sum(
+              org.apache.spark.sql.functions.xxhash64(
+                org.apache.spark.sql.functions.col("j")).cast("decimal(38,0)")))
+          .collect()(0)
+        h = Some((row.getLong(0), String.valueOf(row.get(1))))
+      } match {
+        case QueryGuard.Ok        => Right(h.get)
+        case QueryGuard.Timeout   => Left(s"TIMEOUT > ${budgetS}s")
+        case QueryGuard.Failed(e) => Left(s"FAILED: ${e.getMessage}")
+      }
+    }
+    if (doubleDrive) {
+      selected.foreach { case (name, _) =>
+        val t0 = System.nanoTime()
+        val first = contentHash(name, "a")
+        CacheLifecycle.sweep(spark) // defined state, but SAME session — no restart
+        val second = contentHash(name, "b")
+        val wall = (System.nanoTime() - t0) / 1e9
+        (first, second) match {
+          case (Right(a), Right(b)) if a == b =>
+            System.err.println(f"[tripwire] $name dd ok $wall%.1fs (${a._1} rows)")
+          case (Right(a), Right(b)) =>
+            offenders += s"$name SAME-SESSION NONDETERMINISM: " +
+              s"drive1=(${a._1},${a._2}) drive2=(${b._1},${b._2})"
+            System.err.println(s"[tripwire] $name SAME-SESSION NONDETERMINISM")
+          case (Left(e), _) =>
+            offenders += s"$name dd drive1 $e"
+            System.err.println(s"[tripwire] $name dd drive1 $e")
+          case (_, Left(e)) =>
+            offenders += s"$name dd drive2 $e (first drive succeeded — residue?)"
+            System.err.println(s"[tripwire] $name dd drive2 $e")
+        }
+        val swept = CacheLifecycle.sweep(spark)
+        if (swept.plain > 0 && !CacheLifecycle.persistAllowlist(name)) {
+          offenders += s"$name PERSIST LEAK: ${swept.plain} non-checkpoint cached RDD(s)"
+          System.err.println(s"[tripwire] $name PERSIST LEAK: ${swept.plain}")
+        }
+      }
+      spark.stop()
+      if (offenders.nonEmpty) {
+        System.err.println(s"[tripwire] ${offenders.size} offender(s):")
+        offenders.foreach(o => System.err.println(s"[tripwire]   $o"))
+        sys.exit(1)
+      }
+      println(s"[tripwire] PASS: ${selected.size} queries double-driven " +
+        s"same-session, all hash-identical")
+      return
+    }
     selected.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       def wall = (System.nanoTime() - t0) / 1e9

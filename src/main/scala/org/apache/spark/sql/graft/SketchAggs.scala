@@ -64,6 +64,26 @@ object SketchAggs {
       Sketches.heapifyCompactSketch(Memory.wrap(a)),
       Sketches.heapifyCompactSketch(Memory.wrap(b))).getEstimate
   }
+
+  /** |A ∪ B| estimate from two compact sketches (theta union — the
+    * merge the aggregate itself uses, exposed pairwise). */
+  def thetaUnionEstimate(a: Array[Byte], b: Array[Byte]): Double = {
+    val u: Union = SetOperation.builder().buildUnion()
+    u.union(Sketches.heapifyCompactSketch(Memory.wrap(a)))
+    u.union(Sketches.heapifyCompactSketch(Memory.wrap(b)))
+    u.getResult.getEstimate
+  }
+
+  /** Jaccard similarity estimate |A ∩ B| / |A ∪ B| from the two
+    * compact sketches alone (SURVEY §18.16 thread 3). Both operands
+    * derive from the SAME retained-hash samples, so the ratio's
+    * errors are correlated and it is tighter in practice than the
+    * two ±ε cardinalities would suggest; 0/0 (two empty sets) is
+    * defined as 1.0, the set-identity convention. */
+  def thetaJaccardEstimate(a: Array[Byte], b: Array[Byte]): Double = {
+    val union = thetaUnionEstimate(a, b)
+    if (union == 0.0) 1.0 else thetaIntersectEstimate(a, b) / union
+  }
 }
 
 /** KLL doubles quantile sketch aggregate: buffer = the heap sketch,
