@@ -124,30 +124,9 @@ object DeltaChain {
     // checkpoint's footer is the authoritative column list — one
     // metadata read, never a replay
     val tableCols = spark.read.parquet(checkpointDir(baseDir, lastCp)).columns.toSeq
-    require(tableCols.forall(delta.columns.contains),
-      s"DeltaChain.commitDelta: delta must carry every table column " +
-        s"(${tableCols.mkString(",")}); has ${delta.columns.mkString(",")}")
     val next = current + 1
-    val op = deleteCol match {
-      case Some(d) => when(col(d), lit("D")).otherwise(lit("U"))
-      case None    => lit("U")
-    }
-    val shaped = delta.select(tableCols.map(col) :+ op.as(OpCol): _*)
-    // ANSI-MERGE preconditions, both fail-loudly: unique key tuples per
-    // commit (a duplicate would tie on (_seq) and replay one of the two
-    // nondeterministically) and non-null keys (the replay window
-    // GROUPS null keys — legal — but a caller deleting "key = null"
-    // almost always holds a data bug; reject at the write boundary).
-    val Seq(total, distinct, nullKeys) = shaped
-      .agg(count(lit(1)), countDistinct(m.keys.head, m.keys.tail: _*),
-        count(when(m.keys.map(col(_).isNull).reduce(_ || _), 1)))
-      .collect()(0).toSeq.map(_.asInstanceOf[Long])
-    require(nullKeys == 0,
-      s"DeltaChain.commitDelta: $nullKeys delta row(s) carry a NULL key " +
-        s"on (${m.keys.mkString(",")})")
-    require(total == distinct,
-      s"DeltaChain.commitDelta: ${total - distinct} duplicate key row(s) " +
-        s"in the delta on (${m.keys.mkString(",")})")
+    val shaped = shapeAndValidate(delta, tableCols, deleteCol, m.keys,
+      "DeltaChain.commitDelta")
     shaped.write.mode("errorifexists").parquet(deltaDir(baseDir, next))
     if (next - lastCp >= m.checkpointEvery) {
       // materialize by replaying from the last checkpoint INCLUDING the
@@ -158,6 +137,38 @@ object DeltaChain {
     }
     VersionedTable.publishManifest(baseDir, versions(baseDir) :+ next)
     next
+  }
+
+  /** Shape a caller delta to (table columns + `_op`) and enforce the
+    * ANSI-MERGE write-boundary preconditions, both fail-loudly:
+    * unique key tuples per commit (a duplicate would tie on `_seq`
+    * and replay one of the two nondeterministically) and non-null
+    * keys (the replay window GROUPS null keys — legal — but a caller
+    * deleting "key = null" almost always holds a data bug). */
+  private def shapeAndValidate(
+      delta: DataFrame,
+      tableCols: Seq[String],
+      deleteCol: Option[String],
+      keys: Seq[String],
+      who: String): DataFrame = {
+    require(tableCols.forall(delta.columns.contains),
+      s"$who: delta must carry every table column " +
+        s"(${tableCols.mkString(",")}); has ${delta.columns.mkString(",")}")
+    val op = deleteCol match {
+      case Some(d) => when(col(d), lit("D")).otherwise(lit("U"))
+      case None    => lit("U")
+    }
+    val shaped = delta.select(tableCols.map(col) :+ op.as(OpCol): _*)
+    val Seq(total, distinct, nullKeys) = shaped
+      .agg(count(lit(1)), countDistinct(keys.head, keys.tail: _*),
+        count(when(keys.map(col(_).isNull).reduce(_ || _), 1)))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long])
+    require(nullKeys == 0,
+      s"$who: $nullKeys delta row(s) carry a NULL key on (${keys.mkString(",")})")
+    require(total == distinct,
+      s"$who: ${total - distinct} duplicate key row(s) " +
+        s"in the delta on (${keys.mkString(",")})")
+    shaped
   }
 
   /** Checkpoint `fromCp` + deltas (fromCp, to] → the exact state at
@@ -233,6 +244,122 @@ object DeltaChain {
         when(col(OpCol) === "D", lit("delete")).otherwise(lit("upsert")))
       .drop(OpCol)
   }
+
+  /** The full Delta-CDF vocabulary for ONE commit — stored delta rows
+    * enriched with preimages recovered from the PRIOR version's state:
+    * insert / delete / update_preimage / update_postimage, exactly
+    * [[VersionedTable.changes]]'s contract. Structurally cheaper than
+    * the snapshot diff: the join's build side is the DELTA (small by
+    * construction — AQE broadcasts it), so the prior state is PROBED,
+    * never shuffled — cost ∝ delta + one state read, not two
+    * full-table shuffles. The prior STATE is the authority for
+    * preimage payloads (a delete row's stored payload is whatever the
+    * writer happened to send; the state is what the table actually
+    * held), and a stored delete of an absent key emits nothing — the
+    * replay no-op surfaces as a CDF no-op, consistently. */
+  def changesAt(spark: SparkSession, baseDir: String, version: Int): DataFrame = {
+    require(version >= 2 && versions(baseDir).contains(version),
+      s"DeltaChain.changesAt: need a committed version >= 2, got $version " +
+        s"of ${versions(baseDir).mkString("[", ",", "]")}")
+    val m = meta(baseDir)
+    val prev = readAsOf(spark, baseDir, version - 1)
+    val dataCols = prev.columns.toSeq
+    val old = prev.select(dataCols.map(c => col(c).as(s"__old_$c")): _*)
+      .withColumn("__graft_in_prev", lit(true))
+    val d = spark.read.parquet(deltaDir(baseDir, version))
+    val joinCond = m.keys.map(k => col(k) <=> col(s"__old_$k")).reduce(_ && _)
+    val joined = d.join(old, joinCond, "left_outer")
+    val present = col("__graft_in_prev").isNotNull
+    def newShape(tag: String) =
+      dataCols.map(col) :+ lit(tag).as("_change_type")
+    def oldShape(tag: String) =
+      dataCols.map(c => col(s"__old_$c").as(c)) :+ lit(tag).as("_change_type")
+    val inserts = joined.where(col(OpCol) === "U" && !present)
+      .select(newShape("insert"): _*)
+    val updPre = joined.where(col(OpCol) === "U" && present)
+      .select(oldShape("update_preimage"): _*)
+    val updPost = joined.where(col(OpCol) === "U" && present)
+      .select(newShape("update_postimage"): _*)
+    val deletes = joined.where(col(OpCol) === "D" && present)
+      .select(oldShape("delete"): _*)
+    inserts.unionByName(updPre).unionByName(updPost).unionByName(deletes)
+  }
+
+  /** Optimistic multi-writer delta commit — the
+    * [[VersionedTable.commitNextArbitrated]] claim protocol applied to
+    * the delta form: stage the shaped delta, CAS-claim the version
+    * with an atomic create-new marker, winner renames staging →
+    * `d{v}` (plus the due checkpoint) and publishes; the loser
+    * discards staging, awaits the winner's publish, and retries THE
+    * SAME delta against the next number. Rebase semantics are
+    * last-writer-wins BY KEY (the table's replay contract): when two
+    * racing deltas touch the same key, whichever commits LAST owns the
+    * final row — serialized, never torn, and exactly what MERGE gives
+    * sequential writers; writers needing read-my-state arbitration
+    * compute through the snapshot form's `compute`-function protocol
+    * instead. Same honest caveats as the snapshot variant (POSIX/HDFS
+    * atomicity; orphaned claims fail loudly via the loser's wait
+    * deadline). Returns (version, attempts). */
+  def commitDeltaArbitrated(
+      spark: SparkSession,
+      baseDir: String,
+      delta: DataFrame,
+      deleteCol: Option[String] = None,
+      maxAttempts: Int = 5,
+      publishWaitMs: Long = 10000L): (Int, Int) = {
+    val m = meta(baseDir)
+    require(latestVersion(baseDir) > 0,
+      s"DeltaChain.commitDeltaArbitrated: $baseDir has no v1 — create() first")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val current = latestVersion(baseDir)
+      val lastCp = versions(baseDir).filter(hasCheckpoint(baseDir, _)).max
+      val tableCols =
+        spark.read.parquet(checkpointDir(baseDir, lastCp)).columns.toSeq
+      val next = current + 1
+      val shaped = shapeAndValidate(delta, tableCols, deleteCol, m.keys,
+        s"DeltaChain.commitDeltaArbitrated")
+      val staging = Paths.get(baseDir,
+        s".stage_d_${java.util.UUID.randomUUID().toString.take(12)}")
+      shaped.write.mode("errorifexists").parquet(staging.toString)
+      val marker = Paths.get(baseDir, s"_commit_v$next")
+      val won =
+        try { Files.createFile(marker); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      if (won) {
+        Files.move(staging, Paths.get(deltaDir(baseDir, next)),
+          StandardCopyOption.ATOMIC_MOVE)
+        if (next - lastCp >= m.checkpointEvery) {
+          replay(spark, baseDir, lastCp, next, tableCols, m.keys)
+            .write.mode("errorifexists").parquet(checkpointDir(baseDir, next))
+        }
+        VersionedTable.publishManifest(baseDir, versions(baseDir) :+ next)
+        return (next, attempt)
+      }
+      deleteStagingRecursively(staging)
+      val deadline = System.nanoTime() + publishWaitMs * 1000000L
+      while (latestVersion(baseDir) < next) {
+        if (System.nanoTime() > deadline)
+          throw new IllegalStateException(
+            s"DeltaChain.commitDeltaArbitrated: claim marker $marker exists " +
+              s"but v$next was never published within ${publishWaitMs}ms — " +
+              "orphaned claim; remove the marker after confirming the writer is gone")
+        Thread.sleep(20)
+      }
+    }
+    throw new IllegalStateException(
+      s"DeltaChain.commitDeltaArbitrated: lost $maxAttempts consecutive " +
+        s"commit races on $baseDir")
+  }
+
+  private def deleteStagingRecursively(dir: java.nio.file.Path): Unit =
+    if (Files.exists(dir)) {
+      val walk = Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
 
   /** Per-commit storage census: version, kind, file count, bytes for
     * the delta and (when present) checkpoint dirs — the evidence that

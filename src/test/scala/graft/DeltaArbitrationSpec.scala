@@ -1,0 +1,93 @@
+package graft
+
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+
+import org.apache.spark.sql.functions._
+
+/** Laws for arbitrated delta commits and the per-commit CDF
+  * (round-14 additions to [[graft.operators.DeltaChain]]): two racing
+  * delta writers must serialize with no lost update; changesAt must
+  * source preimages from the STATE, not the writer's payload, and
+  * drop no-op deletes.
+  */
+class DeltaArbitrationSpec extends SparkSpec {
+  import operators.DeltaChain
+
+  private def freshRoot(): String = {
+    val f = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_darb_spec_${java.util.UUID.randomUUID().toString.take(8)}")
+    QueryGuard.deleteRecOnExit(f)
+    f.getAbsolutePath
+  }
+
+  test("two interleaved delta committers: serialized versions, both deltas land") {
+    import spark.implicits._
+    val root = freshRoot()
+    DeltaChain.create(root,
+      (1L to 10L).map(k => (k, 0L)).toDF("k", "n"), Seq("k"),
+      checkpointEvery = 2) // the loser's retry lands v3 → checkpoint due
+    val bothStaged = new CountDownLatch(2)
+    def writer(lo: Long, hi: Long): ((Int, Int), Throwable) = {
+      var res: (Int, Int) = (0, 0); var err: Throwable = null
+      try {
+        // the latch sits BEFORE the call: both threads hold their delta
+        // ready, release together, and race the v2 claim marker
+        bothStaged.countDown()
+        assert(bothStaged.await(30, TimeUnit.SECONDS))
+        res = DeltaChain.commitDeltaArbitrated(spark, root,
+          (lo to hi).map(k => (k, k * 100L)).toDF("k", "n"))
+      } catch { case t: Throwable => err = t }
+      (res, err)
+    }
+    var a: ((Int, Int), Throwable) = null
+    var b: ((Int, Int), Throwable) = null
+    val ta = new Thread(() => a = writer(1L, 5L))
+    val tb = new Thread(() => b = writer(6L, 10L))
+    ta.start(); tb.start()
+    ta.join(120000); tb.join(120000)
+    assert(a != null && a._2 == null, s"writer A failed: ${if (a == null) "hang" else a._2}")
+    assert(b != null && b._2 == null, s"writer B failed: ${b._2}")
+    assert(DeltaChain.versions(root) === Seq(1, 2, 3))
+    assert(Set(a._1._1, b._1._1) === Set(2, 3))
+    // no lost update: both writers' disjoint key slices present at v3
+    val fin = DeltaChain.read(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fin === (1L to 10L).map(k => k -> k * 100L).toMap, s"lost update: $fin")
+    // the every-2 cadence fired on the loser's v3 commit
+    assert(new java.io.File(root, "c3").exists(),
+      "checkpoint cadence skipped on an arbitrated commit")
+    // no staging residue
+    assert(new java.io.File(root).listFiles()
+      .count(_.getName.startsWith(".stage_")) === 0)
+  }
+
+  test("changesAt: preimages come from the state; no-op deletes emit nothing") {
+    import spark.implicits._
+    val root = freshRoot()
+    DeltaChain.create(root,
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "n"), Seq("k"))
+    // the delete row CLAIMS n=999 for key 2 — the state says 20; and
+    // key 7 never existed, so its delete must vanish from the feed
+    DeltaChain.commitDelta(spark, root,
+      Seq((1L, 11L, false), (2L, 999L, true), (7L, 0L, true), (3L, 30L, false))
+        .toDF("k", "n", "del"), Some("del"))
+    val feed = DeltaChain.changesAt(spark, root, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(feed === Set(
+      (1L, 10L, "update_preimage"), (1L, 11L, "update_postimage"),
+      (2L, 20L, "delete"), // state value, not the writer's 999
+      (3L, 30L, "insert")))
+  }
+
+  test("changesAt across a checkpoint boundary uses the replayed prior state") {
+    import spark.implicits._
+    val root = freshRoot()
+    DeltaChain.create(root, Seq((1L, 1L)).toDF("k", "n"), Seq("k"),
+      checkpointEvery = 2)
+    DeltaChain.commitDelta(spark, root, Seq((1L, 2L)).toDF("k", "n")) // v2 = checkpoint
+    DeltaChain.commitDelta(spark, root, Seq((1L, 3L)).toDF("k", "n")) // v3 delta
+    val feed = DeltaChain.changesAt(spark, root, 3)
+      .collect().map(r => (r.getLong(1), r.getString(2))).toSet
+    assert(feed === Set((2L, "update_preimage"), (3L, "update_postimage")))
+  }
+}
