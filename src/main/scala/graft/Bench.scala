@@ -137,10 +137,14 @@ object Bench {
     // adjudication leaned on.
     var lj2CandCache = Option.empty[Long]
     def lj2Work(): Seq[(String, Long)] = {
-      if (lj2CandCache.isEmpty) lj2CandCache = Some(try {
+      // failures are NOT cached: a transient error in the early slot
+      // must not poison the late slot's counter (and the exception is
+      // named on stderr by probe()'s own handler when thrown from here)
+      if (lj2CandCache.isEmpty) {
         CacheLifecycle.sweep(spark)
-        graft.queries.SurfaceR8c.lj2CandidateCount(spark, sfDir)
-      } catch { case _: Throwable => -1L })
+        lj2CandCache = Some(
+          graft.queries.SurfaceR8c.lj2CandidateCount(spark, sfDir))
+      }
       lj2CandCache.map("candidates" -> _).toSeq
     }
     val lj2EarlySec = probe("lj2_early", () => lj2Work()) {
@@ -239,23 +243,25 @@ object Bench {
     val lj2Sec = probe("lj2", () => lj2Work()) {
       force(graft.queries.SurfaceR8c.lj2PrefixJaccard(spark, sfDir))
     }
-    val lj2Cand = lj2Work().headOption.map(_._2).getOrElse(-1L)
+    val lj2Cand = try lj2Work().headOption.map(_._2).getOrElse(-1L)
+      catch { case _: Throwable => -1L }
     // Probe 6: the inverted-index sparse top-k — the one query whose
     // join fanout grows with corpus size, so its bench-SF cost is
     // measured rather than assumed; the closed-form fanout count is the
     // reported explanation.
     var ls3FanoutCache = Option.empty[Long]
     def ls3Work(): Seq[(String, Long)] = {
-      if (ls3FanoutCache.isEmpty) ls3FanoutCache = Some(try {
+      if (ls3FanoutCache.isEmpty) {
         CacheLifecycle.sweep(spark)
-        graft.queries.SurfaceR8.ls3PostingsFanout(spark, sfDir)
-      } catch { case _: Throwable => -1L })
+        ls3FanoutCache = Some(
+          graft.queries.SurfaceR8.ls3PostingsFanout(spark, sfDir))
+      }
       ls3FanoutCache.map("fanout" -> _).toSeq
     }
     val ls3Sec = probe("ls3", () => ls3Work()) {
       force(graft.queries.SurfaceR8.ls3TfidfTopk(spark, sfDir))
     }
-    val ls3Fanout = ls3FanoutCache.getOrElse(-1L)
+    val ls3Fanout = ls3FanoutCache.getOrElse(-1L) // set only on success
     val diagJson = diag.map { case (k, v) => s"\"$k\":$v" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rocksdb_state_t6_sec":$stateSec,"curation_sec":$curationSec,"interp_sec":$interpSec,"pq_sec":$pqSec,"analytics_sec":$analyticsSec,"seq_analytics_sec":$seqAnalyticsSec,"lj2_early_sec":$lj2EarlySec,"lj2_sec":$lj2Sec,"ls3_sec":$ls3Sec,"lj2_candidates":$lj2Cand,"ls3_fanout":$ls3Fanout,"probe_diag":$diagJson,"sf":"$sfDir"}""")
