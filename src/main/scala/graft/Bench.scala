@@ -262,9 +262,46 @@ object Bench {
       force(graft.queries.SurfaceR8.ls3TfidfTopk(spark, sfDir))
     }
     val ls3Fanout = ls3FanoutCache.getOrElse(-1L) // set only on success
+    // Probe 7 (round-14): the delta-commit lakehouse write/read paths at
+    // bench SF — create (checkpoint write), three residue-delta commits,
+    // time travel via replay, and the per-commit CDF derivation. Work
+    // counters: base rows (checkpoint volume), delta rows committed
+    // (write volume), and the storage census's delta bytes — so a
+    // timing shift is attributable to data vs environment, round over
+    // round, the same discipline as every other probe.
+    var lakeDiag: Seq[(String, Long)] = Seq.empty
+    val lakehouseSec = probe("lakehouse", () => lakeDiag) {
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_bench_lake_${java.util.UUID.randomUUID().toString.take(8)}")
+      graft.QueryGuard.deleteRecOnExit(root)
+      val dir = root.getAbsolutePath
+      val base = graft.Tables.orders(spark, sfDir)
+        .select(org.apache.spark.sql.functions.col("o_orderkey"),
+          org.apache.spark.sql.functions.expr(
+            "CAST(floor(o_totalprice * 100 + 5e-1) AS BIGINT)").as("qprice"))
+      graft.operators.DeltaChain.create(dir, base, Seq("o_orderkey"),
+        checkpointEvery = 4)
+      var committed = 0L
+      Seq(13, 17, 19).foreach { m =>
+        val dl = base
+          .where(org.apache.spark.sql.functions.col("o_orderkey") % m === 0)
+          .withColumn("qprice",
+            org.apache.spark.sql.functions.col("qprice") + m.toLong)
+        committed += dl.count()
+        graft.operators.DeltaChain.commitDelta(spark, dir, dl)
+      }
+      force(graft.operators.DeltaChain.readAsOf(spark, dir, 4))
+      force(graft.operators.DeltaChain.changesAt(spark, dir, 4))
+      val deltaBytes = graft.operators.DeltaChain.commitBytes(spark, dir)
+        .agg(org.apache.spark.sql.functions.sum("delta_bytes"))
+        .collect()(0).getLong(0)
+      lakeDiag = Seq("base_rows" -> base.count(),
+        "delta_rows_committed" -> committed,
+        "delta_bytes" -> deltaBytes)
+    }
     val diagJson = diag.map { case (k, v) => s"\"$k\":$v" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rocksdb_state_t6_sec":$stateSec,"curation_sec":$curationSec,"interp_sec":$interpSec,"pq_sec":$pqSec,"analytics_sec":$analyticsSec,"seq_analytics_sec":$seqAnalyticsSec,"lj2_early_sec":$lj2EarlySec,"lj2_sec":$lj2Sec,"ls3_sec":$ls3Sec,"lj2_candidates":$lj2Cand,"ls3_fanout":$ls3Fanout,"probe_diag":$diagJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rocksdb_state_t6_sec":$stateSec,"curation_sec":$curationSec,"interp_sec":$interpSec,"pq_sec":$pqSec,"analytics_sec":$analyticsSec,"seq_analytics_sec":$seqAnalyticsSec,"lj2_early_sec":$lj2EarlySec,"lj2_sec":$lj2Sec,"ls3_sec":$ls3Sec,"lakehouse_sec":$lakehouseSec,"lj2_candidates":$lj2Cand,"ls3_fanout":$ls3Fanout,"probe_diag":$diagJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -119,7 +119,7 @@ object DeltaChain {
     val m = meta(baseDir)
     val current = latestVersion(baseDir)
     require(current > 0, s"DeltaChain.commitDelta: $baseDir has no v1 — create() first")
-    val lastCp = versions(baseDir).filter(hasCheckpoint(baseDir, _)).max
+    val lastCp = diskCheckpoints(baseDir).max // disk view: see truncate
     // schema is fixed at create in this storage mode, so the latest
     // checkpoint's footer is the authoritative column list — one
     // metadata read, never a replay
@@ -205,8 +205,9 @@ object DeltaChain {
     if (hasCheckpoint(baseDir, version))
       spark.read.parquet(checkpointDir(baseDir, version))
     else {
-      val cp = versions(baseDir)
-        .filter(v => v <= version && hasCheckpoint(baseDir, v)).max
+      // disk-based resolution: after truncate the anchor checkpoint
+      // may outlive its manifest entry (see [[truncate]])
+      val cp = diskCheckpoints(baseDir).filter(_ <= version).max
       val cols = spark.read.parquet(checkpointDir(baseDir, cp)).columns.toSeq
       replay(spark, baseDir, cp, version, cols, meta(baseDir).keys)
     }
@@ -314,7 +315,7 @@ object DeltaChain {
     while (attempt < maxAttempts) {
       attempt += 1
       val current = latestVersion(baseDir)
-      val lastCp = versions(baseDir).filter(hasCheckpoint(baseDir, _)).max
+      val lastCp = diskCheckpoints(baseDir).max
       val tableCols =
         spark.read.parquet(checkpointDir(baseDir, lastCp)).columns.toSeq
       val next = current + 1
@@ -360,6 +361,67 @@ object DeltaChain {
         .forEach(p => Files.deleteIfExists(p))
       finally walk.close()
     }
+
+  /** Log retention (the delta form's VACUUM): drop every version
+    * strictly below `keepFrom` — manifest first (atomically, so a
+    * reader never resolves a version whose files are mid-delete),
+    * then the physical delta/checkpoint dirs. `keepFrom` must carry a
+    * checkpoint (or one must exist at-or-below it that SURVIVES):
+    * every retained version's replay path needs a checkpoint at or
+    * below it, so the boundary rule is: the newest checkpoint
+    * at-or-below `keepFrom` is retained even if its version number
+    * falls below the cut — exactly Delta's "checkpoint retention
+    * follows log retention" coupling, made explicit. Returns the
+    * retained versions. Time travel below the cut fails loudly in
+    * [[readAsOf]]'s committed-versions check; [[changesAt]]/
+    * [[changelog]] windows reaching below it fail the same way. */
+  def truncate(baseDir: String, keepFrom: Int): Seq[Int] = {
+    val vs = versions(baseDir)
+    require(vs.contains(keepFrom),
+      s"DeltaChain.truncate: keepFrom $keepFrom not a committed version of $baseDir")
+    val anchor = diskCheckpoints(baseDir).filter(_ <= keepFrom)
+    require(anchor.nonEmpty,
+      s"DeltaChain.truncate: no checkpoint at or below $keepFrom — " +
+        "readAsOf(keepFrom) would have no replay base; checkpoint first")
+    val anchorCp = anchor.max
+    val keep = vs.filter(_ >= keepFrom)
+    VersionedTable.publishManifest(baseDir, keep)
+    // Physical reclamation follows REPLAY reachability, not manifest
+    // membership (the same rule [[VersionedTable.expire]] applies to
+    // DV base snapshots): every retained version replays from the
+    // anchor checkpoint plus the deltas ABOVE it, so
+    //   - checkpoints below the anchor die,
+    //   - deltas at-or-below the anchor die (replay starts AT the
+    //     anchor; the anchor's own change record goes with the cut —
+    //     changelog windows below keepFrom are gone by contract),
+    //   - deltas in (anchor, keepFrom) SURVIVE as unmanifested replay
+    //     fuel when the anchor sits below the cut — invisible to time
+    //     travel, reclaimed by a later truncate once a newer
+    //     checkpoint becomes the anchor.
+    def rm(d: String): Unit = {
+      val p = Paths.get(d)
+      if (Files.exists(p)) deleteStagingRecursively(p)
+    }
+    diskCheckpoints(baseDir).filter(_ < anchorCp)
+      .foreach(v => rm(checkpointDir(baseDir, v)))
+    diskDeltas(baseDir).filter(_ <= anchorCp)
+      .foreach(v => rm(deltaDir(baseDir, v)))
+    keep
+  }
+
+  /** Checkpoint/delta versions present ON DISK — the replay layer's
+    * view. After [[truncate]] the anchor checkpoint (and the deltas
+    * above it up to the cut) can legitimately outlive their manifest
+    * entries, so replay resolution scans dirs, never the manifest. */
+  private def diskCheckpoints(baseDir: String): Seq[Int] =
+    listNumbered(baseDir, "c")
+  private def diskDeltas(baseDir: String): Seq[Int] =
+    listNumbered(baseDir, "d")
+  private def listNumbered(baseDir: String, prefix: String): Seq[Int] =
+    Option(new java.io.File(baseDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.matches(s"$prefix\\d+"))
+      .map(_.getName.drop(1).toInt).toSeq.sorted
 
   /** Per-commit storage census: version, kind, file count, bytes for
     * the delta and (when present) checkpoint dirs — the evidence that

@@ -278,31 +278,45 @@ object VersionedTable {
   private def isDvVersion(baseDir: String, v: Int): Boolean =
     Files.exists(dvBasePath(baseDir, v))
 
-  /** (plain data dir, accumulated mask if the version is mask-based).
-    * A DV version stores the ABSOLUTE dir of its plain ancestor, so
-    * chained DV deletes resolve in one hop, never recursively. */
+  /** (data dirs, accumulated mask if the version is mask-based). A DV
+    * version's `_dv_base` lists its PLAIN ancestor dir first, then any
+    * patch-row (`_dv_extra`) dirs accumulated by merge-on-read UPDATE
+    * commits — all absolute, so chained DV commits resolve in one
+    * read, never recursively. */
   private def resolveDv(
       spark: SparkSession,
       baseDir: String,
-      v: Int): (String, Option[DataFrame]) =
+      v: Int): (Seq[String], Option[DataFrame]) =
     if (isDvVersion(baseDir, v)) {
-      val dataDir = new String(
-        Files.readAllBytes(dvBasePath(baseDir, v)), StandardCharsets.UTF_8).trim
-      (dataDir, Some(spark.read.parquet(dvMaskDir(baseDir, v))))
-    } else (snapshotDir(baseDir, v), None)
+      val dataDirs = new String(
+        Files.readAllBytes(dvBasePath(baseDir, v)), StandardCharsets.UTF_8)
+        .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+      (dataDirs, Some(spark.read.parquet(dvMaskDir(baseDir, v))))
+    } else (Seq(snapshotDir(baseDir, v)), None)
 
-  /** Base files with their (file, position) identity attached and the
-    * mask anti-joined away. The mask is rows-deleted — tiny relative
-    * to the table — so Spark broadcasts it and the anti-join costs a
-    * map-side probe, ZERO shuffle of the data: the merge-on-read
-    * contract. `_metadata.row_index` is the parquet reader's per-file
-    * row position — stable because DV commits never rewrite base
-    * files (the q65 file-census REQUIRE pins exactly that). */
+  /** Data files (base snapshot ∪ patch dirs) with their (file,
+    * position) identity attached and the mask anti-joined away. The
+    * mask is rows-deleted/superseded — tiny relative to the table —
+    * so Spark broadcasts it and the anti-join costs a map-side probe,
+    * ZERO shuffle of the data: the merge-on-read contract.
+    * `_metadata.row_index` is the parquet reader's per-file row
+    * position — stable because DV commits never rewrite ANY data file
+    * (base or patch; the q65 file-census REQUIRE pins exactly that),
+    * which also lets later masks target patch rows the same way. */
   private def readMasked(
       spark: SparkSession,
-      dataDir: String,
+      dataDirs: Seq[String],
+      mask: DataFrame): DataFrame =
+    withRowIdentity(spark, dataDirs, mask)
+      .drop("__graft_dv_file", "__graft_dv_pos")
+
+  /** The live rows of (dataDirs ∖ mask) KEEPING the identity columns —
+    * the shared core of the DV readers and writers. */
+  private def withRowIdentity(
+      spark: SparkSession,
+      dataDirs: Seq[String],
       mask: DataFrame): DataFrame = {
-    val base = spark.read.parquet(dataDir)
+    val base = spark.read.parquet(dataDirs: _*)
       .withColumn("__graft_dv_file", col("_metadata.file_path"))
       .withColumn("__graft_dv_pos", col("_metadata.row_index"))
     val m = mask.select(col("file_path").as("__graft_m_file"),
@@ -311,7 +325,6 @@ object VersionedTable {
         col("__graft_dv_file") === col("__graft_m_file") &&
           col("__graft_dv_pos") === col("__graft_m_pos"),
         "left_anti")
-      .drop("__graft_dv_file", "__graft_dv_pos")
   }
 
   /** DELETE FROM t WHERE cond, merge-on-read: instead of rewriting the
@@ -338,31 +351,74 @@ object VersionedTable {
   def deleteWhereDV(spark: SparkSession, baseDir: String, cond: Column): Int = {
     val current = latestVersion(baseDir)
     require(current > 0, s"VersionedTable.deleteWhereDV: $baseDir has no v1 — create() first")
+    commitDv(spark, baseDir, cond, extras = None)
+  }
+
+  /** UPDATE t SET col = expr, ... WHERE cond, merge-on-read: the
+    * matched rows are MASKED (superseded, like a DV delete) and their
+    * rewritten images land as PATCH ROWS in the new version's
+    * `_dv_extra/` dir — base files still untouched, bytes written ∝
+    * rows updated. Readers see (base ∪ patches) ∖ mask; later DV
+    * commits can mask patch rows too (patch files are immutable, so
+    * their (file, row_index) identity is as stable as the base's).
+    * This is [[updateWhere]]'s merge-on-read twin, and together with
+    * [[deleteWhereDV]] completes merge-on-read DML; any rewriting
+    * commit still materializes the whole overlay away. */
+  def updateWhereDV(
+      spark: SparkSession,
+      baseDir: String,
+      cond: Column,
+      assignments: Seq[(String, Column)]): Int = {
+    val current = latestVersion(baseDir)
+    require(current > 0, s"VersionedTable.updateWhereDV: $baseDir has no v1 — create() first")
+    val cols = read(spark, baseDir).columns.toSeq
+    assignments.foreach { case (c, _) =>
+      require(cols.contains(c),
+        s"VersionedTable.updateWhereDV: $c is not a column of $baseDir")
+    }
+    commitDv(spark, baseDir, cond, extras = Some { live =>
+      assignments.foldLeft(live.where(cond)) { case (df, (c, e)) =>
+        df.withColumn(c, e)
+      }.select(cols.map(col): _*)
+    })
+  }
+
+  /** Shared DV commit: mask the rows matching `cond`; when `extras`
+    * is given, additionally write its frame (the rewritten images of
+    * the masked rows) as this version's patch dir and append it to
+    * the data-dir list. Sidecars first, pointer second, manifest last
+    * — a crash at any point leaves an unreferenced dir, never a torn
+    * version. */
+  private def commitDv(
+      spark: SparkSession,
+      baseDir: String,
+      cond: Column,
+      extras: Option[DataFrame => DataFrame]): Int = {
+    val current = latestVersion(baseDir)
     val next = current + 1
-    val (dataDir, oldMask) = resolveDv(spark, baseDir, current)
-    val base = spark.read.parquet(dataDir)
-      .withColumn("__graft_dv_file", col("_metadata.file_path"))
-      .withColumn("__graft_dv_pos", col("_metadata.row_index"))
+    val (dataDirs, oldMask) = resolveDv(spark, baseDir, current)
     val live = oldMask match {
-      case Some(m) =>
-        val mm = m.select(col("file_path").as("__graft_m_file"),
-          col("row_index").as("__graft_m_pos"))
-        base.join(org.apache.spark.sql.functions.broadcast(mm),
-          col("__graft_dv_file") === col("__graft_m_file") &&
-            col("__graft_dv_pos") === col("__graft_m_pos"),
-          "left_anti")
-      case None => base
+      case Some(m) => withRowIdentity(spark, dataDirs, m)
+      case None =>
+        spark.read.parquet(dataDirs: _*)
+          .withColumn("__graft_dv_file", col("_metadata.file_path"))
+          .withColumn("__graft_dv_pos", col("_metadata.row_index"))
     }
     val newMask = live.where(cond)
       .select(col("__graft_dv_file").as("file_path"),
         col("__graft_dv_pos").as("row_index"))
     val fullMask = oldMask.map(_.unionByName(newMask)).getOrElse(newMask)
-    // sidecar first, pointer second, manifest last — a crash at any
-    // point leaves an unreferenced dir, never a torn version
     fullMask.coalesce(1).write.mode("errorifexists")
       .parquet(dvMaskDir(baseDir, next))
+    val extraDir = extras.map { mk =>
+      val dir = s"${snapshotDir(baseDir, next)}/_dv_extra"
+      mk(live.drop("__graft_dv_file", "__graft_dv_pos"))
+        .coalesce(1).write.mode("errorifexists").parquet(dir)
+      dir
+    }
     Files.write(dvBasePath(baseDir, next),
-      dataDir.getBytes(StandardCharsets.UTF_8))
+      (dataDirs ++ extraDir.toSeq).mkString("", "\n", "\n")
+        .getBytes(StandardCharsets.UTF_8))
     publish(baseDir, versions(baseDir) :+ next)
     next
   }
@@ -479,10 +535,16 @@ object VersionedTable {
     // entry (the Delta/Iceberg vacuum rule: walk what live versions
     // reference before touching bytes). Time travel to the dropped
     // version still fails loudly — the manifest is gone either way.
-    val referenced: Set[String] = keep.filter(isDvVersion(baseDir, _)).map { v =>
+    // every path a surviving DV version reads: its plain ancestor dir
+    // plus any patch (`_dv_extra`) dirs — the latter live INSIDE older
+    // version dirs, so retention must test "equal or underneath", not
+    // just dir equality
+    val referenced: Set[String] = keep.filter(isDvVersion(baseDir, _)).flatMap { v =>
       new String(Files.readAllBytes(dvBasePath(baseDir, v)),
-        StandardCharsets.UTF_8).trim
+        StandardCharsets.UTF_8).split("\n").map(_.trim).filter(_.nonEmpty)
     }.toSet
+    def isReferenced(dir: String): Boolean =
+      referenced.exists(r => r == dir || r.startsWith(dir + "/"))
     // Sweep set: the versions dropped NOW plus any on-disk v-dir below
     // keepFrom that an EARLIER expire retained by reference (its
     // manifest entry is long gone, so `drop` alone would never revisit
@@ -497,7 +559,7 @@ object VersionedTable {
       .filter(v => v < keepFrom && !keep.contains(v))
     (drop ++ onDisk).distinct.foreach { v =>
       val dir = Paths.get(snapshotDir(baseDir, v))
-      if (Files.exists(dir) && !referenced.contains(dir.toString)) {
+      if (Files.exists(dir) && !isReferenced(dir.toString)) {
         val walk = Files.walk(dir) // stream holds directory handles — close it
         try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
           .forEach(p => Files.deleteIfExists(p))
@@ -543,8 +605,8 @@ object VersionedTable {
       s"VersionedTable.readAsOf: version $version not in committed " +
         s"versions ${versions(baseDir).mkString("[", ",", "]")} of $baseDir")
     resolveDv(spark, baseDir, version) match {
-      case (dataDir, Some(mask)) => readMasked(spark, dataDir, mask)
-      case (dataDir, None)       => spark.read.parquet(dataDir)
+      case (dataDirs, Some(mask)) => readMasked(spark, dataDirs, mask)
+      case (dataDirs, None)       => spark.read.parquet(dataDirs: _*)
     }
   }
 

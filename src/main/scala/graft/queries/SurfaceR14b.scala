@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.Tables
-import graft.operators.{DeltaChain, IncrementalAgg}
+import graft.operators.{DeltaChain, IncrementalAgg, VersionedTable}
 
 /** Round-14 surface batch 2: the delta-chain table as a PIPELINE
   * component — per-commit CDF with preimages (q66 consumes it to
@@ -148,11 +148,80 @@ object SurfaceR14b extends QueryBatch {
       .orderBy("s_suppkey")
   }
 
+  // ---- Q67: merge-on-read UPDATE + DELETE (full DV DML) ----
+
+  /** Q67: q56's full DML chain in merge-on-read form —
+    * [[graft.operators.VersionedTable.updateWhereDV]] rewrites the
+    * mod-5 balances as PATCH ROWS (v2), then
+    * [[graft.operators.VersionedTable.deleteWhereDV]] masks the mod-7
+    * keys (v3), against a copy-on-write twin running
+    * updateWhere/deleteWhere with the same predicates. REQUIRED
+    * in-key: (1) the base data-file set is byte-identical across both
+    * DV commits (updates write patches, never rewrite); (2) the DV
+    * chain's bytes are under half the copy-on-write twin's above the
+    * parquet-floor scale gate; (3) per-version set equality with the
+    * twin. The v3 delete also exercises masking across patch files —
+    * a mod-35 key's deleted row lives in v2's patch dir, not the base.
+    * Output = the version-tagged DV reads; oracle = residue algebra. */
+  val q67UpdateDv: Q = (s, d) => {
+    val dvRoot = scratch("q67dv").getAbsolutePath
+    val cowRoot = scratch("q67cw").getAbsolutePath
+    val base = customer(s, d).select(col("c_custkey"),
+      expr("CAST(floor(c_acctbal * 100 + 5e-1) AS BIGINT)").as("qbal"),
+      col("c_mktsegment"))
+    VersionedTable.create(dvRoot, base.coalesce(2))
+    VersionedTable.create(cowRoot, base.coalesce(2))
+    def fileSet(dir: String): Set[(String, Long)] = {
+      val dd = new java.io.File(dir)
+      Option(dd.listFiles()).map(_.filter(f =>
+        f.isFile && f.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length())).toSet).getOrElse(Set.empty)
+    }
+    val before = fileSet(s"$dvRoot/v1")
+    VersionedTable.updateWhereDV(s, dvRoot,
+      col("c_custkey") % 5 === 0, Seq("qbal" -> (col("qbal") + 12345L)))
+    VersionedTable.updateWhere(s, cowRoot,
+      col("c_custkey") % 5 === 0, Seq("qbal" -> (col("qbal") + 12345L)))
+    VersionedTable.deleteWhereDV(s, dvRoot, col("c_custkey") % 7 === 0)
+    VersionedTable.deleteWhere(s, cowRoot, col("c_custkey") % 7 === 0)
+    require(fileSet(s"$dvRoot/v1") == before && before.nonEmpty,
+      "q67: DV DML altered the base data-file set")
+    def verBytes(root: String, v: Int): Long = {
+      var b = 0L
+      val walk = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$root/v$v"))
+      try walk.forEach(p =>
+        if (java.nio.file.Files.isRegularFile(p)) b += java.nio.file.Files.size(p))
+      finally walk.close()
+      b
+    }
+    val dvBytes = verBytes(dvRoot, 2) + verBytes(dvRoot, 3)
+    val cowBytes = verBytes(cowRoot, 2) + verBytes(cowRoot, 3)
+    if (cowBytes >= 32768)
+      require(dvBytes * 2 < cowBytes,
+        s"q67: DV DML wrote $dvBytes bytes vs copy-on-write $cowBytes")
+    else
+      require(dvBytes < cowBytes,
+        s"q67: DV DML wrote $dvBytes bytes, >= copy-on-write $cowBytes")
+    (1 to 3).foreach { v =>
+      val a = VersionedTable.readAsOf(s, dvRoot, v)
+      val b = VersionedTable.readAsOf(s, cowRoot, v)
+      val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+      require(diff == 0, s"q67: DV v$v diverges from copy-on-write ($diff rows)")
+    }
+    (1 to 3).map { v =>
+      VersionedTable.readAsOf(s, dvRoot, v).withColumn("version", lit(v))
+    }.reduce(_.unionByName(_))
+      .select("version", "c_custkey", "qbal", "c_mktsegment")
+      .orderBy("version", "c_custkey")
+  }
+
   // ---- registry ----
 
   val queries: Map[String, Q] = Map(
     "q66_incremental_mv_delta" -> q66IncrementalMvDelta,
-    "t28_stream_delta_ingest" -> t28StreamDeltaIngest)
+    "t28_stream_delta_ingest" -> t28StreamDeltaIngest,
+    "q67_update_dv" -> q67UpdateDv)
 
   val oracleSql: Map[String, String] = Map(
     "q66_incremental_mv_delta" ->
@@ -187,5 +256,19 @@ object SurfaceR14b extends QueryBatch {
         |  FROM base WHERE s_suppkey % 7 = 0)
         |SELECT s_suppkey, qbal FROM updated
         |UNION ALL SELECT s_suppkey, qbal FROM inserted
-        |ORDER BY s_suppkey""".stripMargin)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q67_update_dv" ->
+      """WITH base AS (
+        |  SELECT c_custkey,
+        |    CAST(floor(c_acctbal * 100 + 5e-1) AS BIGINT) AS qbal,
+        |    c_mktsegment
+        |  FROM customer),
+        |v(ver) AS (VALUES (1), (2), (3))
+        |SELECT CAST(ver AS INTEGER) AS version, c_custkey,
+        |  CASE WHEN ver >= 2 AND c_custkey % 5 = 0
+        |    THEN qbal + 12345 ELSE qbal END AS qbal,
+        |  c_mktsegment
+        |FROM base, v
+        |WHERE ver < 3 OR c_custkey % 7 <> 0
+        |ORDER BY version, c_custkey""".stripMargin)
 }

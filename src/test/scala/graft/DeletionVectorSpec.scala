@@ -85,6 +85,65 @@ class DeletionVectorSpec extends SparkSpec {
       "v1 no longer referenced — vacuum should reclaim it")
   }
 
+  test("updateWhereDV: patch rows supersede masked originals; base untouched") {
+    import spark.implicits._
+    val root = freshRoot()
+    VersionedTable.create(root,
+      (1L to 20L).map(k => (k, k * 10)).toDF("k", "w").repartition(2))
+    def baseFiles = Option(new java.io.File(s"$root/v1").listFiles())
+      .map(_.filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length())).toSet).getOrElse(Set.empty)
+    val before = baseFiles
+    VersionedTable.updateWhereDV(spark, root,
+      col("k") % 5 === 0, Seq("w" -> (col("w") + 1L)))
+    assert(baseFiles === before, "merge-on-read update rewrote base files")
+    assert(new java.io.File(s"$root/v2/_dv_extra").exists())
+    val got = VersionedTable.read(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (1L to 20L).map(k =>
+      k -> (if (k % 5 == 0) k * 10 + 1 else k * 10)).toMap)
+    // v1 still time-travels to the pre-update state
+    assert(VersionedTable.readAsOf(spark, root, 1)
+      .where(col("w") === 51L).count() === 0)
+  }
+
+  test("a later DV delete can mask a patch row (patch identity is stable)") {
+    import spark.implicits._
+    val root = freshRoot()
+    VersionedTable.create(root, (1L to 10L).map(k => (k, k)).toDF("k", "w"))
+    VersionedTable.updateWhereDV(spark, root,
+      col("k") === 3L, Seq("w" -> lit(333L)))
+    // delete BY THE UPDATED VALUE: the row now lives in v2's patch file
+    VersionedTable.deleteWhereDV(spark, root, col("w") === 333L)
+    assert(keys(root, 3) === ((1L to 10L).toSet - 3L))
+    // and chained update-then-update: the second patch supersedes the first
+    VersionedTable.updateWhereDV(spark, root,
+      col("k") === 4L, Seq("w" -> lit(444L)))
+    VersionedTable.updateWhereDV(spark, root,
+      col("k") === 4L, Seq("w" -> (col("w") + 1L)))
+    val w4 = VersionedTable.read(spark, root)
+      .where(col("k") === 4L).collect()(0).getLong(1)
+    assert(w4 === 445L)
+    assert(VersionedTable.read(spark, root).where(col("k") === 4L).count() === 1)
+  }
+
+  test("expire keeps an expired version dir whose patch files a live DV reads") {
+    import spark.implicits._
+    val root = freshRoot()
+    VersionedTable.create(root, (1L to 6L).map(k => (k, k)).toDF("k", "w"))
+    VersionedTable.updateWhereDV(spark, root,
+      col("k") === 2L, Seq("w" -> lit(22L)))          // v2 patches live in v2/
+    VersionedTable.deleteWhereDV(spark, root, col("k") === 5L) // v3 reads v1 + v2 patches
+    VersionedTable.expire(root, keepFrom = 3)
+    assert(VersionedTable.versions(root) === Seq(3))
+    // v2's dir must survive: v3's _dv_base references v2/_dv_extra
+    assert(new java.io.File(s"$root/v2/_dv_extra").exists(),
+      "vacuum deleted a patch dir a live DV version references")
+    assert(VersionedTable.read(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> 1L, 2L -> 22L, 3L -> 3L, 4L -> 4L, 6L -> 6L))
+  }
+
   test("DV delete matching zero rows commits an empty-delta version") {
     import spark.implicits._
     val root = freshRoot()

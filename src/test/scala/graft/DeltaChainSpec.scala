@@ -107,6 +107,48 @@ class DeltaChainSpec extends SparkSpec {
     }
   }
 
+  test("truncate: cut AT a checkpoint reclaims everything beneath") {
+    import spark.implicits._
+    val root = freshRoot()
+    DeltaChain.create(root, Seq((1L, "a")).toDF("k", "v"), Seq("k"),
+      checkpointEvery = 2)
+    DeltaChain.commitDelta(spark, root, Seq((2L, "b")).toDF("k", "v")) // v2 (2-1<2)
+    DeltaChain.commitDelta(spark, root, Seq((3L, "c")).toDF("k", "v")) // v3 + c3
+    DeltaChain.commitDelta(spark, root, Seq((4L, "d")).toDF("k", "v")) // v4
+    assert(DeltaChain.truncate(root, keepFrom = 3) === Seq(3, 4))
+    def has(n: String) = new java.io.File(root, n).exists()
+    // c3 is the anchor AT the cut: everything at-or-below it dies
+    // (c1, d2, d3); d4 stays — v4 replays from c3 + d4
+    assert(has("c3") && has("d4") && !has("c1") && !has("d2") && !has("d3"))
+    intercept[IllegalArgumentException] { DeltaChain.readAsOf(spark, root, 2) }
+    assert(state(root, 3) === Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    assert(state(root, 4) === Map(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
+    // the chain keeps committing after the cut
+    DeltaChain.commitDelta(spark, root, Seq((5L, "e")).toDF("k", "v")) // v5 + c5
+    assert(DeltaChain.versions(root) === Seq(3, 4, 5))
+    assert(state(root, 5).keySet === Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("truncate: an anchor BELOW the cut keeps its replay fuel alive") {
+    import spark.implicits._
+    val root = freshRoot()
+    DeltaChain.create(root, Seq((1L, "a")).toDF("k", "v"), Seq("k"),
+      checkpointEvery = 10) // only c1 ever exists
+    DeltaChain.commitDelta(spark, root, Seq((2L, "b")).toDF("k", "v")) // d2
+    DeltaChain.commitDelta(spark, root, Seq((3L, "c")).toDF("k", "v")) // d3
+    assert(DeltaChain.truncate(root, keepFrom = 3) === Seq(3))
+    def has(n: String) = new java.io.File(root, n).exists()
+    // c1 is unmanifested but alive (the anchor); d2 survives as replay
+    // fuel for v3; d1 never existed and c1's own delta record is gone
+    assert(has("c1") && has("d2") && has("d3"))
+    assert(DeltaChain.versions(root) === Seq(3))
+    intercept[IllegalArgumentException] { DeltaChain.readAsOf(spark, root, 1) }
+    assert(state(root, 3) === Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    // commits still work off the disk-resolved anchor
+    DeltaChain.commitDelta(spark, root, Seq((1L, "a2")).toDF("k", "v"))
+    assert(state(root, 4) === Map(1L -> "a2", 2L -> "b", 3L -> "c"))
+  }
+
   test("commitDelta: a delta missing table columns is rejected before any write") {
     import spark.implicits._
     val root = freshRoot()
