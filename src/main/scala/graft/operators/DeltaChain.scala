@@ -63,19 +63,67 @@ object DeltaChain {
   private val MetaName = "_graft_delta_meta"
   private val OpCol = "_op"
 
-  final case class Meta(keys: Seq[String], checkpointEvery: Int)
+  /** A metadata-only schema addition: the column exists from
+    * `version` on; rows stored before it backfill AT READ with
+    * `defaultSql` evaluated over the row's own columns (the
+    * Delta/Iceberg metadata-only ALTER contract — zero data rewritten
+    * at 100 TB). */
+  final case class AddedColumn(version: Int, name: String, defaultSql: String)
+
+  final case class Meta(
+      keys: Seq[String],
+      checkpointEvery: Int,
+      addedCols: Seq[AddedColumn] = Seq.empty)
 
   private def metaPath(baseDir: String) = Paths.get(baseDir, MetaName)
 
-  /** Table metadata written once at create: `keys=<k1,k2>;every=<n>`
-    * (a two-field flat format — no JSON parser dependency). */
+  /** Table metadata: line 1 is `keys=<k1,k2>;every=<n>` (written once
+    * at create); each later line is one schema addition,
+    * `addcol<TAB>version<TAB>name<TAB>defaultSql` (tab-separated —
+    * column names cannot contain tabs and a default expression with a
+    * literal tab is rejected at [[addColumn]]). No JSON parser
+    * dependency, atomically replaced per change. */
   def meta(baseDir: String): Meta = {
-    val raw = new String(Files.readAllBytes(metaPath(baseDir)),
-      StandardCharsets.UTF_8).trim
-    val fields = raw.split(";").map { f =>
+    val lines = new String(Files.readAllBytes(metaPath(baseDir)),
+      StandardCharsets.UTF_8).split("\n").map(_.trim).filter(_.nonEmpty)
+    val fields = lines.head.split(";").map { f =>
       val Array(k, v) = f.split("=", 2); k -> v
     }.toMap
-    Meta(fields("keys").split(",").toSeq, fields("every").toInt)
+    val added = lines.tail.filter(_.startsWith("addcol\t")).map { l =>
+      val Array(_, v, n, d) = l.split("\t", 4)
+      AddedColumn(v.toInt, n, d)
+    }.toSeq.sortBy(_.version)
+    Meta(fields("keys").split(",").toSeq, fields("every").toInt, added)
+  }
+
+  private def rewriteMeta(baseDir: String, content: String): Unit = {
+    val tmp = Paths.get(baseDir, s".$MetaName.tmp")
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, metaPath(baseDir),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Backfill `df` with every column added at-or-before `upTo` that
+    * its stored schema predates — defaults evaluate in version order,
+    * so a later addition may reference an earlier one. */
+  private def backfill(df: DataFrame, m: Meta, upTo: Int): DataFrame =
+    m.addedCols.filter(_.version <= upTo).foldLeft(df) { (d, ac) =>
+      if (d.columns.contains(ac.name)) d
+      else d.withColumn(ac.name, expr(ac.defaultSql))
+    }
+
+  /** The table's column list as of `version`: the latest checkpoint's
+    * stored columns plus any later metadata additions. */
+  private def tableColsAt(
+      spark: SparkSession,
+      baseDir: String,
+      m: Meta,
+      version: Int): Seq[String] = {
+    val cp = diskCheckpoints(baseDir).filter(_ <= version).max
+    val base = spark.read.parquet(checkpointDir(baseDir, cp)).columns.toSeq
+    base ++ m.addedCols
+      .filter(a => a.version <= version && !base.contains(a.name))
+      .map(_.name)
   }
 
   def versions(baseDir: String): Seq[Int] = VersionedTable.versions(baseDir)
@@ -120,10 +168,9 @@ object DeltaChain {
     val current = latestVersion(baseDir)
     require(current > 0, s"DeltaChain.commitDelta: $baseDir has no v1 — create() first")
     val lastCp = diskCheckpoints(baseDir).max // disk view: see truncate
-    // schema is fixed at create in this storage mode, so the latest
-    // checkpoint's footer is the authoritative column list — one
-    // metadata read, never a replay
-    val tableCols = spark.read.parquet(checkpointDir(baseDir, lastCp)).columns.toSeq
+    // the authoritative column list = latest checkpoint footer plus
+    // metadata-only additions — one metadata read, never a replay
+    val tableCols = tableColsAt(spark, baseDir, m, current)
     val next = current + 1
     val shaped = shapeAndValidate(delta, tableCols, deleteCol, m.keys,
       "DeltaChain.commitDelta")
@@ -183,11 +230,12 @@ object DeltaChain {
       to: Int,
       tableCols: Seq[String],
       keys: Seq[String]): DataFrame = {
-    val cp = spark.read.parquet(checkpointDir(baseDir, fromCp))
+    val m = meta(baseDir)
+    val cp = backfill(spark.read.parquet(checkpointDir(baseDir, fromCp)), m, to)
       .select(tableCols.map(col) :+ lit("I").as(OpCol): _*)
       .withColumn("_seq", lit(fromCp))
     val deltas = ((fromCp + 1) to to).map { v =>
-      spark.read.parquet(deltaDir(baseDir, v))
+      backfill(spark.read.parquet(deltaDir(baseDir, v)), m, to)
         .select(tableCols.map(col) :+ col(OpCol): _*)
         .withColumn("_seq", lit(v))
     }
@@ -208,8 +256,9 @@ object DeltaChain {
       // disk-based resolution: after truncate the anchor checkpoint
       // may outlive its manifest entry (see [[truncate]])
       val cp = diskCheckpoints(baseDir).filter(_ <= version).max
-      val cols = spark.read.parquet(checkpointDir(baseDir, cp)).columns.toSeq
-      replay(spark, baseDir, cp, version, cols, meta(baseDir).keys)
+      val m = meta(baseDir)
+      replay(spark, baseDir, cp, version,
+        tableColsAt(spark, baseDir, m, version), m.keys)
     }
   }
 
@@ -235,9 +284,13 @@ object DeltaChain {
     require(fromVersion < toVersion && vs.contains(fromVersion) && vs.contains(toVersion),
       s"DeltaChain.changelog: need committed fromVersion < toVersion, " +
         s"got $fromVersion, $toVersion of ${vs.mkString("[", ",", "]")}")
+    val m = meta(baseDir)
     ((fromVersion + 1) to toVersion)
       .map { v =>
-        spark.read.parquet(deltaDir(baseDir, v))
+        // pre-addition deltas backfill like every other reader, so a
+        // window spanning a schema addition unions cleanly and the
+        // consumer sees one schema (the window-end's)
+        backfill(spark.read.parquet(deltaDir(baseDir, v)), m, toVersion)
           .withColumn("_commit_version", lit(v))
       }
       .reduce(_.unionByName(_))
@@ -267,7 +320,7 @@ object DeltaChain {
     val dataCols = prev.columns.toSeq
     val old = prev.select(dataCols.map(c => col(c).as(s"__old_$c")): _*)
       .withColumn("__graft_in_prev", lit(true))
-    val d = spark.read.parquet(deltaDir(baseDir, version))
+    val d = backfill(spark.read.parquet(deltaDir(baseDir, version)), m, version)
     val joinCond = m.keys.map(k => col(k) <=> col(s"__old_$k")).reduce(_ && _)
     val joined = d.join(old, joinCond, "left_outer")
     val present = col("__graft_in_prev").isNotNull
@@ -316,8 +369,7 @@ object DeltaChain {
       attempt += 1
       val current = latestVersion(baseDir)
       val lastCp = diskCheckpoints(baseDir).max
-      val tableCols =
-        spark.read.parquet(checkpointDir(baseDir, lastCp)).columns.toSeq
+      val tableCols = tableColsAt(spark, baseDir, m, current)
       val next = current + 1
       val shaped = shapeAndValidate(delta, tableCols, deleteCol, m.keys,
         s"DeltaChain.commitDeltaArbitrated")
@@ -361,6 +413,51 @@ object DeltaChain {
         .forEach(p => Files.deleteIfExists(p))
       finally walk.close()
     }
+
+  /** ALTER TABLE ADD COLUMN, metadata-only (the at-scale form of
+    * [[VersionedTable.addColumn]], which rewrites the snapshot): the
+    * commit writes ONE empty delta file (the version's change record,
+    * carrying the widened schema) and one metadata line — zero data
+    * rewritten, at any table size. Every row stored before this
+    * version backfills AT READ with `defaultSql` evaluated over the
+    * row's own columns (so a derived default, e.g.
+    * `CAST(qprice DIV 100000 AS BIGINT)`, tracks each row's current
+    * values exactly as a rewrite would have). Time travel below the
+    * addition returns the narrower schema — the q59 schema-evolution
+    * contract, unchanged by the storage form. Later commits MUST
+    * carry the column (shapeAndValidate enforces the widened list).
+    * Returns the new version. */
+  def addColumn(
+      spark: SparkSession,
+      baseDir: String,
+      name: String,
+      defaultSql: String): Int = {
+    val m = meta(baseDir)
+    val current = latestVersion(baseDir)
+    require(current > 0, s"DeltaChain.addColumn: $baseDir has no v1 — create() first")
+    require(!name.contains("\t") && !defaultSql.contains("\t") &&
+      !name.contains("\n") && !defaultSql.contains("\n"),
+      "DeltaChain.addColumn: tabs/newlines are the metadata separators")
+    val curCols = tableColsAt(spark, baseDir, m, current)
+    require(!curCols.contains(name),
+      s"DeltaChain.addColumn: $name already exists in $baseDir")
+    val next = current + 1
+    // the empty change record: zero rows, widened schema — keeps the
+    // replay/changelog invariant that every version v >= 2 has d{v}
+    val cp = diskCheckpoints(baseDir).max
+    backfill(spark.read.parquet(checkpointDir(baseDir, cp)), m, current)
+      .where(lit(false))
+      .withColumn(name, expr(defaultSql))
+      .select((curCols :+ name).map(col) :+ lit("U").as(OpCol): _*)
+      .coalesce(1)
+      .write.mode("errorifexists").parquet(deltaDir(baseDir, next))
+    val raw = new String(Files.readAllBytes(metaPath(baseDir)),
+      StandardCharsets.UTF_8)
+    rewriteMeta(baseDir,
+      raw.stripSuffix("\n") + s"\naddcol\t$next\t$name\t$defaultSql\n")
+    VersionedTable.publishManifest(baseDir, versions(baseDir) :+ next)
+    next
+  }
 
   /** Log retention (the delta form's VACUUM): drop every version
     * strictly below `keepFrom` — manifest first (atomically, so a

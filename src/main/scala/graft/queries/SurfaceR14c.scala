@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.DeltaChain
 
 /** Round-14 surface batch 3: rolling set-overlap analytics from
   * GROUPED theta sketches — the second half of SURVEY §18.16 thread 3
@@ -84,10 +85,73 @@ object SurfaceR14c extends QueryBatch {
       .orderBy("month_start")
   }
 
+  private def scratch(tag: String): java.io.File = {
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_${tag}_${java.util.UUID.randomUUID().toString.take(8)}")
+    graft.QueryGuard.deleteRecOnExit(root)
+    root
+  }
+
+  // ---- Q68: metadata-only schema evolution on the delta chain ----
+
+  /** Q68: q59's schema-evolution contract on the DELTA storage form —
+    * where q59's snapshot table REWRITES every row to widen,
+    * [[graft.operators.DeltaChain.addColumn]] commits ONE empty change
+    * record plus a metadata line, and pre-addition rows backfill AT
+    * READ with the default expression over their own values (the
+    * Delta/Iceberg metadata-only ALTER; the 100 TB form — zero bytes
+    * of data rewritten at any table size, and the in-key census
+    * REQUIREs the add commit under 16 KB while the table is MBs).
+    * Chain on `part`: v2 reprices mod-9 (+100); v3 adds `band` =
+    * qprice DIV 100000; v4 upserts mod-12 with explicit band values.
+    * Time travel below v3 stays narrow (REQUIREd); the output mirrors
+    * q59's shape — v2 with a NULL band column, v4 wide — so the
+    * oracle pins both the backfilled and the explicitly-written
+    * populations. */
+  val q68DeltaAddColumn: Q = (s, d) => {
+    val root = scratch("q68").getAbsolutePath
+    val base = part(s, d).select(col("p_partkey"),
+      expr("CAST(floor(p_retailprice * 100 + 5e-1) AS BIGINT)").as("qprice"))
+    val k = col("p_partkey")
+    DeltaChain.create(root, base.coalesce(1), Seq("p_partkey"),
+      checkpointEvery = 10)
+    DeltaChain.commitDelta(s, root,
+      base.where(k % 9 === 0)
+        .withColumn("qprice", col("qprice") + 100L).coalesce(1))
+    DeltaChain.addColumn(s, root, "band", "CAST(qprice DIV 100000 AS BIGINT)")
+    DeltaChain.commitDelta(s, root,
+      DeltaChain.readAsOf(s, root, 3)
+        .where(k % 12 === 0)
+        .withColumn("qprice", col("qprice") + 200L)
+        .withColumn("band", expr("CAST(qprice DIV 100000 AS BIGINT)"))
+        .coalesce(1))
+    // narrow time travel below the addition
+    require(DeltaChain.readAsOf(s, root, 2).columns.toSeq ==
+      Seq("p_partkey", "qprice"),
+      "q68: pre-addition time travel must return the narrow schema")
+    // metadata-only census: the add commit is an empty change record
+    val addBytes = {
+      val dd = new java.io.File(s"$root/d3")
+      Option(dd.listFiles()).map(_.filter(_.isFile).map(_.length()).sum)
+        .getOrElse(0L)
+    }
+    require(addBytes <= 16384L,
+      s"q68: ADD COLUMN commit wrote $addBytes bytes — not metadata-only")
+    (Seq(2, 4)).map { v =>
+      val df = DeltaChain.readAsOf(s, root, v)
+      val wide = if (df.columns.contains("band")) df
+        else df.withColumn("band", lit(null).cast("bigint"))
+      wide.withColumn("version", lit(v))
+    }.reduce(_.unionByName(_))
+      .select("version", "p_partkey", "qprice", "band")
+      .orderBy("version", "p_partkey")
+  }
+
   // ---- registry ----
 
   val queries: Map[String, Q] = Map(
-    "a38_theta_rolling_overlap" -> a38ThetaRollingOverlap)
+    "a38_theta_rolling_overlap" -> a38ThetaRollingOverlap,
+    "q68_delta_add_column" -> q68DeltaAddColumn)
 
   val oracleSql: Map[String, String] = Map(
     "a38_theta_rolling_overlap" ->
@@ -113,5 +177,27 @@ object SurfaceR14c extends QueryBatch {
         |JOIN sizes sa ON sa.m = p.m1
         |JOIN sizes sb ON sb.m = p.m2
         |LEFT JOIN inter i ON i.m1 = p.m1
-        |ORDER BY month_start""".stripMargin)
+        |ORDER BY month_start""".stripMargin,
+    "q68_delta_add_column" ->
+      """WITH base AS (
+        |  SELECT p_partkey,
+        |    CAST(floor(p_retailprice * 100 + 5e-1) AS BIGINT) AS q
+        |  FROM part),
+        |v2 AS (
+        |  SELECT p_partkey,
+        |    CASE WHEN p_partkey % 9 = 0 THEN q + 100 ELSE q END AS qprice
+        |  FROM base),
+        |v4 AS (
+        |  SELECT p_partkey,
+        |    CASE WHEN p_partkey % 12 = 0 THEN qprice + 200 ELSE qprice END AS qprice,
+        |    CASE WHEN p_partkey % 12 = 0
+        |      THEN CAST((qprice + 200) // 100000 AS BIGINT)
+        |      ELSE CAST(qprice // 100000 AS BIGINT) END AS band
+        |  FROM v2)
+        |SELECT CAST(2 AS INTEGER) AS version, p_partkey, qprice,
+        |  CAST(NULL AS BIGINT) AS band
+        |FROM v2
+        |UNION ALL
+        |SELECT CAST(4 AS INTEGER), p_partkey, qprice, band FROM v4
+        |ORDER BY version, p_partkey""".stripMargin)
 }

@@ -149,6 +149,44 @@ class DeltaChainSpec extends SparkSpec {
     assert(state(root, 4) === Map(1L -> "a2", 2L -> "b", 3L -> "c"))
   }
 
+  test("addColumn: metadata-only widen, read-time backfill, narrow time travel") {
+    import spark.implicits._
+    val root = freshRoot()
+    DeltaChain.create(root, Seq((1L, 10L), (2L, 250L)).toDF("k", "q"), Seq("k"),
+      checkpointEvery = 10)
+    DeltaChain.commitDelta(spark, root, Seq((2L, 260L)).toDF("k", "q")) // v2
+    val v3 = DeltaChain.addColumn(spark, root, "band", "CAST(q DIV 100 AS BIGINT)")
+    assert(v3 === 3)
+    // time travel below the addition: narrow schema
+    assert(DeltaChain.readAsOf(spark, root, 2).columns.toSeq === Seq("k", "q"))
+    // at the addition: every stored row backfills from ITS OWN values
+    val got3 = DeltaChain.readAsOf(spark, root, 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got3 === Map(1L -> ((10L, 0L)), 2L -> ((260L, 2L))))
+    // the add-column commit wrote only an empty change record
+    val d3 = new java.io.File(s"$root/d3")
+    assert(d3.exists())
+    assert(spark.read.parquet(d3.getAbsolutePath).count() === 0)
+    // later commits must carry the column; rows written wide stay wide
+    intercept[IllegalArgumentException] {
+      DeltaChain.commitDelta(spark, root, Seq((3L, 5L)).toDF("k", "q"))
+    }
+    DeltaChain.commitDelta(spark, root,
+      Seq((3L, 777L, 99L)).toDF("k", "q", "band")) // v4: explicit band
+    val got4 = DeltaChain.readAsOf(spark, root, 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got4 === Map(1L -> ((10L, 0L)), 2L -> ((260L, 2L)), 3L -> ((777L, 99L))))
+    // a checkpoint AFTER the addition materializes wide, and replay
+    // from it stays consistent
+    DeltaChain.commitDelta(spark, root, Seq((1L, 11L, 0L)).toDF("k", "q", "band"))
+    assert(DeltaChain.readAsOf(spark, root, 5)
+      .where(col("k") === 1L).collect()(0).getLong(1) === 11L)
+    // changelog spanning the addition unions under the window-end schema
+    val log = DeltaChain.changelog(spark, root, 1, 5)
+    assert(log.columns.contains("band"))
+    assert(log.count() === 3) // d2 (1 row) + d3 (0, the add) + d4 (1) + d5 (1)
+  }
+
   test("commitDelta: a delta missing table columns is rejected before any write") {
     import spark.implicits._
     val root = freshRoot()
