@@ -174,6 +174,34 @@ object Bench {
       tbl.count()
       stateDiag = d :+ ("changelog_mode" -> (if (changelog) 1L else 0L))
     }
+    // Probe 1b (round-15, VERDICT r14 item 5): the SAME T6 stream with
+    // the state-partition count sized to the keyspace — 4 partitions
+    // for the fixture's ~1.5k keys instead of the session's 32. The
+    // r14 attribution showed a loaded host spends ~94% of this probe's
+    // wall in per-instance fsync at identical work (32 RocksDB
+    // instances for 1.5k keys); this variant MEASURES the structural
+    // fix that attribution points at. It runs ALONGSIDE the
+    // 32-partition probe, never replacing it, so round-over-round
+    // comparability of `rocksdb_state_t6_sec` is preserved; state
+    // partitioning is a per-query deployment knob (fixed at first
+    // checkpoint), which is why this is a second probe and not a
+    // config change.
+    var stateKpDiag: Seq[(String, Long)] = Seq.empty
+    val stateKpSec = probe("rocksdb_kp", () => stateKpDiag) {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val (tbl, dg) = graft.streaming.StreamingOps.runToMemoryDiag(
+          graft.streaming.StreamingOps.runningUserCountsTWS(
+            graft.streaming.StreamingOps.eventsStream(spark, sfDir)),
+          "bench_t6_rocksdb_kp",
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        tbl.count()
+        stateKpDiag = dg :+ ("state_partitions" -> 4L)
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     // Probe 2: the curation ladder a training pipeline actually runs —
     // quality scoring, contamination, mixing, chunk dedup — timed as one
     // pass at the bench SF so the cost of the round-6 surface is
@@ -299,9 +327,47 @@ object Bench {
         "delta_rows_committed" -> committed,
         "delta_bytes" -> deltaBytes)
     }
+    // Probe 8 (round-15, VERDICT r14 item 4): changesRange vs the
+    // per-version changesAt loop on the SAME 9-version chain — the
+    // O(k) single-replay batched CDF against the O(k²) replay
+    // multiplication it replaces, timed side by side every round so
+    // the claim stays measured. Work counters: chain length, delta
+    // rows, and BOTH inner walls (the probe's own sec is the total).
+    var cdfDiag: Seq[(String, Long)] = Seq.empty
+    val cdfRangeSec = probe("cdf_range", () => cdfDiag) {
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_bench_cdf_${java.util.UUID.randomUUID().toString.take(8)}")
+      graft.QueryGuard.deleteRecOnExit(root)
+      val dir = root.getAbsolutePath
+      val base = graft.Tables.orders(spark, sfDir)
+        .select(org.apache.spark.sql.functions.col("o_orderkey"),
+          org.apache.spark.sql.functions.expr(
+            "CAST(floor(o_totalprice * 100 + 5e-1) AS BIGINT)").as("qprice"))
+      graft.operators.DeltaChain.create(dir, base, Seq("o_orderkey"),
+        checkpointEvery = 100)
+      var committed = 0L
+      Seq(5, 7, 11, 13, 17, 19, 23, 29).foreach { m =>
+        val dl = base
+          .where(org.apache.spark.sql.functions.col("o_orderkey") % m === 0)
+          .withColumn("qprice",
+            org.apache.spark.sql.functions.col("qprice") + m.toLong)
+        committed += dl.count()
+        graft.operators.DeltaChain.commitDelta(spark, dir, dl)
+      }
+      val t1 = System.nanoTime()
+      force(graft.operators.DeltaChain.changesRange(spark, dir, 1, 9))
+      val rangeMs = (System.nanoTime() - t1) / 1000000L
+      val t2 = System.nanoTime()
+      (2 to 9).foreach { v =>
+        force(graft.operators.DeltaChain.changesAt(spark, dir, v))
+      }
+      val perVersionMs = (System.nanoTime() - t2) / 1000000L
+      cdfDiag = Seq("chain_len" -> 8L, "delta_rows" -> committed,
+        "range_ms" -> rangeMs, "per_version_ms" -> perVersionMs)
+    }
     val diagJson = diag.map { case (k, v) => s"\"$k\":$v" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rocksdb_state_t6_sec":$stateSec,"curation_sec":$curationSec,"interp_sec":$interpSec,"pq_sec":$pqSec,"analytics_sec":$analyticsSec,"seq_analytics_sec":$seqAnalyticsSec,"lj2_early_sec":$lj2EarlySec,"lj2_sec":$lj2Sec,"ls3_sec":$ls3Sec,"lakehouse_sec":$lakehouseSec,"lj2_candidates":$lj2Cand,"ls3_fanout":$ls3Fanout,"probe_diag":$diagJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rocksdb_state_t6_sec":$stateSec,"rocksdb_kp_sec":$stateKpSec,"curation_sec":$curationSec,"interp_sec":$interpSec,"pq_sec":$pqSec,"analytics_sec":$analyticsSec,"seq_analytics_sec":$seqAnalyticsSec,"lj2_early_sec":$lj2EarlySec,"lj2_sec":$lj2Sec,"ls3_sec":$ls3Sec,"lakehouse_sec":$lakehouseSec,"cdf_range_sec":$cdfRangeSec,"lj2_candidates":$lj2Cand,"ls3_fanout":$ls3Fanout,"probe_diag":$diagJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -209,7 +209,8 @@ object SparkEntry {
     graft.queries.SurfaceR13g,
     graft.queries.SurfaceR14a,
     graft.queries.SurfaceR14b,
-    graft.queries.SurfaceR14c)
+    graft.queries.SurfaceR14c,
+    graft.queries.SurfaceR15a)
 
   private def queryMaps: Seq[Map[String, (SparkSession, String) => DataFrame]] =
     batches.map(_.queries)

@@ -37,9 +37,19 @@ import org.apache.spark.sql.functions._
   * count before any output is produced. `source` must carry every
   * `target` column (extra columns, e.g. the delete flag, are dropped
   * from the output). The delete condition applies to MATCHED rows
-  * only; a not-matched source row flagged for delete is simply not
-  * inserted IS NOT the semantics — it inserts, exactly as
-  * `WHEN NOT MATCHED THEN INSERT` says.
+  * only; BY DEFAULT a not-matched source row flagged for delete
+  * inserts, exactly as `WHEN NOT MATCHED THEN INSERT` says. That ANSI
+  * reading diverges from CDC-apply semantics, where a delete of an
+  * absent key is a no-op ([[Upsert.applyCdc]], and therefore
+  * [[DeltaChain]] replay): under at-least-once redelivery a re-sent
+  * delete of an already-deleted key would RESURRECT the row (ADVICE
+  * r14). Writers applying a CDC feed pass
+  * `insertUnmatchedDeletes = false` — the equivalent of conditioning
+  * the insert clause with `AND NOT source.del`, which is how the same
+  * pipeline is written in SQL MERGE — and the snapshot and delta
+  * storage forms then agree state-for-state on ANY delta, deletes of
+  * absent keys included (DeleteAbsentSemanticsSpec pins both
+  * readings).
   *
   * Reference: /root/reference is empty (SURVEY.md §0.1); contract area
   * SURVEY.md §2.11 (pipeline/curation ops).
@@ -51,7 +61,8 @@ object MergeUpsert {
       source: DataFrame,
       keys: Seq[String],
       deleteCol: Option[String] = None,
-      validateUniqueKeys: Boolean = false): DataFrame = {
+      validateUniqueKeys: Boolean = false,
+      insertUnmatchedDeletes: Boolean = true): DataFrame = {
     require(keys.nonEmpty, "mergeUpsert: at least one merge key")
     val dataCols = target.columns.toSeq
     require(keys.forall(dataCols.contains),
@@ -82,8 +93,15 @@ object MergeUpsert {
     val on = keys.map(k => t2(k) === s2(s"__s_$k")).reduce(_ && _)
     val joined = t2.join(s2, on, "full_outer")
     val matched = col("__t").isNotNull && col("__s").isNotNull
+    // ANSI: only matched rows can delete (unmatched delete-flagged rows
+    // insert); CDC (insertUnmatchedDeletes = false): a delete-flagged
+    // source row never survives, matched or not — delete-of-absent is
+    // a no-op, aligning with DeltaChain replay.
     val deleted = deleteCol
-      .map(_ => matched && coalesce(col("__s_del"), lit(false)))
+      .map { _ =>
+        val flagged = coalesce(col("__s_del"), lit(false))
+        if (insertUnmatchedDeletes) matched && flagged else flagged
+      }
       .getOrElse(lit(false))
     joined
       .where(!deleted)

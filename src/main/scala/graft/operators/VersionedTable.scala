@@ -96,19 +96,24 @@ object VersionedTable {
 
   /** MERGE `changes` into the latest snapshot and commit the result as
     * the next version (see [[MergeUpsert.mergeUpsert]] for the
-    * matched/not-matched/delete contract). Returns the new version. */
+    * matched/not-matched/delete contract, including the
+    * `insertUnmatchedDeletes` policy — pass `false` when `changes` is
+    * a CDC feed, so this snapshot form and [[DeltaChain.commitDelta]]
+    * agree on deletes of absent keys). Returns the new version. */
   def writeVersion(
       spark: SparkSession,
       baseDir: String,
       changes: DataFrame,
       keys: Seq[String],
       deleteCol: Option[String] = None,
-      validateUniqueKeys: Boolean = false): Int = {
+      validateUniqueKeys: Boolean = false,
+      insertUnmatchedDeletes: Boolean = true): Int = {
     val current = latestVersion(baseDir)
     require(current > 0, s"VersionedTable.writeVersion: $baseDir has no v1 — create() first")
     val target = readAsOf(spark, baseDir, current)
     val merged = MergeUpsert.mergeUpsert(
-      target, changes, keys, deleteCol, validateUniqueKeys)
+      target, changes, keys, deleteCol, validateUniqueKeys,
+      insertUnmatchedDeletes)
     writeSnapshot(baseDir, current + 1, merged)
   }
 
@@ -278,50 +283,79 @@ object VersionedTable {
   private def isDvVersion(baseDir: String, v: Int): Boolean =
     Files.exists(dvBasePath(baseDir, v))
 
-  /** (data dirs, accumulated mask if the version is mask-based). A DV
-    * version's `_dv_base` lists its PLAIN ancestor dir first, then any
-    * patch-row (`_dv_extra`) dirs accumulated by merge-on-read UPDATE
-    * commits — all absolute, so chained DV commits resolve in one
-    * read, never recursively. */
+  /** (data dirs, accumulated mask + its on-disk bytes if the version
+    * is mask-based). A DV version's `_dv_base` lists its PLAIN
+    * ancestor dir first, then any patch-row (`_dv_extra`) dirs
+    * accumulated by merge-on-read UPDATE commits — all absolute, so
+    * chained DV commits resolve in one read, never recursively. The
+    * mask's parquet bytes come from a directory listing (no data
+    * read) and feed [[withRowIdentity]]'s broadcast-or-shuffle gate. */
   private def resolveDv(
       spark: SparkSession,
       baseDir: String,
-      v: Int): (Seq[String], Option[DataFrame]) =
+      v: Int): (Seq[String], Option[(DataFrame, Long)]) =
     if (isDvVersion(baseDir, v)) {
       val dataDirs = new String(
         Files.readAllBytes(dvBasePath(baseDir, v)), StandardCharsets.UTF_8)
         .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
-      (dataDirs, Some(spark.read.parquet(dvMaskDir(baseDir, v))))
+      val maskDir = dvMaskDir(baseDir, v)
+      val maskBytes = Option(new java.io.File(maskDir).listFiles())
+        .map(_.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .map(_.length()).sum)
+        .getOrElse(0L)
+      (dataDirs, Some((spark.read.parquet(maskDir), maskBytes)))
     } else (Seq(snapshotDir(baseDir, v)), None)
 
   /** Data files (base snapshot ∪ patch dirs) with their (file,
     * position) identity attached and the mask anti-joined away. The
-    * mask is rows-deleted/superseded — tiny relative to the table —
-    * so Spark broadcasts it and the anti-join costs a map-side probe,
-    * ZERO shuffle of the data: the merge-on-read contract.
-    * `_metadata.row_index` is the parquet reader's per-file row
-    * position — stable because DV commits never rewrite ANY data file
-    * (base or patch; the q65 file-census REQUIRE pins exactly that),
-    * which also lets later masks target patch rows the same way. */
+    * mask is rows-deleted/superseded — tiny relative to the table at
+    * realistic delete rates — so Spark broadcasts it and the anti-join
+    * costs a map-side probe, ZERO shuffle of the data: the
+    * merge-on-read contract. `_metadata.row_index` is the parquet
+    * reader's per-file row position — stable because DV commits never
+    * rewrite ANY data file (base or patch; the q65 file-census REQUIRE
+    * pins exactly that), which also lets later masks target patch rows
+    * the same way. */
   private def readMasked(
       spark: SparkSession,
       dataDirs: Seq[String],
-      mask: DataFrame): DataFrame =
-    withRowIdentity(spark, dataDirs, mask)
+      mask: DataFrame,
+      maskBytes: Long): DataFrame =
+    withRowIdentity(spark, dataDirs, mask, maskBytes)
       .drop("__graft_dv_file", "__graft_dv_pos")
 
   /** The live rows of (dataDirs ∖ mask) KEEPING the identity columns —
-    * the shared core of the DV readers and writers. */
+    * the shared core of the DV readers and writers.
+    *
+    * Broadcast-or-shuffle gate (VERDICT r14 item 1): the mask is
+    * broadcast only while its on-disk parquet bytes fit under
+    * `spark.sql.autoBroadcastJoinThreshold`; past that — a delete
+    * matching a large fraction of a huge table — the anti-join
+    * degrades to a SHUFFLED join instead of accumulating a
+    * driver-OOM-sized broadcast (DvMaskFallbackSpec proves the reads
+    * are hash-identical across both paths and that the big-mask plan
+    * carries no broadcast exchange). Parquet bytes UNDERSTATE the
+    * in-memory relation (dictionary/RLE compression), so the gate is
+    * conservative by the same margin Spark's own file-stats
+    * auto-broadcast decision is; per-file roaring bitmaps (§19.1
+    * thread 4) remain the denser endgame beyond that. */
   private def withRowIdentity(
       spark: SparkSession,
       dataDirs: Seq[String],
-      mask: DataFrame): DataFrame = {
+      mask: DataFrame,
+      maskBytes: Long): DataFrame = {
     val base = spark.read.parquet(dataDirs: _*)
       .withColumn("__graft_dv_file", col("_metadata.file_path"))
       .withColumn("__graft_dv_pos", col("_metadata.row_index"))
     val m = mask.select(col("file_path").as("__graft_m_file"),
       col("row_index").as("__graft_m_pos"))
-    base.join(org.apache.spark.sql.functions.broadcast(m),
+    val threshold = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+    val hinted =
+      if (threshold > 0 && maskBytes <= threshold)
+        org.apache.spark.sql.functions.broadcast(m)
+      else m
+    base.join(hinted,
         col("__graft_dv_file") === col("__graft_m_file") &&
           col("__graft_dv_pos") === col("__graft_m_pos"),
         "left_anti")
@@ -398,7 +432,7 @@ object VersionedTable {
     val next = current + 1
     val (dataDirs, oldMask) = resolveDv(spark, baseDir, current)
     val live = oldMask match {
-      case Some(m) => withRowIdentity(spark, dataDirs, m)
+      case Some((m, mb)) => withRowIdentity(spark, dataDirs, m, mb)
       case None =>
         spark.read.parquet(dataDirs: _*)
           .withColumn("__graft_dv_file", col("_metadata.file_path"))
@@ -407,7 +441,7 @@ object VersionedTable {
     val newMask = live.where(cond)
       .select(col("__graft_dv_file").as("file_path"),
         col("__graft_dv_pos").as("row_index"))
-    val fullMask = oldMask.map(_.unionByName(newMask)).getOrElse(newMask)
+    val fullMask = oldMask.map(_._1.unionByName(newMask)).getOrElse(newMask)
     fullMask.coalesce(1).write.mode("errorifexists")
       .parquet(dvMaskDir(baseDir, next))
     val extraDir = extras.map { mk =>
@@ -416,8 +450,12 @@ object VersionedTable {
         .coalesce(1).write.mode("errorifexists").parquet(dir)
       dir
     }
+    // stored normalized so [[expire]]'s reachability compare never
+    // depends on how the caller spelled baseDir (ADVICE r14)
     Files.write(dvBasePath(baseDir, next),
-      (dataDirs ++ extraDir.toSeq).mkString("", "\n", "\n")
+      (dataDirs ++ extraDir.toSeq)
+        .map(p => Paths.get(p).normalize().toString)
+        .mkString("", "\n", "\n")
         .getBytes(StandardCharsets.UTF_8))
     publish(baseDir, versions(baseDir) :+ next)
     next
@@ -539,12 +577,20 @@ object VersionedTable {
     // plus any patch (`_dv_extra`) dirs — the latter live INSIDE older
     // version dirs, so retention must test "equal or underneath", not
     // just dir equality
+    // both sides NORMALIZED before comparing: `_dv_base` stores the
+    // baseDir string verbatim (a trailing slash or '.' segment rides
+    // along) while the candidate dir below is Paths.get(...)-built —
+    // raw string equality would miss the reference and vacuum a dir a
+    // surviving DV version still reads (ADVICE r14)
     val referenced: Set[String] = keep.filter(isDvVersion(baseDir, _)).flatMap { v =>
       new String(Files.readAllBytes(dvBasePath(baseDir, v)),
         StandardCharsets.UTF_8).split("\n").map(_.trim).filter(_.nonEmpty)
+        .map(r => Paths.get(r).normalize().toString)
     }.toSet
-    def isReferenced(dir: String): Boolean =
-      referenced.exists(r => r == dir || r.startsWith(dir + "/"))
+    def isReferenced(dir: String): Boolean = {
+      val d = Paths.get(dir).normalize().toString
+      referenced.exists(r => r == d || r.startsWith(d + "/"))
+    }
     // Sweep set: the versions dropped NOW plus any on-disk v-dir below
     // keepFrom that an EARLIER expire retained by reference (its
     // manifest entry is long gone, so `drop` alone would never revisit
@@ -605,8 +651,9 @@ object VersionedTable {
       s"VersionedTable.readAsOf: version $version not in committed " +
         s"versions ${versions(baseDir).mkString("[", ",", "]")} of $baseDir")
     resolveDv(spark, baseDir, version) match {
-      case (dataDirs, Some(mask)) => readMasked(spark, dataDirs, mask)
-      case (dataDirs, None)       => spark.read.parquet(dataDirs: _*)
+      case (dataDirs, Some((mask, maskBytes))) =>
+        readMasked(spark, dataDirs, mask, maskBytes)
+      case (dataDirs, None) => spark.read.parquet(dataDirs: _*)
     }
   }
 

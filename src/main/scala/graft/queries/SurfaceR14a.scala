@@ -74,12 +74,13 @@ object SurfaceR14a extends QueryBatch {
       base.where(k % 17 === 0 && k % 31 =!= 0)
         .withColumn("qprice", col("qprice") + 1000L),
       base.where(k % 31 === 0))
-    // v3's delete set excludes keys already deleted at v2: ANSI MERGE
-    // (the snapshot twin's writeVersion) INSERTS a not-matched source
-    // row even when delete-flagged, while the delta replay's delete of
-    // an absent key is a no-op — equivalence holds on chains where
-    // deletes target live keys (the realistic DML shape; a pipeline
-    // deleting an already-deleted key is resubmitting stale changes)
+    // v3's delete set excludes keys already deleted at v2: this key
+    // drives the snapshot twin in ANSI mode (writeVersion's default,
+    // which INSERTS a not-matched delete-flagged row), so equivalence
+    // holds only where deletes target live keys. Since r15 the modes
+    // ALSO agree on deletes of absent keys when the snapshot side
+    // passes insertUnmatchedDeletes = false — the CDC-apply policy;
+    // DeleteAbsentSemanticsSpec proves that equivalence directly.
     val d3 = delta(
       base.where(k % 19 === 0 && k % 37 =!= 0)
         .withColumn("qprice", col("qprice") + 5000L),

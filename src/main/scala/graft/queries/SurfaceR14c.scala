@@ -66,12 +66,13 @@ object SurfaceR14c extends QueryBatch {
     val rows = sketches.sliding(2).flatMap {
       case Array((m1, sk1), (m2, sk2)) =>
         // only CALENDAR-consecutive months pair up (the fixture is
-        // gap-free, but the guard keeps the contract honest)
-        val cal = java.util.Calendar.getInstance(
-          java.util.TimeZone.getTimeZone("UTC"))
-        cal.setTime(m1); cal.add(java.util.Calendar.MONTH, 1)
-        val expect = new java.sql.Date(cal.getTimeInMillis)
-        if (expect.toString != m2.toString) None
+        // gap-free, but the guard keeps the contract honest). The
+        // comparison is LocalDate arithmetic, never epoch-millis: a
+        // java.sql.Date encodes local-midnight in the JVM default TZ,
+        // so UTC Calendar math shifted first-of-month dates by a day
+        // on TZ-east-of-UTC hosts and silently dropped genuinely
+        // consecutive months (ADVICE r14).
+        if (m1.toLocalDate.plusMonths(1) != m2.toLocalDate) None
         else {
           val i = interMap.getOrElse(m1, 0L)
           val u = sizes(m1) + sizes(m2) - i

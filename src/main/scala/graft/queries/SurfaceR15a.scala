@@ -1,0 +1,429 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{DeltaChain, IncrementalAgg}
+
+/** Round-15 surface batch 1: the delta-chain lifecycle completed —
+  * OPTIMIZE small-file compaction (q69, VERDICT r14 item 2), batched
+  * CDF over a version range in one replay (q66b, item 4), and the
+  * streaming change-feed consumer that closes the ingest → CDF →
+  * replica loop (t29, item 7).
+  *
+  * Contrast with near-siblings: q64 proves delta commits cost ∝
+  * delta; q69 proves the RESULTING small-file run can be folded into
+  * one compact checkpoint without touching committed history. q66
+  * maintains its MV by calling changesAt per version — each call
+  * replays the prior state from the anchor, O(chain²) over long
+  * chains (the 2.0× decade-3 slope VERDICT r14 flagged); q66b feeds
+  * the SAME fold from ONE [[DeltaChain.changesRange]] pass. t28
+  * streams deltas INTO a chain; t29 streams the changelog OUT of one
+  * and replicates it commit-for-commit into a second chain.
+  *
+  * Reference: /root/reference is empty (SURVEY.md §0.1); contract
+  * area SURVEY.md §2.11 + the 100 TB efficiency brief, VERDICT r14
+  * items 2/4/7.
+  */
+object SurfaceR15a extends QueryBatch {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def scratch(tag: String): java.io.File = {
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_${tag}_${java.util.UUID.randomUUID().toString.take(8)}")
+    graft.QueryGuard.deleteRecOnExit(root)
+    root
+  }
+
+  private def parquetFiles(dir: String): Int =
+    Option(new java.io.File(dir).listFiles())
+      .map(_.count(f => f.isFile && f.getName.endsWith(".parquet")))
+      .getOrElse(0)
+
+  // ---- Q69: OPTIMIZE (small-file compaction) on the delta chain ----
+
+  /** Q69: t28-style ingest leaves a run of one-file delta commits;
+    * [[DeltaChain.optimize]] folds checkpoint + run into ONE compact
+    * checkpoint behind an empty change record — data-neutral,
+    * changelog-neutral, history-preserving. Chain on `orders`
+    * (5 residue-class repricing commits v2–v6, mods 5/7/11/13/17),
+    * then OPTIMIZE (v7), then one more commit (v8, mod 19) proving
+    * the chain keeps working off the new anchor. REQUIRED in-key:
+    * (1) head-read file census drops to numFiles=1 from the
+    * 2+5-file run; (2) the optimize commit contributes ZERO
+    * changelog rows; (3) v7 reads identical to v6 (except() both
+    * ways); (4) post-optimize replay (v8) still lands exactly. The
+    * output is the v8 head state, so the oracle pins every replayed
+    * row through the compaction. */
+  val q69DeltaOptimize: Q = (s, d) => {
+    val root = scratch("q69").getAbsolutePath
+    val base = orders(s, d).select(col("o_orderkey"),
+      expr("CAST(floor(o_totalprice * 100 + 5e-1) AS BIGINT)").as("qprice"),
+      col("o_orderstatus"))
+    val k = col("o_orderkey")
+    DeltaChain.create(root, base.coalesce(2), Seq("o_orderkey"),
+      checkpointEvery = 100)
+    Seq(5, 7, 11, 13, 17).zipWithIndex.foreach { case (m, i) =>
+      DeltaChain.commitDelta(s, root,
+        base.where(k % m === 0)
+          .withColumn("qprice", col("qprice") + (100L * (i + 1)))
+          .coalesce(1))
+    }
+    val headFilesBefore = parquetFiles(s"$root/c1") +
+      (2 to 6).map(v => parquetFiles(s"$root/d$v")).sum
+    val logBefore = DeltaChain.changelog(s, root, 1, 6).count()
+    val v7 = DeltaChain.optimize(s, root, numFiles = 1)
+    require(v7 == 7, s"q69: optimize committed v$v7, expected 7")
+    val headFilesAfter = parquetFiles(s"$root/c7")
+    require(headFilesAfter == 1 && headFilesAfter < headFilesBefore,
+      s"q69: head read still touches $headFilesAfter files " +
+        s"(was $headFilesBefore) — compaction did not compact")
+    require(DeltaChain.changelog(s, root, 1, 7).count() == logBefore,
+      "q69: optimize contributed changelog rows — it must be a data no-op")
+    val pre = DeltaChain.readAsOf(s, root, 6)
+    val post = DeltaChain.readAsOf(s, root, 7)
+    val diff = pre.exceptAll(post).count() + post.exceptAll(pre).count()
+    require(diff == 0, s"q69: optimize changed table content ($diff rows)")
+    DeltaChain.commitDelta(s, root,
+      base.where(k % 19 === 0)
+        .withColumn("qprice", col("qprice") + 600L).coalesce(1))
+    DeltaChain.readAsOf(s, root, 8)
+      .select("o_orderkey", "qprice", "o_orderstatus")
+      .orderBy("o_orderkey")
+  }
+
+  // ---- Q66B: incremental MV from ONE batched CDF pass ----
+
+  /** Q66B: q66's MV maintenance with the O(chain²) replay
+    * multiplication removed — ONE [[DeltaChain.changesRange]] pass
+    * (checkpoint + all deltas unioned once, per-key `lag` recovers
+    * every preimage) feeds ONE signed fold, however long the chain.
+    * The chain is q66's shape extended to four change commits,
+    * including a REDELIVERED delete of already-deleted keys (v4
+    * re-deletes mod-29 — a no-op for keys not re-inserted at v3, the
+    * CDC at-least-once case the delete-of-absent contract covers).
+    * REQUIRED in-key: (1) changesRange(1,5) is SET-EQUAL to the union
+    * of per-version changesAt — the batched derivation is the proven
+    * one, not a near miss; (2) the folded view equals the direct
+    * aggregate over readAsOf(5) exactly. */
+  val q66bIncrementalMvRange: Q = (s, d) => {
+    val root = scratch("q66b").getAbsolutePath
+    val base = orders(s, d).select(col("o_orderkey"),
+      expr("CAST(floor(o_totalprice * 100 + 5e-1) AS BIGINT)").as("qprice"),
+      col("o_orderstatus"))
+    val k = col("o_orderkey")
+    DeltaChain.create(root, base.coalesce(1), Seq("o_orderkey"),
+      checkpointEvery = 10)
+    def delta(up: DataFrame, delKeys: DataFrame): DataFrame =
+      up.withColumn("del", lit(false)).unionByName(
+        delKeys.withColumn("del", lit(true)))
+    DeltaChain.commitDelta(s, root, delta(
+      base.where(k % 13 === 0 && k % 29 =!= 0)
+        .withColumn("qprice", col("qprice") + 700L),
+      base.where(k % 29 === 0)).coalesce(1), Some("del"))
+    DeltaChain.commitDelta(s, root, delta(
+      base.where(k % 11 === 0 && k % 41 =!= 0)
+        .withColumn("qprice", col("qprice") + 300L),
+      base.where(k % 41 === 0)).coalesce(1), Some("del"))
+    DeltaChain.commitDelta(s, root, delta(
+      base.where(k % 17 === 0 && k % 29 =!= 0)
+        .withColumn("qprice", col("qprice") + 500L),
+      base.where(k % 29 === 0)).coalesce(1), Some("del")) // redelivered
+    DeltaChain.commitDelta(s, root, delta(
+      base.where(k % 19 === 0)
+        .withColumn("qprice", col("qprice") + 200L),
+      base.limit(0)).coalesce(1), Some("del"))
+
+    val feed = DeltaChain.changesRange(s, root, 1, 5)
+    // (1) the batched feed IS the per-version feed
+    val perVersion = (2 to 5).map { v =>
+      DeltaChain.changesAt(s, root, v).withColumn("_commit_version", lit(v))
+    }.reduce(_.unionByName(_))
+    val feedDiff = feed.exceptAll(perVersion).count() +
+      perVersion.exceptAll(feed).count()
+    require(feedDiff == 0,
+      s"q66b: changesRange diverges from per-version changesAt ($feedDiff rows)")
+    // (2) one fold over the whole range maintains the view exactly
+    val mv1 = DeltaChain.readAsOf(s, root, 1)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum("qprice").as("qsum"))
+    val mv5 = IncrementalAgg.applyCountSumDelta(
+      mv1, feed, "o_orderstatus", "qprice")
+    val direct = DeltaChain.readAsOf(s, root, 5)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum("qprice").as("qsum"))
+    val diff = mv5.exceptAll(direct).count() + direct.exceptAll(mv5).count()
+    require(diff == 0,
+      s"q66b: range-fed view diverges from the direct aggregate ($diff rows)")
+    mv5.select(col("o_orderstatus"), col("n"),
+        col("qsum").cast("bigint").as("qsum"))
+      .orderBy("o_orderstatus")
+  }
+
+  // ---- T29: streaming change-feed consumer (CDC replication) ----
+
+  /** T29: [[DeltaChain.readChangeFeedStream]] closes t28's loop — the
+    * source chain's stored changelog streams OUT (file stream over the
+    * delta dirs, one commit per micro-batch) and a foreachBatch
+    * consumer REPLICATES it commit-for-commit into a second chain:
+    * ingest → CDF → replica as one continuous pipeline, the
+    * Delta-CDF-reader pattern. The consumer asserts monotone commit
+    * versions (fail loudly on reorder, never shuffle history) and
+    * derives each replicated commit's delete flag from the feed's
+    * `_change_type`. REQUIRED in-key: the replica's head state equals
+    * the source's readAsOf(head) exactly — the streamed fold
+    * reconstructs the table, proving feed completeness, ordering, and
+    * the delete vocabulary in one check. Output is the replica head,
+    * oracle-pinned. */
+  val t29ChangeFeedReplica: Q = (s, d) => {
+    val root = scratch("t29")
+    val srcDir = new java.io.File(root, "src").getAbsolutePath
+    val repDir = new java.io.File(root, "replica").getAbsolutePath
+    val ck = new java.io.File(root, "ckpt").getAbsolutePath
+    val base = supplier(s, d).select(col("s_suppkey"),
+      expr("CAST(floor(s_acctbal * 100 + 5e-1) AS BIGINT)").as("qbal"))
+    val k = col("s_suppkey")
+    DeltaChain.create(srcDir, base.coalesce(1), Seq("s_suppkey"),
+      checkpointEvery = 100)
+    def delta(up: DataFrame, delKeys: DataFrame): DataFrame =
+      up.withColumn("del", lit(false)).unionByName(
+        delKeys.withColumn("del", lit(true)))
+    DeltaChain.commitDelta(s, srcDir, delta(
+      base.where(k % 3 === 0).withColumn("qbal", col("qbal") + 1000L),
+      base.where(k % 13 === 0 && k % 3 =!= 0)).coalesce(1), Some("del"))
+    DeltaChain.commitDelta(s, srcDir, delta(
+      base.where(k % 5 === 0 && k % 13 =!= 0)
+        .withColumn("qbal", col("qbal") + 2000L),
+      base.where(k % 11 === 0 && k % 5 =!= 0 && k % 13 =!= 0))
+      .coalesce(1), Some("del"))
+    DeltaChain.commitDelta(s, srcDir, delta(
+      base.where(k % 7 === 0 && k % 11 =!= 0 && k % 13 =!= 0)
+        .withColumn("qbal", col("qbal") + 3000L),
+      base.limit(0)).coalesce(1), Some("del"))
+    val head = DeltaChain.latestVersion(srcDir)
+
+    DeltaChain.create(repDir, base.coalesce(1), Seq("s_suppkey"),
+      checkpointEvery = 100)
+    val lastApplied = new java.util.concurrent.atomic.AtomicInteger(1)
+    val feed = DeltaChain.readChangeFeedStream(s, srcDir, fromVersion = 1)
+    val q = feed.writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val snap = b.persist()
+        try {
+          val versions = snap.select("_commit_version").distinct()
+            .collect().map(_.getInt(0)).sorted
+          versions.foreach { v =>
+            require(v == lastApplied.get() + 1,
+              s"t29: feed delivered v$v after v${lastApplied.get()} — " +
+                "non-monotone commit order, refusing to replicate")
+            DeltaChain.commitDelta(s, repDir,
+              snap.where(col("_commit_version") === v)
+                .withColumn("del", col("_change_type") === "delete")
+                .drop("_commit_version", "_change_type")
+                .coalesce(1),
+              Some("del"))
+            lastApplied.set(v)
+          }
+        } finally { snap.unpersist(); () }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    if (!q.awaitTermination(180000L)) { q.stop(); sys.error("t29 drain expired") }
+    require(lastApplied.get() == head,
+      s"t29: replica stopped at v${lastApplied.get()}, source head is v$head")
+    val src = DeltaChain.readAsOf(s, srcDir, head)
+    val rep = DeltaChain.read(s, repDir)
+    val diff = src.exceptAll(rep).count() + rep.exceptAll(src).count()
+    require(diff == 0, s"t29: replica diverges from source ($diff rows)")
+    rep.select("s_suppkey", "qbal").orderBy("s_suppkey")
+  }
+
+  // ---- T30: streaming incremental MV off the change-feed stream ----
+
+  /** T30: the full continuous pipeline VERDICT r14 item 7 names —
+    * ingest (the source chain's commits) → streamed CDF
+    * ([[DeltaChain.readChangeFeedStream]]) → INCREMENTAL MV, no
+    * rescan of the source table ever. The stored feed carries
+    * upsert/delete WITHOUT preimages (the delta files hold only what
+    * the writer sent), so the consumer keeps a keyed REPLICA chain
+    * (t29's fold) and derives each micro-batch's full CDF vocabulary
+    * by probing the replica's prior state with the batch as the
+    * broadcast side — [[DeltaChain.changesAt]] against the replica it
+    * is itself maintaining — then folds the enriched feed through
+    * [[IncrementalAgg.applyCountSumDelta]]. REQUIRED in-key: the
+    * streamed MV equals the direct aggregate over the SOURCE head
+    * (except() both ways) — feed completeness, replica fidelity, and
+    * the signed fold proven in one check. Output: the MV, oracle-
+    * pinned against the residue recompute. */
+  val t30StreamIncrementalMv: Q = (s, d) => {
+    val root = scratch("t30")
+    val srcDir = new java.io.File(root, "src").getAbsolutePath
+    val repDir = new java.io.File(root, "replica").getAbsolutePath
+    val ck = new java.io.File(root, "ckpt").getAbsolutePath
+    val base = customer(s, d).select(col("c_custkey"),
+      expr("CAST(floor(c_acctbal * 100 + 5e-1) AS BIGINT)").as("qbal"),
+      col("c_mktsegment"))
+    val k = col("c_custkey")
+    DeltaChain.create(srcDir, base.coalesce(1), Seq("c_custkey"),
+      checkpointEvery = 100)
+    def delta(up: DataFrame, delKeys: DataFrame): DataFrame =
+      up.withColumn("del", lit(false)).unionByName(
+        delKeys.withColumn("del", lit(true)))
+    DeltaChain.commitDelta(s, srcDir, delta(
+      base.where(k % 4 === 0).withColumn("qbal", col("qbal") + 1000L),
+      base.where(k % 9 === 0 && k % 4 =!= 0)).coalesce(1), Some("del"))
+    DeltaChain.commitDelta(s, srcDir, delta(
+      base.where(k % 6 === 0 && k % 9 =!= 0)
+        .withColumn("qbal", col("qbal") + 2000L),
+      base.where(k % 25 === 0 && k % 6 =!= 0 && k % 9 =!= 0))
+      .coalesce(1), Some("del"))
+    val head = DeltaChain.latestVersion(srcDir)
+
+    DeltaChain.create(repDir, base.coalesce(1), Seq("c_custkey"),
+      checkpointEvery = 100)
+    // MV state lives across micro-batches as an AtomicReference (the
+    // batch thread writes, the main thread reads after the drain —
+    // atomics make the handoff safe); each batch replaces it with the
+    // folded rows materialized (bounded: 5 market segments, documented
+    // O(groups) readout), so lineage never stacks across batches
+    val mv = new java.util.concurrent.atomic.AtomicReference[
+        Array[(String, Long, Long)]](
+      base.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum("qbal").as("qsum"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
+    val lastApplied = new java.util.concurrent.atomic.AtomicInteger(1)
+    val feed = DeltaChain.readChangeFeedStream(s, srcDir, fromVersion = 1)
+    val q = feed.writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        import s.implicits._
+        val snap = b.persist()
+        try {
+          val versions = snap.select("_commit_version").distinct()
+            .collect().map(_.getInt(0)).sorted
+          versions.foreach { v =>
+            require(v == lastApplied.get() + 1,
+              s"t30: feed delivered v$v after v${lastApplied.get()}")
+            // replicate the commit, THEN read its CDF (preimages from
+            // the replica's prior state — the broadcast-delta probe)
+            val rv = DeltaChain.commitDelta(s, repDir,
+              snap.where(col("_commit_version") === v)
+                .withColumn("del", col("_change_type") === "delete")
+                .drop("_commit_version", "_change_type")
+                .coalesce(1),
+              Some("del"))
+            val cdf = DeltaChain.changesAt(s, repDir, rv)
+            mv.set(IncrementalAgg.applyCountSumDelta(
+                mv.get().toSeq.toDF("c_mktsegment", "n", "qsum"),
+                cdf, "c_mktsegment", "qbal")
+              .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
+            lastApplied.set(v)
+          }
+        } finally { snap.unpersist(); () }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    if (!q.awaitTermination(180000L)) { q.stop(); sys.error("t30 drain expired") }
+    require(lastApplied.get() == head,
+      s"t30: MV stopped at v${lastApplied.get()}, source head is v$head")
+    import s.implicits._
+    val mvDf = mv.get().toSeq.toDF("c_mktsegment", "n", "qsum")
+    val direct = DeltaChain.readAsOf(s, srcDir, head)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum("qbal").as("qsum"))
+    val diff = mvDf.exceptAll(direct).count() + direct.exceptAll(mvDf).count()
+    require(diff == 0,
+      s"t30: streamed MV diverges from the source aggregate ($diff rows)")
+    mvDf.select(col("c_mktsegment"), col("n"),
+        col("qsum").cast("bigint").as("qsum"))
+      .orderBy("c_mktsegment")
+  }
+
+  // ---- registry ----
+
+  val queries: Map[String, Q] = Map(
+    "q69_delta_optimize" -> q69DeltaOptimize,
+    "q66b_incremental_mv_range" -> q66bIncrementalMvRange,
+    "t29_change_feed_replica" -> t29ChangeFeedReplica,
+    "t30_stream_incremental_mv" -> t30StreamIncrementalMv)
+
+  val oracleSql: Map[String, String] = Map(
+    "q69_delta_optimize" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 5e-1) AS BIGINT) AS q,
+        |    o_orderstatus AS st
+        |  FROM orders)
+        |SELECT k AS o_orderkey,
+        |  CASE WHEN k % 19 = 0 THEN q + 600
+        |       WHEN k % 17 = 0 THEN q + 500
+        |       WHEN k % 13 = 0 THEN q + 400
+        |       WHEN k % 11 = 0 THEN q + 300
+        |       WHEN k % 7 = 0 THEN q + 200
+        |       WHEN k % 5 = 0 THEN q + 100
+        |       ELSE q END AS qprice,
+        |  st AS o_orderstatus
+        |FROM base
+        |ORDER BY o_orderkey""".stripMargin,
+    "q66b_incremental_mv_range" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 5e-1) AS BIGINT) AS q,
+        |    o_orderstatus AS st
+        |  FROM orders),
+        |final AS (
+        |  SELECT st,
+        |    CASE
+        |      WHEN k % 19 = 0 THEN q + 200
+        |      WHEN k % 17 = 0 AND k % 29 <> 0 THEN q + 500
+        |      WHEN k % 29 = 0 THEN NULL
+        |      WHEN k % 11 = 0 AND k % 41 <> 0 THEN q + 300
+        |      WHEN k % 41 = 0 THEN NULL
+        |      WHEN k % 13 = 0 THEN q + 700
+        |      ELSE q END AS qprice
+        |  FROM base)
+        |SELECT st AS o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(qprice) AS BIGINT) AS qsum
+        |FROM final WHERE qprice IS NOT NULL GROUP BY st
+        |ORDER BY o_orderstatus""".stripMargin,
+    "t30_stream_incremental_mv" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS k,
+        |    CAST(floor(c_acctbal * 100 + 5e-1) AS BIGINT) AS q,
+        |    c_mktsegment AS seg
+        |  FROM customer),
+        |final AS (
+        |  SELECT seg,
+        |    CASE WHEN k % 6 = 0 AND k % 9 <> 0 THEN q + 2000
+        |         WHEN k % 25 = 0 AND k % 6 <> 0 AND k % 9 <> 0 THEN NULL
+        |         WHEN k % 4 = 0 THEN q + 1000
+        |         WHEN k % 9 = 0 THEN NULL
+        |         ELSE q END AS qbal
+        |  FROM base)
+        |SELECT seg AS c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(qbal) AS BIGINT) AS qsum
+        |FROM final WHERE qbal IS NOT NULL GROUP BY seg
+        |ORDER BY c_mktsegment""".stripMargin,
+    "t29_change_feed_replica" ->
+      """WITH base AS (
+        |  SELECT s_suppkey AS k,
+        |    CAST(floor(s_acctbal * 100 + 5e-1) AS BIGINT) AS q
+        |  FROM supplier)
+        |SELECT k AS s_suppkey,
+        |  CASE WHEN k % 7 = 0 AND k % 11 <> 0 AND k % 13 <> 0 THEN q + 3000
+        |       WHEN k % 5 = 0 AND k % 13 <> 0 THEN q + 2000
+        |       WHEN k % 11 = 0 AND k % 13 <> 0 THEN NULL
+        |       WHEN k % 3 = 0 THEN q + 1000
+        |       WHEN k % 13 = 0 THEN NULL
+        |       ELSE q END AS qbal
+        |FROM base
+        |WHERE CASE WHEN k % 7 = 0 AND k % 11 <> 0 AND k % 13 <> 0 THEN 1
+        |           WHEN k % 5 = 0 AND k % 13 <> 0 THEN 1
+        |           WHEN k % 11 = 0 AND k % 13 <> 0 THEN 0
+        |           WHEN k % 3 = 0 THEN 1
+        |           WHEN k % 13 = 0 THEN 0
+        |           ELSE 1 END = 1
+        |ORDER BY s_suppkey""".stripMargin)
+}

@@ -61,6 +61,63 @@ class DeltaArbitrationSpec extends SparkSpec {
       .count(_.getName.startsWith(".stage_")) === 0)
   }
 
+  test("stage-once: a lost race re-links the staged delta, never re-writes it") {
+    import spark.implicits._
+    val root = freshRoot()
+    DeltaChain.create(root,
+      (1L to 10L).map(k => (k, 0L)).toDF("k", "n"), Seq("k"),
+      checkpointEvery = 100) // no checkpoint: only delta rows hit disk
+    // file-output records written across the whole race; shuffle
+    // writes live in a different metric, so this counts EXACTLY the
+    // staged parquet rows
+    val written = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          written.addAndGet(e.taskMetrics.outputMetrics.recordsWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val gate = new CountDownLatch(2)
+      def writer(lo: Long, hi: Long): Throwable = {
+        try {
+          gate.countDown()
+          assert(gate.await(30, TimeUnit.SECONDS))
+          DeltaChain.commitDeltaArbitrated(spark, root,
+            (lo to hi).map(k => (k, k * 7L)).toDF("k", "n"))
+          null
+        } catch { case t: Throwable => t }
+      }
+      var a: Throwable = null; var b: Throwable = null
+      val ta = new Thread(() => a = writer(1L, 5L))
+      val tb = new Thread(() => b = writer(6L, 10L))
+      ta.start(); tb.start()
+      ta.join(120000); tb.join(120000)
+      assert(a == null, s"writer A failed: $a")
+      assert(b == null, s"writer B failed: $b")
+      // drain the listener bus: poll until the counter is stable
+      var last = -1L
+      var stable = 0
+      while (stable < 3) {
+        val now = written.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+        Thread.sleep(200)
+      }
+      // 10 rows staged in total — 5 per writer, each written ONCE even
+      // though one writer lost the v2 race and retried at v3. The
+      // re-write-per-attempt form would show 15.
+      assert(written.get() === 10L,
+        s"expected 10 staged records (stage-once), saw ${written.get()}")
+      assert(DeltaChain.versions(root) === Seq(1, 2, 3))
+      val fin = DeltaChain.read(spark, root)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fin === (1L to 10L).map(k => k -> k * 7L).toMap)
+      assert(new java.io.File(root).listFiles()
+        .count(_.getName.startsWith(".stage_")) === 0)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("changesAt: preimages come from the state; no-op deletes emit nothing") {
     import spark.implicits._
     val root = freshRoot()

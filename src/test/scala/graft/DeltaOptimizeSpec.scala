@@ -1,0 +1,149 @@
+package graft
+
+/** Laws for [[graft.operators.DeltaChain.optimize]] (VERDICT r14 item
+  * 2 — small-file compaction for streaming-ingest chains) and
+  * [[graft.operators.DeltaChain.changesRange]] (item 4 — batched CDF
+  * in one replay). The q69/q66b oracle hashes are the end-to-end
+  * authority; these pin the mechanisms: history preservation across
+  * optimize, the changelog-neutral empty change record, truncate
+  * reclaiming the pre-compaction run, and changesRange's exact
+  * equivalence to the per-version feed on every edge (checkpoint
+  * boundary, delete-of-absent, insert-after-delete, schema addition).
+  */
+class DeltaOptimizeSpec extends SparkSpec {
+  import operators.DeltaChain
+
+  private def freshRoot(): String = {
+    val f = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_dopt_spec_${java.util.UUID.randomUUID().toString.take(8)}")
+    QueryGuard.deleteRecOnExit(f)
+    f.getAbsolutePath
+  }
+
+  private def state(root: String, v: Int): Map[Long, Long] =
+    DeltaChain.readAsOf(spark, root, v)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def parquetFiles(dir: String): Int =
+    Option(new java.io.File(dir).listFiles())
+      .map(_.count(f => f.isFile && f.getName.endsWith(".parquet")))
+      .getOrElse(0)
+
+  test("optimize: head read compacts to numFiles; every version's content survives") {
+    import spark.implicits._
+    val root = freshRoot()
+    DeltaChain.create(root,
+      (1L to 50L).map(k => (k, 0L)).toDF("k", "n").repartition(4), Seq("k"),
+      checkpointEvery = 100)
+    (1 to 5).foreach { i =>
+      DeltaChain.commitDelta(spark, root,
+        (1L to 50L).filter(_ % (i + 4) == 0).map(k => (k, i.toLong))
+          .toDF("k", "n").coalesce(1))
+    }
+    val before = (1 to 6).map(v => state(root, v))
+    val headFilesBefore = parquetFiles(s"$root/c1") +
+      (2 to 6).map(v => parquetFiles(s"$root/d$v")).sum
+    val v7 = DeltaChain.optimize(spark, root, numFiles = 1)
+    assert(v7 === 7)
+    // head read now touches exactly the compacted checkpoint
+    assert(new java.io.File(root, "c7").exists())
+    assert(parquetFiles(s"$root/c7") === 1)
+    assert(parquetFiles(s"$root/c7") < headFilesBefore)
+    // the change record is empty: optimize is changelog-neutral
+    assert(spark.read.parquet(s"$root/d7").count() === 0)
+    val logBefore = DeltaChain.changelog(spark, root, 1, 6).count()
+    assert(DeltaChain.changelog(spark, root, 1, 7).count() === logBefore)
+    // every committed version replays byte-identically, and v7 == v6
+    (1 to 6).foreach(v => assert(state(root, v) === before(v - 1),
+      s"optimize changed the content of v$v"))
+    assert(state(root, 7) === before(5))
+    // the chain keeps working: a post-optimize commit replays off c7
+    DeltaChain.commitDelta(spark, root, Seq((1L, 99L)).toDF("k", "n"))
+    assert(state(root, 8) === before(5) + (1L -> 99L))
+    // truncate at the optimize version reclaims the small-file run
+    DeltaChain.truncate(root, 7)
+    assert(!new java.io.File(root, "c1").exists())
+    (2 to 6).foreach(v => assert(!new java.io.File(root, s"d$v").exists(),
+      s"truncate after optimize left small file d$v"))
+    assert(state(root, 8) === before(5) + (1L -> 99L))
+  }
+
+  test("optimize after addColumn materializes the column into the compact checkpoint") {
+    import spark.implicits._
+    val root = freshRoot()
+    DeltaChain.create(root, Seq((1L, 10L), (2L, 20L)).toDF("k", "n"),
+      Seq("k"), checkpointEvery = 100)
+    DeltaChain.addColumn(spark, root, "n2", "n * 2")
+    DeltaChain.optimize(spark, root)
+    val cp = spark.read.parquet(s"$root/c3")
+    assert(cp.columns.toSeq === Seq("k", "n", "n2"))
+    assert(cp.collect().map(r => (r.getLong(0), r.getLong(2))).toSet ===
+      Set((1L, 20L), (2L, 40L)))
+    // time travel below the addition stays narrow
+    assert(DeltaChain.readAsOf(spark, root, 1).columns.toSeq === Seq("k", "n"))
+  }
+
+  test("changesRange == union of changesAt across every edge case") {
+    import spark.implicits._
+    val root = freshRoot()
+    DeltaChain.create(root,
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "n"), Seq("k"),
+      checkpointEvery = 3) // a checkpoint lands mid-range (v4)
+    // v2: update 1, delete 3, delete-of-absent 9 (no-op)
+    DeltaChain.commitDelta(spark, root,
+      Seq((1L, 11L, false), (3L, 999L, true), (9L, 0L, true))
+        .toDF("k", "n", "del"), Some("del"))
+    // v3: insert-after-delete of 3, insert 4
+    DeltaChain.commitDelta(spark, root,
+      Seq((3L, 33L, false), (4L, 40L, false)).toDF("k", "n", "del"), Some("del"))
+    // v4 (checkpointed): update 4, delete 2
+    DeltaChain.commitDelta(spark, root,
+      Seq((4L, 44L, false), (2L, 0L, true)).toDF("k", "n", "del"), Some("del"))
+    // v5: re-delete 2 (absent — no-op), update 1
+    DeltaChain.commitDelta(spark, root,
+      Seq((2L, 0L, true), (1L, 12L, false)).toDF("k", "n", "del"), Some("del"))
+
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, String, Int)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3))).toSet
+    val batched = rows(DeltaChain.changesRange(spark, root, 1, 5))
+    val perVersion = (2 to 5).flatMap { v =>
+      rows(DeltaChain.changesAt(spark, root, v)
+        .withColumn("_commit_version", org.apache.spark.sql.functions.lit(v)))
+    }.toSet
+    assert(batched === perVersion,
+      s"changesRange diverges from per-version changesAt:\n" +
+        s"only-batched=${batched -- perVersion}\nonly-per=${perVersion -- batched}")
+    // spot-pin the heart of it: preimages are state values, no-ops gone
+    assert(batched.contains((3L, 30L, "delete", 2)))
+    assert(batched.contains((3L, 33L, "insert", 3)))
+    assert(!batched.exists(r => r._1 == 9L || (r._1 == 2L && r._4 == 5)))
+    // a sub-range starting past the checkpoint replays the prefix into
+    // its base state rather than emitting it
+    val tail = rows(DeltaChain.changesRange(spark, root, 3, 5))
+    val tailPer = (4 to 5).flatMap { v =>
+      rows(DeltaChain.changesAt(spark, root, v)
+        .withColumn("_commit_version", org.apache.spark.sql.functions.lit(v)))
+    }.toSet
+    assert(tail === tailPer)
+  }
+
+  test("changesRange spanning a schema addition backfills pre-addition rows") {
+    import spark.implicits._
+    val root = freshRoot()
+    DeltaChain.create(root, Seq((1L, 10L)).toDF("k", "n"), Seq("k"),
+      checkpointEvery = 100)
+    DeltaChain.commitDelta(spark, root, Seq((2L, 20L)).toDF("k", "n")) // v2
+    DeltaChain.addColumn(spark, root, "n2", "n * 2")                   // v3
+    DeltaChain.commitDelta(spark, root,
+      Seq((1L, 11L, 111L)).toDF("k", "n", "n2"))                       // v4
+    val got = DeltaChain.changesRange(spark, root, 1, 4)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getInt(4)))
+      .toSet
+    assert(got === Set(
+      (2L, 20L, 40L, "insert", 2),          // backfilled n2 = n*2
+      (1L, 10L, 20L, "update_preimage", 4), // preimage backfills too
+      (1L, 11L, 111L, "update_postimage", 4)))
+  }
+}
