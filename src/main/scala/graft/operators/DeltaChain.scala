@@ -402,6 +402,41 @@ object DeltaChain {
     next
   }
 
+  /** OPTIMIZE … ZORDER BY (x, y) for the delta form — [[optimize]]
+    * with the forced checkpoint Morton-clustered on two key columns
+    * ([[ZOrder.cluster]]: one range shuffle) instead of bin-packed by
+    * coalesce, so zone maps on the compacted head prune on BOTH
+    * columns. Same commit shape (empty change record + checkpoint),
+    * same history/changelog neutrality; rows are unchanged, only
+    * layout moves. Returns the new version. */
+  def optimizeClustered(
+      spark: SparkSession,
+      baseDir: String,
+      xCol: String,
+      yCol: String,
+      numFiles: Int): Int = {
+    val m = meta(baseDir)
+    val current = latestVersion(baseDir)
+    require(current > 0,
+      s"DeltaChain.optimizeClustered: $baseDir has no v1 — create() first")
+    val lastCp = diskCheckpoints(baseDir).max
+    val tableCols = tableColsAt(spark, baseDir, m, current)
+    require(Seq(xCol, yCol).forall(tableCols.contains),
+      s"DeltaChain.optimizeClustered: ($xCol, $yCol) must be table columns")
+    val next = current + 1
+    backfill(spark.read.parquet(checkpointDir(baseDir, lastCp)), m, current)
+      .where(lit(false))
+      .select(tableCols.map(col) :+ lit("U").as(OpCol): _*)
+      .coalesce(1)
+      .write.mode("errorifexists").parquet(deltaDir(baseDir, next))
+    ZOrder.cluster(
+        replay(spark, baseDir, lastCp, next, tableCols, m.keys),
+        xCol, yCol, numFiles)
+      .write.mode("errorifexists").parquet(checkpointDir(baseDir, next))
+    VersionedTable.publishManifest(baseDir, versions(baseDir) :+ next)
+    next
+  }
+
   /** Batched CDF over a version RANGE in ONE replay + ONE window pass
     * — the flat-slope fix for per-version [[changesAt]] loops (VERDICT
     * r14 item 4): changesAt(v) replays readAsOf(v−1) from the anchor

@@ -321,8 +321,27 @@ object VersionedTable {
       dataDirs: Seq[String],
       mask: DataFrame,
       maskBytes: Long): DataFrame =
-    withRowIdentity(spark, dataDirs, mask, maskBytes)
+    liveMasked(spark, dataDirs, mask, maskBytes)
       .drop("__graft_dv_file", "__graft_dv_pos")
+
+  /** A mask sidecar is one of two formats, distinguished by schema:
+    * (file_path, row_index) rows — one per deleted row — or
+    * (file_path, bucket, bmp) BITMAPS: 4 KB bucket bitmaps built by
+    * Spark's `bitmap_construct_agg`, one row per 32768 positions
+    * touched (the §19.1-thread-4 density upgrade — a 30% delete of a
+    * billion-row table is ~30 K bitmap rows, not 300 M row rows). */
+  private def maskIsBitmap(mask: DataFrame): Boolean =
+    mask.columns.contains("bmp")
+
+  /** Dispatch the masked read on the sidecar's format. */
+  private def liveMasked(
+      spark: SparkSession,
+      dataDirs: Seq[String],
+      mask: DataFrame,
+      maskBytes: Long): DataFrame =
+    if (maskIsBitmap(mask))
+      withRowIdentityBitmap(spark, dataDirs, mask, maskBytes)
+    else withRowIdentity(spark, dataDirs, mask, maskBytes)
 
   /** The live rows of (dataDirs ∖ mask) KEEPING the identity columns —
     * the shared core of the DV readers and writers.
@@ -359,6 +378,48 @@ object VersionedTable {
         col("__graft_dv_file") === col("__graft_m_file") &&
           col("__graft_dv_pos") === col("__graft_m_pos"),
         "left_anti")
+  }
+
+  /** [[withRowIdentity]] for a BITMAP-format mask: each base row maps
+    * its position to Spark's (bucket, bit) coordinates, left-joins the
+    * per-(file, bucket) bitmap (same broadcast-or-shuffle gate), and
+    * survives unless its bit is set —
+    * [[org.apache.spark.sql.graft.BitmapKernels.BitmapContains]], a
+    * codegen kernel, reads the bit straight off the 4 KB binary. Join
+    * fan-in is (file, bucket) — 32768 rows share one mask row — so the
+    * broadcast stays tiny at delete rates that would balloon the row
+    * mask. */
+  private def withRowIdentityBitmap(
+      spark: SparkSession,
+      dataDirs: Seq[String],
+      mask: DataFrame,
+      maskBytes: Long): DataFrame = {
+    val base = spark.read.parquet(dataDirs: _*)
+      .withColumn("__graft_dv_file", col("_metadata.file_path"))
+      .withColumn("__graft_dv_pos", col("_metadata.row_index"))
+      .withColumn("__graft_dv_bkt",
+        org.apache.spark.sql.functions.expr(
+          "bitmap_bucket_number(__graft_dv_pos + 1)"))
+      .withColumn("__graft_dv_bit",
+        org.apache.spark.sql.functions.expr(
+          "CAST(bitmap_bit_position(__graft_dv_pos + 1) AS BIGINT)"))
+    val m = mask.select(col("file_path").as("__graft_m_file"),
+      col("bucket").as("__graft_m_bkt"), col("bmp").as("__graft_m_bmp"))
+    val threshold = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+    val hinted =
+      if (threshold > 0 && maskBytes <= threshold)
+        org.apache.spark.sql.functions.broadcast(m)
+      else m
+    base.join(hinted,
+        col("__graft_dv_file") === col("__graft_m_file") &&
+          col("__graft_dv_bkt") === col("__graft_m_bkt"),
+        "left_outer")
+      .where(col("__graft_m_bmp").isNull ||
+        !org.apache.spark.sql.graft.BitmapKernels.bitmapContainsBit(
+          col("__graft_m_bmp"), col("__graft_dv_bit")))
+      .drop("__graft_m_file", "__graft_m_bkt", "__graft_m_bmp",
+        "__graft_dv_bkt", "__graft_dv_bit")
   }
 
   /** DELETE FROM t WHERE cond, merge-on-read: instead of rewriting the
@@ -431,6 +492,14 @@ object VersionedTable {
     val current = latestVersion(baseDir)
     val next = current + 1
     val (dataDirs, oldMask) = resolveDv(spark, baseDir, current)
+    // formats chain FORWARD only: once a chain upgraded to bitmap
+    // masks, row-mask accumulation would have to explode bitmaps back
+    // to rows — refuse instead of silently downgrading density
+    oldMask.foreach { case (m, _) =>
+      require(!maskIsBitmap(m),
+        s"VersionedTable DV commit: $baseDir v$current carries a BITMAP " +
+          "mask — continue with deleteWhereDVBitmap/updateWhereDVBitmap")
+    }
     val live = oldMask match {
       case Some((m, mb)) => withRowIdentity(spark, dataDirs, m, mb)
       case None =>
@@ -452,6 +521,103 @@ object VersionedTable {
     }
     // stored normalized so [[expire]]'s reachability compare never
     // depends on how the caller spelled baseDir (ADVICE r14)
+    Files.write(dvBasePath(baseDir, next),
+      (dataDirs ++ extraDir.toSeq)
+        .map(p => Paths.get(p).normalize().toString)
+        .mkString("", "\n", "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    publish(baseDir, versions(baseDir) :+ next)
+    next
+  }
+
+  /** DELETE … merge-on-read with a BITMAP mask (§19.1 thread 4 /
+    * VERDICT r14 item 1's density endgame): same contract as
+    * [[deleteWhereDV]] — base files untouched, readers mask — but the
+    * sidecar stores one (file, bucket, 4 KB bitmap) row per 32768
+    * positions touched (Spark's own `bitmap_construct_agg` builds it;
+    * [[org.apache.spark.sql.graft.BitmapKernels]] reads it back), so
+    * mask SIZE tracks files × buckets, not rows deleted — a mask for
+    * 30% of a huge table stays broadcast-small where the row mask
+    * balloons past the q70 census. A chain may upgrade row → bitmap
+    * (the old row mask folds in); bitmap → row is refused. */
+  def deleteWhereDVBitmap(
+      spark: SparkSession, baseDir: String, cond: Column): Int = {
+    val current = latestVersion(baseDir)
+    require(current > 0,
+      s"VersionedTable.deleteWhereDVBitmap: $baseDir has no v1 — create() first")
+    commitDvBitmap(spark, baseDir, cond, extras = None)
+  }
+
+  /** [[updateWhereDV]] with the bitmap mask format — masked originals
+    * tracked per (file, bucket) bitmap, rewritten images as patch
+    * rows. */
+  def updateWhereDVBitmap(
+      spark: SparkSession,
+      baseDir: String,
+      cond: Column,
+      assignments: Seq[(String, Column)]): Int = {
+    val current = latestVersion(baseDir)
+    require(current > 0,
+      s"VersionedTable.updateWhereDVBitmap: $baseDir has no v1 — create() first")
+    val cols = read(spark, baseDir).columns.toSeq
+    assignments.foreach { case (c, _) =>
+      require(cols.contains(c),
+        s"VersionedTable.updateWhereDVBitmap: $c is not a column of $baseDir")
+    }
+    commitDvBitmap(spark, baseDir, cond, extras = Some { live =>
+      assignments.foldLeft(live.where(cond)) { case (df, (c, e)) =>
+        df.withColumn(c, e)
+      }.select(cols.map(col): _*)
+    })
+  }
+
+  /** (file_path, row_index) rows → (file_path, bucket, bmp) bucket
+    * bitmaps, Spark's bitmap coordinate convention (values are
+    * 1-based: bucket/bit of row_index + 1). */
+  private def rowsToBitmap(rows: DataFrame): DataFrame =
+    rows.groupBy(col("file_path"),
+        org.apache.spark.sql.functions.expr(
+          "bitmap_bucket_number(row_index + 1)").as("bucket"))
+      .agg(org.apache.spark.sql.functions.expr(
+        "bitmap_construct_agg(bitmap_bit_position(row_index + 1))").as("bmp"))
+
+  /** [[commitDv]] in bitmap-mask space: the new deletions convert to
+    * bucket bitmaps, the prior mask (either format — row masks fold in
+    * at the upgrade commit) ORs in via `bitmap_or_agg`, one row per
+    * (file, bucket). */
+  private def commitDvBitmap(
+      spark: SparkSession,
+      baseDir: String,
+      cond: Column,
+      extras: Option[DataFrame => DataFrame]): Int = {
+    val current = latestVersion(baseDir)
+    val next = current + 1
+    val (dataDirs, oldMask) = resolveDv(spark, baseDir, current)
+    val live = oldMask match {
+      case Some((m, mb)) => liveMasked(spark, dataDirs, m, mb)
+      case None =>
+        spark.read.parquet(dataDirs: _*)
+          .withColumn("__graft_dv_file", col("_metadata.file_path"))
+          .withColumn("__graft_dv_pos", col("_metadata.row_index"))
+    }
+    val newBmp = rowsToBitmap(live.where(cond)
+      .select(col("__graft_dv_file").as("file_path"),
+        col("__graft_dv_pos").as("row_index")))
+    val oldBmp = oldMask.map { case (m, _) =>
+      if (maskIsBitmap(m)) m.select("file_path", "bucket", "bmp")
+      else rowsToBitmap(m)
+    }
+    val fullMask = oldBmp.map(_.unionByName(newBmp)).getOrElse(newBmp)
+      .groupBy("file_path", "bucket")
+      .agg(org.apache.spark.sql.functions.expr("bitmap_or_agg(bmp)").as("bmp"))
+    fullMask.coalesce(1).write.mode("errorifexists")
+      .parquet(dvMaskDir(baseDir, next))
+    val extraDir = extras.map { mk =>
+      val dir = s"${snapshotDir(baseDir, next)}/_dv_extra"
+      mk(live.drop("__graft_dv_file", "__graft_dv_pos"))
+        .coalesce(1).write.mode("errorifexists").parquet(dir)
+      dir
+    }
     Files.write(dvBasePath(baseDir, next),
       (dataDirs ++ extraDir.toSeq)
         .map(p => Paths.get(p).normalize().toString)

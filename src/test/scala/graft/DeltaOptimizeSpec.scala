@@ -83,6 +83,40 @@ class DeltaOptimizeSpec extends SparkSpec {
     assert(DeltaChain.readAsOf(spark, root, 1).columns.toSeq === Seq("k", "n"))
   }
 
+  test("optimizeClustered: content preserved, layout Morton-ordered, numFiles honored") {
+    import spark.implicits._
+    val root = freshRoot()
+    DeltaChain.create(root,
+      (1L to 400L).map(k => (k, (k * 37) % 100)).toDF("k", "x").repartition(4),
+      Seq("k"), checkpointEvery = 100)
+    DeltaChain.commitDelta(spark, root,
+      (1L to 400L).filter(_ % 5 == 0).map(k => (k, k % 100)).toDF("k", "x")
+        .coalesce(1))
+    val before = DeltaChain.read(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val v3 = DeltaChain.optimizeClustered(spark, root, "k", "x", numFiles = 2)
+    assert(v3 === 3)
+    assert(parquetFiles(s"$root/c3") === 2)
+    assert(spark.read.parquet(s"$root/d3").count() === 0)
+    val after = DeltaChain.read(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after === before, "clustered optimize changed table content")
+    // the layout genuinely moved: per-file key ranges are disjoint-ish
+    // under the range shuffle (each file covers a contiguous Morton
+    // band, so the two files cannot both span the full key range)
+    val spans = Option(new java.io.File(s"$root/c3").listFiles()).get
+      .filter(_.getName.endsWith(".parquet"))
+      .map { f =>
+        val d = spark.read.parquet(f.getAbsolutePath)
+          .agg(org.apache.spark.sql.functions.min("k"),
+            org.apache.spark.sql.functions.max("k")).collect()(0)
+        (d.getLong(0), d.getLong(1))
+      }
+    assert(spans.length === 2)
+    assert(spans.exists { case (lo, hi) => hi - lo < 399 },
+      s"no file shows a narrowed range — clustering did not move rows: ${spans.toSeq}")
+  }
+
   test("changesRange == union of changesAt across every edge case") {
     import spark.implicits._
     val root = freshRoot()
