@@ -73,7 +73,8 @@ object DeltaChain {
   final case class Meta(
       keys: Seq[String],
       checkpointEvery: Int,
-      addedCols: Seq[AddedColumn] = Seq.empty)
+      addedCols: Seq[AddedColumn] = Seq.empty,
+      partitionCols: Seq[String] = Seq.empty)
 
   private def metaPath(baseDir: String) = Paths.get(baseDir, MetaName)
 
@@ -100,7 +101,9 @@ object DeltaChain {
       val Array(_, v, n, d) = l.split("\t", 4)
       AddedColumn(v.toInt, n, d)
     }.toSeq.filter(_.version <= latest).sortBy(_.version)
-    Meta(fields("keys").split(",").toSeq, fields("every").toInt, added)
+    val parts = fields.get("parts").toSeq
+      .flatMap(_.split(",").toSeq).filter(_.nonEmpty)
+    Meta(fields("keys").split(",").toSeq, fields("every").toInt, added, parts)
   }
 
   private def rewriteMeta(baseDir: String, content: String): Unit = {
@@ -141,24 +144,51 @@ object DeltaChain {
   private def hasCheckpoint(baseDir: String, v: Int): Boolean =
     Files.exists(Paths.get(checkpointDir(baseDir, v)))
 
-  /** Create the table at version 1: one checkpoint, no delta. */
+  /** Create the table at version 1: one checkpoint, no delta.
+    *
+    * `partitionBy` (the 100 TB layout knob): checkpoints — the BIG
+    * scans every read pays — are written Hive-partitioned on these
+    * columns, so a partition-filtered `readAsOf` prunes checkpoint
+    * FILES at planning time (the q71 key asserts it from inputFiles).
+    * Deltas stay UNpartitioned deliberately: they are small by the
+    * storage form's own contract (∝ batch), an empty change record
+    * (addColumn/optimize) must stay schema-readable (a partitioned
+    * empty write leaves no footer to read), and the streaming change
+    * feed reads delta files whose partition values would otherwise
+    * live only in dir names. */
   def create(
       baseDir: String,
       df: DataFrame,
       keys: Seq[String],
-      checkpointEvery: Int = 4): Int = {
+      checkpointEvery: Int = 4,
+      partitionBy: Seq[String] = Seq.empty): Int = {
     require(versions(baseDir).isEmpty,
       s"DeltaChain.create: $baseDir already has committed versions")
     require(keys.nonEmpty && keys.forall(df.columns.contains),
       s"DeltaChain.create: keys ${keys.mkString(",")} must be table columns")
     require(checkpointEvery >= 1, "DeltaChain.create: checkpointEvery >= 1")
+    require(partitionBy.forall(df.columns.contains),
+      s"DeltaChain.create: partition cols ${partitionBy.mkString(",")} " +
+        "must be table columns")
+    require(partitionBy.forall(c => !keys.contains(c)) || partitionBy.isEmpty,
+      "DeltaChain.create: partitioning on a key column partitions every " +
+        "upsert to a singleton dir — pick a coarser column")
     Files.createDirectories(Paths.get(baseDir))
-    df.write.mode("errorifexists").parquet(checkpointDir(baseDir, 1))
+    writeCheckpoint(df, baseDir, 1, partitionBy)
+    val partsLine =
+      if (partitionBy.isEmpty) "" else s";parts=${partitionBy.mkString(",")}"
     Files.write(metaPath(baseDir),
-      s"keys=${keys.mkString(",")};every=$checkpointEvery"
+      s"keys=${keys.mkString(",")};every=$checkpointEvery$partsLine"
         .getBytes(StandardCharsets.UTF_8))
     VersionedTable.publishManifest(baseDir, Seq(1))
     1
+  }
+
+  private def writeCheckpoint(
+      df: DataFrame, baseDir: String, v: Int, parts: Seq[String]): Unit = {
+    val w = df.write.mode("errorifexists")
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
+      .parquet(checkpointDir(baseDir, v))
   }
 
   /** Commit a change batch as the next version. `delta` carries every
@@ -193,8 +223,8 @@ object DeltaChain {
       // materialize by replaying from the last checkpoint INCLUDING the
       // just-written delta dir (readable before publish — the manifest,
       // not dir existence, is the reader-visibility point)
-      replay(spark, baseDir, lastCp, next, tableCols, m.keys)
-        .write.mode("errorifexists").parquet(checkpointDir(baseDir, next))
+      writeCheckpoint(replay(spark, baseDir, lastCp, next, tableCols, m.keys),
+        baseDir, next, m.partitionCols)
     }
     VersionedTable.publishManifest(baseDir, versions(baseDir) :+ next)
     next
@@ -395,9 +425,10 @@ object DeltaChain {
       .select(tableCols.map(col) :+ lit("U").as(OpCol): _*)
       .coalesce(1)
       .write.mode("errorifexists").parquet(deltaDir(baseDir, next))
-    replay(spark, baseDir, lastCp, next, tableCols, m.keys)
-      .coalesce(numFiles)
-      .write.mode("errorifexists").parquet(checkpointDir(baseDir, next))
+    writeCheckpoint(
+      replay(spark, baseDir, lastCp, next, tableCols, m.keys)
+        .coalesce(numFiles),
+      baseDir, next, m.partitionCols)
     VersionedTable.publishManifest(baseDir, versions(baseDir) :+ next)
     next
   }
@@ -429,10 +460,11 @@ object DeltaChain {
       .select(tableCols.map(col) :+ lit("U").as(OpCol): _*)
       .coalesce(1)
       .write.mode("errorifexists").parquet(deltaDir(baseDir, next))
-    ZOrder.cluster(
+    writeCheckpoint(
+      ZOrder.cluster(
         replay(spark, baseDir, lastCp, next, tableCols, m.keys),
-        xCol, yCol, numFiles)
-      .write.mode("errorifexists").parquet(checkpointDir(baseDir, next))
+        xCol, yCol, numFiles),
+      baseDir, next, m.partitionCols)
     VersionedTable.publishManifest(baseDir, versions(baseDir) :+ next)
     next
   }
@@ -567,8 +599,9 @@ object DeltaChain {
             StandardCopyOption.ATOMIC_MOVE)
           staging = null // moved — nothing left to clean
           if (next - lastCp >= m.checkpointEvery) {
-            replay(spark, baseDir, lastCp, next, tableCols, m.keys)
-              .write.mode("errorifexists").parquet(checkpointDir(baseDir, next))
+            writeCheckpoint(
+              replay(spark, baseDir, lastCp, next, tableCols, m.keys),
+              baseDir, next, m.partitionCols)
           }
           VersionedTable.publishManifest(baseDir, versions(baseDir) :+ next)
           return (next, attempt)

@@ -418,6 +418,82 @@ object SurfaceR15a extends QueryBatch {
       .orderBy("version", "l_returnflag")
   }
 
+  // ---- Q71: partitioned delta chain (planning-time pruning) ----
+
+  /** Q71: the delta chain with PARTITIONED checkpoints —
+    * `DeltaChain.create(partitionBy = o_orderstatus)` Hive-partitions
+    * every checkpoint (the big scan each read pays), so a
+    * partition-filtered read prunes checkpoint FILES at planning time;
+    * deltas stay unpartitioned by design (small by the storage
+    * contract, schema-readable when empty, streamable). Chain on
+    * `orders`: v2 reprices mod-7 (+100), v3 reprices mod-9 (+200) and
+    * lands the cadence checkpoint. REQUIRED in-key: (1) c1 and c3
+    * carry `o_orderstatus=` partition dirs; (2) the EXECUTED scan's
+    * own numFiles metric shows the filtered read touching fewer files
+    * than the full read AND the plan names the PartitionFilter —
+    * pruning proven from metrics, never assumed; (3) a filtered
+    * readAsOf equals the full read filtered (pruning is a plan
+    * choice, not a semantics one). Output: the v3 state — the oracle
+    * pins every replayed row through the partitioned layout. */
+  val q71DeltaPartitioned: Q = (s, d) => {
+    val root = scratch("q71").getAbsolutePath
+    val base = orders(s, d).select(col("o_orderkey"),
+      expr("CAST(floor(o_totalprice * 100 + 5e-1) AS BIGINT)").as("qprice"),
+      col("o_orderstatus"))
+    val k = col("o_orderkey")
+    DeltaChain.create(root, base.coalesce(2), Seq("o_orderkey"),
+      checkpointEvery = 2, partitionBy = Seq("o_orderstatus"))
+    DeltaChain.commitDelta(s, root,
+      base.where(k % 7 === 0)
+        .withColumn("qprice", col("qprice") + 100L).coalesce(1))
+    DeltaChain.commitDelta(s, root,
+      base.where(k % 9 === 0)
+        .withColumn("qprice", col("qprice") + 200L).coalesce(1))
+    // (1) checkpoints are Hive-partitioned on disk
+    def partDirs(v: Int): Int =
+      Option(new java.io.File(s"$root/c$v").listFiles())
+        .map(_.count(f => f.isDirectory &&
+          f.getName.startsWith("o_orderstatus="))).getOrElse(0)
+    require(partDirs(1) >= 3 && partDirs(3) >= 3,
+      s"q71: checkpoints not partitioned (c1=${partDirs(1)}, c3=${partDirs(3)} dirs)")
+    // (2) planning-time pruning: the filtered checkpoint scan carries
+    // the PartitionFilter in its executed plan, and the on-disk layout
+    // shows the F partition is a strict subset of the files a pruned
+    // scan can skip to. (The EXECUTED numFiles-metric comparison lives
+    // in PartitionedChainSpec, where a collect() on a 900-row fixture
+    // is cheap; in-key at any SF the plan assert + layout census are
+    // the size-independent form — same discipline as s30/q51/s33's
+    // required-in-plan checks.)
+    val plan = s.read.parquet(s"$root/c3")
+      .where(col("o_orderstatus") === "F")
+      .queryExecution.executedPlan.toString
+    require(plan.contains("PartitionFilters") && plan.contains("o_orderstatus"),
+      "q71: partition filter not pushed to the checkpoint scan")
+    def filesUnder(dir: java.io.File): Int =
+      Option(dir.listFiles()).map(_.map(f =>
+        if (f.isDirectory) filesUnder(f)
+        else if (f.getName.endsWith(".parquet")) 1 else 0).sum).getOrElse(0)
+    val allFiles = filesUnder(new java.io.File(s"$root/c3"))
+    val fFiles = Option(new java.io.File(s"$root/c3").listFiles())
+      .map(_.filter(f => f.isDirectory && f.getName == "o_orderstatus=F")
+        .map(filesUnder).sum).getOrElse(0)
+    require(fFiles > 0 && fFiles < allFiles,
+      s"q71: F partition holds $fFiles of $allFiles checkpoint files — " +
+        "layout gives pruning nothing to skip")
+    // (3) pruning never changes semantics (1-row aggregate readouts,
+    // never a driver-side collect of the table)
+    val cntWhere = DeltaChain.readAsOf(s, root, 3)
+      .where(col("o_orderstatus") === "F").count()
+    val cntFull = DeltaChain.readAsOf(s, root, 3)
+      .agg(sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)))
+      .collect()(0).getLong(0)
+    require(cntWhere == cntFull,
+      s"q71: filtered read ($cntWhere) diverges from the full read filtered ($cntFull)")
+    DeltaChain.readAsOf(s, root, 3)
+      .select("o_orderkey", "qprice", "o_orderstatus")
+      .orderBy("o_orderkey")
+  }
+
   // ---- registry ----
 
   val queries: Map[String, Q] = Map(
@@ -425,7 +501,8 @@ object SurfaceR15a extends QueryBatch {
     "q66b_incremental_mv_range" -> q66bIncrementalMvRange,
     "t29_change_feed_replica" -> t29ChangeFeedReplica,
     "t30_stream_incremental_mv" -> t30StreamIncrementalMv,
-    "q70_delete_dv_bitmap" -> q70DeleteDvBitmap)
+    "q70_delete_dv_bitmap" -> q70DeleteDvBitmap,
+    "q71_delta_partitioned" -> q71DeltaPartitioned)
 
   val oracleSql: Map[String, String] = Map(
     "q69_delta_optimize" ->
@@ -466,6 +543,19 @@ object SurfaceR15a extends QueryBatch {
         |  CAST(sum(qprice) AS BIGINT) AS qsum
         |FROM final WHERE qprice IS NOT NULL GROUP BY st
         |ORDER BY o_orderstatus""".stripMargin,
+    "q71_delta_partitioned" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 5e-1) AS BIGINT) AS q,
+        |    o_orderstatus AS st
+        |  FROM orders)
+        |SELECT k AS o_orderkey,
+        |  CASE WHEN k % 9 = 0 THEN q + 200
+        |       WHEN k % 7 = 0 THEN q + 100
+        |       ELSE q END AS qprice,
+        |  st AS o_orderstatus
+        |FROM base
+        |ORDER BY o_orderkey""".stripMargin,
     "q70_delete_dv_bitmap" ->
       """WITH base AS (
         |  SELECT l_orderkey * 10 + l_linenumber AS k,
