@@ -70,11 +70,21 @@ object DeltaChain {
     * at 100 TB). */
   final case class AddedColumn(version: Int, name: String, defaultSql: String)
 
+  /** A CHECK constraint active from `version` on: every LATER
+    * commit's upsert rows must satisfy `sql` (ANSI CHECK semantics —
+    * a NULL predicate passes, only FALSE violates). Enforcement is at
+    * the write boundary over the DELTA rows (the Delta Lake ADD
+    * CONSTRAINT contract: existing data is not re-validated; the
+    * add is metadata-only). */
+  final case class Constraint(version: Int, name: String, sql: String)
+
   final case class Meta(
       keys: Seq[String],
       checkpointEvery: Int,
       addedCols: Seq[AddedColumn] = Seq.empty,
-      partitionCols: Seq[String] = Seq.empty)
+      partitionCols: Seq[String] = Seq.empty,
+      constraints: Seq[Constraint] = Seq.empty,
+      constraintDrops: Seq[(Int, String)] = Seq.empty)
 
   private def metaPath(baseDir: String) = Paths.get(baseDir, MetaName)
 
@@ -103,8 +113,26 @@ object DeltaChain {
     }.toSeq.filter(_.version <= latest).sortBy(_.version)
     val parts = fields.get("parts").toSeq
       .flatMap(_.split(",").toSeq).filter(_.nonEmpty)
-    Meta(fields("keys").split(",").toSeq, fields("every").toInt, added, parts)
+    val cons = lines.tail.filter(_.startsWith("constraint\t")).map { l =>
+      val Array(_, v, n, sql) = l.split("\t", 4)
+      Constraint(v.toInt, n, sql)
+    }.toSeq.filter(_.version <= latest).sortBy(_.version)
+    val droppedC = lines.tail.filter(_.startsWith("dropconstraint\t")).map { l =>
+      val Array(_, v, n) = l.split("\t", 3)
+      (v.toInt, n)
+    }.toSeq.filter(_._1 <= latest)
+    Meta(fields("keys").split(",").toSeq, fields("every").toInt, added, parts,
+      cons, droppedC)
   }
+
+  /** The constraints the NEXT commit must enforce: per name, the
+    * latest add/drop event wins (a dropped name may be re-added). */
+  private def activeConstraints(m: Meta): Seq[Constraint] =
+    m.constraints.filter { c =>
+      val laterAdd = m.constraints.exists(o => o.name == c.name && o.version > c.version)
+      val laterDrop = m.constraintDrops.exists { case (v, n) => n == c.name && v > c.version }
+      !laterAdd && !laterDrop
+    }
 
   private def rewriteMeta(baseDir: String, content: String): Unit = {
     val tmp = Paths.get(baseDir, s".$MetaName.tmp")
@@ -217,7 +245,7 @@ object DeltaChain {
     val tableCols = tableColsAt(spark, baseDir, m, current)
     val next = current + 1
     val shaped = shapeAndValidate(delta, tableCols, deleteCol, m.keys,
-      "DeltaChain.commitDelta")
+      "DeltaChain.commitDelta", activeConstraints(m))
     shaped.write.mode("errorifexists").parquet(deltaDir(baseDir, next))
     if (next - lastCp >= m.checkpointEvery) {
       // materialize by replaying from the last checkpoint INCLUDING the
@@ -241,7 +269,8 @@ object DeltaChain {
       tableCols: Seq[String],
       deleteCol: Option[String],
       keys: Seq[String],
-      who: String): DataFrame = {
+      who: String,
+      constraints: Seq[Constraint] = Seq.empty): DataFrame = {
     require(tableCols.forall(delta.columns.contains),
       s"$who: delta must carry every table column " +
         s"(${tableCols.mkString(",")}); has ${delta.columns.mkString(",")}")
@@ -260,15 +289,29 @@ object DeltaChain {
       case None    => lit("U")
     }
     val shaped = delta.select(tableCols.map(col) :+ op.as(OpCol): _*)
-    val Seq(total, distinct, nullKeys) = shaped
-      .agg(count(lit(1)), countDistinct(keys.head, keys.tail: _*),
-        count(when(keys.map(col(_).isNull).reduce(_ || _), 1)))
+    // ONE validation aggregate carries the key checks AND every active
+    // CHECK constraint's violation count (ANSI semantics: NULL passes,
+    // only FALSE violates; delete rows are exempt — they carry the
+    // writer's payload for a row leaving the table)
+    val conCounts: Seq[org.apache.spark.sql.Column] = constraints.map { c =>
+      count(when(col(OpCol) === "U" && (expr(c.sql) <=> lit(false)), 1))
+    }
+    val counted = shaped
+      .agg(count(lit(1)), countDistinct(keys.head, keys.tail: _*) +:
+        count(when(keys.map(col(_).isNull).reduce(_ || _), 1)) +:
+        conCounts: _*)
       .collect()(0).toSeq.map(_.asInstanceOf[Long])
+    val Seq(total, distinct, nullKeys) = counted.take(3)
     require(nullKeys == 0,
       s"$who: $nullKeys delta row(s) carry a NULL key on (${keys.mkString(",")})")
     require(total == distinct,
       s"$who: ${total - distinct} duplicate key row(s) " +
         s"in the delta on (${keys.mkString(",")})")
+    constraints.zip(counted.drop(3)).foreach { case (c, violations) =>
+      require(violations == 0,
+        s"$who: $violations delta row(s) violate CHECK constraint " +
+          s"'${c.name}' (${c.sql}) — nothing was committed")
+    }
     shaped
   }
 
@@ -584,7 +627,7 @@ object DeltaChain {
         if (staging == null || stagedCols != tableCols) {
           if (staging != null) deleteStagingRecursively(staging)
           val shaped = shapeAndValidate(delta, tableCols, deleteCol, m.keys,
-            "DeltaChain.commitDeltaArbitrated")
+            "DeltaChain.commitDeltaArbitrated", activeConstraints(m))
           staging = Paths.get(baseDir,
             s".stage_d_${java.util.UUID.randomUUID().toString.take(12)}")
           shaped.write.mode("errorifexists").parquet(staging.toString)
@@ -685,6 +728,83 @@ object DeltaChain {
       StandardCharsets.UTF_8)
     rewriteMeta(baseDir,
       raw.stripSuffix("\n") + s"\naddcol\t$next\t$name\t$defaultSql\n")
+    next
+  }
+
+  /** ALTER TABLE ADD CONSTRAINT (CHECK), metadata-only: commits one
+    * empty change record + one metadata line; every LATER commit's
+    * upsert rows must satisfy `sql` — validated inside the write
+    * boundary's single aggregate pass, failing loudly BY NAME with
+    * nothing committed (the Delta Lake contract: existing rows are not
+    * re-validated, so the add costs metadata at any table size; pass
+    * `validateExisting = true` to additionally pay one scan proving
+    * the current state satisfies it before the constraint lands).
+    * Same manifest-first crash ordering as [[addColumn]]. Returns the
+    * new version. */
+  def addConstraint(
+      spark: SparkSession,
+      baseDir: String,
+      name: String,
+      sql: String,
+      validateExisting: Boolean = false): Int = {
+    val m = meta(baseDir)
+    val current = latestVersion(baseDir)
+    require(current > 0,
+      s"DeltaChain.addConstraint: $baseDir has no v1 — create() first")
+    require(!name.contains("\t") && !sql.contains("\t") &&
+      !name.contains("\n") && !sql.contains("\n"),
+      "DeltaChain.addConstraint: tabs/newlines are the metadata separators")
+    require(!activeConstraints(m).exists(_.name == name),
+      s"DeltaChain.addConstraint: '$name' is already active on $baseDir")
+    if (validateExisting) {
+      val bad = readAsOf(spark, baseDir, current)
+        .where(expr(sql) <=> lit(false)).count()
+      require(bad == 0,
+        s"DeltaChain.addConstraint: $bad existing row(s) violate '$name' " +
+          s"($sql) — constraint not added")
+    }
+    val next = current + 1
+    val tableCols = tableColsAt(spark, baseDir, m, current)
+    val cp = diskCheckpoints(baseDir).max
+    backfill(spark.read.parquet(checkpointDir(baseDir, cp)), m, current)
+      .where(lit(false))
+      .select(tableCols.map(col) :+ lit("U").as(OpCol): _*)
+      .coalesce(1)
+      .write.mode("errorifexists").parquet(deltaDir(baseDir, next))
+    VersionedTable.publishManifest(baseDir, versions(baseDir) :+ next)
+    val raw = new String(Files.readAllBytes(metaPath(baseDir)),
+      StandardCharsets.UTF_8)
+    rewriteMeta(baseDir,
+      raw.stripSuffix("\n") + s"\nconstraint\t$next\t$name\t$sql\n")
+    next
+  }
+
+  /** ALTER TABLE DROP CONSTRAINT — metadata-only, same shape as
+    * [[addConstraint]]; later commits stop enforcing `name` (the name
+    * may be re-added later with a different predicate). */
+  def dropConstraint(
+      spark: SparkSession,
+      baseDir: String,
+      name: String): Int = {
+    val m = meta(baseDir)
+    val current = latestVersion(baseDir)
+    require(current > 0,
+      s"DeltaChain.dropConstraint: $baseDir has no v1 — create() first")
+    require(activeConstraints(m).exists(_.name == name),
+      s"DeltaChain.dropConstraint: no active constraint '$name' on $baseDir")
+    val next = current + 1
+    val tableCols = tableColsAt(spark, baseDir, m, current)
+    val cp = diskCheckpoints(baseDir).max
+    backfill(spark.read.parquet(checkpointDir(baseDir, cp)), m, current)
+      .where(lit(false))
+      .select(tableCols.map(col) :+ lit("U").as(OpCol): _*)
+      .coalesce(1)
+      .write.mode("errorifexists").parquet(deltaDir(baseDir, next))
+    VersionedTable.publishManifest(baseDir, versions(baseDir) :+ next)
+    val raw = new String(Files.readAllBytes(metaPath(baseDir)),
+      StandardCharsets.UTF_8)
+    rewriteMeta(baseDir,
+      raw.stripSuffix("\n") + s"\ndropconstraint\t$next\t$name\n")
     next
   }
 

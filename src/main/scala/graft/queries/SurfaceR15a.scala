@@ -494,6 +494,55 @@ object SurfaceR15a extends QueryBatch {
       .orderBy("o_orderkey")
   }
 
+  // ---- Q72: CHECK constraints at the delta write boundary ----
+
+  /** Q72: `DeltaChain.addConstraint` — ANSI CHECK constraints
+    * enforced inside the commit's single validation aggregate (the
+    * Delta Lake ADD CONSTRAINT contract: the add is metadata-only at
+    * any table size; only NEW writes are validated, failing loudly BY
+    * NAME with nothing committed). Chain on `part`: v2 adds
+    * `qprice_nonneg` with `validateExisting = true` (one scan proving
+    * the current state qualifies), v3 reprices mod-7 (+500, passes),
+    * then a mod-11 repricing that drives prices NEGATIVE must throw
+    * naming the constraint and leave the version history untouched
+    * (REQUIREd in-key), and v4 re-prices mod-11 legally. Output: the
+    * v4 state — the oracle pins that the rejected commit truly left
+    * no trace. */
+  val q72DeltaConstraint: Q = (s, d) => {
+    val root = scratch("q72").getAbsolutePath
+    val base = part(s, d).select(col("p_partkey"),
+      expr("CAST(floor(p_retailprice * 100 + 5e-1) AS BIGINT)").as("qprice"))
+    val k = col("p_partkey")
+    DeltaChain.create(root, base.coalesce(1), Seq("p_partkey"),
+      checkpointEvery = 100)
+    DeltaChain.addConstraint(s, root, "qprice_nonneg", "qprice >= 0",
+      validateExisting = true)                                       // v2
+    DeltaChain.commitDelta(s, root,
+      base.where(k % 7 === 0)
+        .withColumn("qprice", col("qprice") + 500L).coalesce(1))     // v3
+    // a write that would corrupt the table is refused BY NAME, and the
+    // chain shows no trace of it
+    val before = DeltaChain.versions(root)
+    val thrown =
+      try {
+        DeltaChain.commitDelta(s, root,
+          base.where(k % 11 === 0)
+            .withColumn("qprice", -col("qprice")).coalesce(1))
+        false
+      } catch {
+        case e: IllegalArgumentException => e.getMessage.contains("qprice_nonneg")
+      }
+    require(thrown, "q72: violating commit was not rejected by name")
+    require(DeltaChain.versions(root) == before,
+      "q72: rejected commit left a committed version")
+    DeltaChain.commitDelta(s, root,
+      base.where(k % 11 === 0)
+        .withColumn("qprice", col("qprice") + 900L).coalesce(1))     // v4
+    DeltaChain.read(s, root)
+      .select("p_partkey", "qprice")
+      .orderBy("p_partkey")
+  }
+
   // ---- registry ----
 
   val queries: Map[String, Q] = Map(
@@ -502,7 +551,8 @@ object SurfaceR15a extends QueryBatch {
     "t29_change_feed_replica" -> t29ChangeFeedReplica,
     "t30_stream_incremental_mv" -> t30StreamIncrementalMv,
     "q70_delete_dv_bitmap" -> q70DeleteDvBitmap,
-    "q71_delta_partitioned" -> q71DeltaPartitioned)
+    "q71_delta_partitioned" -> q71DeltaPartitioned,
+    "q72_delta_constraint" -> q72DeltaConstraint)
 
   val oracleSql: Map[String, String] = Map(
     "q69_delta_optimize" ->
@@ -543,6 +593,17 @@ object SurfaceR15a extends QueryBatch {
         |  CAST(sum(qprice) AS BIGINT) AS qsum
         |FROM final WHERE qprice IS NOT NULL GROUP BY st
         |ORDER BY o_orderstatus""".stripMargin,
+    "q72_delta_constraint" ->
+      """WITH base AS (
+        |  SELECT p_partkey AS k,
+        |    CAST(floor(p_retailprice * 100 + 5e-1) AS BIGINT) AS q
+        |  FROM part)
+        |SELECT k AS p_partkey,
+        |  CASE WHEN k % 11 = 0 THEN q + 900
+        |       WHEN k % 7 = 0 THEN q + 500
+        |       ELSE q END AS qprice
+        |FROM base
+        |ORDER BY p_partkey""".stripMargin,
     "q71_delta_partitioned" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k,
