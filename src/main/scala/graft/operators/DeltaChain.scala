@@ -928,6 +928,53 @@ object DeltaChain {
       .filter(f => f.isDirectory && f.getName.matches(s"$prefix\\d+"))
       .map(_.getName.drop(1).toInt).toSeq.sorted
 
+  /** DESCRIBE HISTORY for the delta form: one row per committed
+    * version — number, OPERATION KIND (create / delta / add_column /
+    * add_constraint / drop_constraint / optimize), the change rows it
+    * carried, and whether a checkpoint landed. Kinds derive from the
+    * commit's own artifacts: v1 is create; metadata versions come from
+    * the meta lines; an EMPTY change record WITH a checkpoint is
+    * optimize (metadata commits never checkpoint; cadence checkpoints
+    * ride non-empty deltas); everything else is a data delta. Row
+    * counts are parquet-footer counts (metadata-only read), bytes are
+    * directory listings — at 100 TB this is a manifest walk, never a
+    * table scan ([[VersionedTable.history]]'s discipline). */
+  def history(spark: SparkSession, baseDir: String): DataFrame = {
+    import spark.implicits._
+    val m = meta(baseDir)
+    val addcols = m.addedCols.map(_.version).toSet
+    val conAdds = m.constraints.map(_.version).toSet
+    val conDrops = m.constraintDrops.map(_._1).toSet
+    // recursive: a partitioned checkpoint keeps its parquet one level
+    // down inside the partition dirs
+    def dirBytes(dir: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory)
+          Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+        else if (f.getName.endsWith(".parquet")) f.length() else 0L
+      walk(new java.io.File(dir))
+    }
+    versions(baseDir).map { v =>
+      val hasDelta = Files.exists(Paths.get(deltaDir(baseDir, v)))
+      val deltaRows =
+        if (hasDelta) spark.read.parquet(deltaDir(baseDir, v)).count() else 0L
+      val hasCp = hasCheckpoint(baseDir, v)
+      val kind =
+        if (v == 1) "create"
+        else if (addcols(v)) "add_column"
+        else if (conAdds(v)) "add_constraint"
+        else if (conDrops(v)) "drop_constraint"
+        // a manifest version whose change record a truncate reclaimed:
+        // only its checkpoint anchor survives
+        else if (!hasDelta && hasCp) "checkpoint_anchor"
+        else if (hasDelta && deltaRows == 0 && hasCp) "optimize"
+        else "delta"
+      (v, kind, deltaRows, hasCp, dirBytes(deltaDir(baseDir, v)),
+        dirBytes(checkpointDir(baseDir, v)))
+    }.toDF("version", "kind", "delta_rows", "checkpointed",
+      "delta_bytes", "checkpoint_bytes")
+  }
+
   /** Per-commit storage census: version, kind, file count, bytes for
     * the delta and (when present) checkpoint dirs — the evidence that
     * commit cost tracks the delta, not the table (directory listings

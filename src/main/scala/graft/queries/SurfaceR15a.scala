@@ -543,6 +543,40 @@ object SurfaceR15a extends QueryBatch {
       .orderBy("p_partkey")
   }
 
+  // ---- Q73: DESCRIBE HISTORY for the delta chain ----
+
+  /** Q73: [[DeltaChain.history]] — the audit view over a chain that
+    * exercises every operation kind: create (v1), two data deltas
+    * (v2 mod-13, v3 mod-17 — v3 lands the every-2 cadence
+    * checkpoint), a metadata-only ADD COLUMN (v4), an OPTIMIZE (v5),
+    * and an ADD CONSTRAINT (v6). Kinds derive from the commits' own
+    * artifacts (metadata versions from the meta lines; empty change
+    * record + checkpoint = optimize), row counts are parquet-footer
+    * reads, bytes are directory listings — a manifest walk at any
+    * table size, never a table scan. The oracle recomputes each
+    * version's change-row count from the residue algebra and pins the
+    * kind labels literally. */
+  val q73DeltaHistory: Q = (s, d) => {
+    val root = scratch("q73").getAbsolutePath
+    val base = orders(s, d).select(col("o_orderkey"),
+      expr("CAST(floor(o_totalprice * 100 + 5e-1) AS BIGINT)").as("qprice"))
+    val k = col("o_orderkey")
+    DeltaChain.create(root, base.coalesce(1), Seq("o_orderkey"),
+      checkpointEvery = 2)
+    DeltaChain.commitDelta(s, root,
+      base.where(k % 13 === 0)
+        .withColumn("qprice", col("qprice") + 100L).coalesce(1))   // v2
+    DeltaChain.commitDelta(s, root,
+      base.where(k % 17 === 0)
+        .withColumn("qprice", col("qprice") + 200L).coalesce(1))   // v3 + c3
+    DeltaChain.addColumn(s, root, "band", "qprice DIV 100000")     // v4
+    DeltaChain.optimize(s, root, numFiles = 1)                     // v5
+    DeltaChain.addConstraint(s, root, "qprice_nonneg", "qprice >= 0") // v6
+    DeltaChain.history(s, root)
+      .select("version", "kind", "delta_rows", "checkpointed")
+      .orderBy("version")
+  }
+
   // ---- registry ----
 
   val queries: Map[String, Q] = Map(
@@ -552,7 +586,8 @@ object SurfaceR15a extends QueryBatch {
     "t30_stream_incremental_mv" -> t30StreamIncrementalMv,
     "q70_delete_dv_bitmap" -> q70DeleteDvBitmap,
     "q71_delta_partitioned" -> q71DeltaPartitioned,
-    "q72_delta_constraint" -> q72DeltaConstraint)
+    "q72_delta_constraint" -> q72DeltaConstraint,
+    "q73_delta_history" -> q73DeltaHistory)
 
   val oracleSql: Map[String, String] = Map(
     "q69_delta_optimize" ->
@@ -593,6 +628,18 @@ object SurfaceR15a extends QueryBatch {
         |  CAST(sum(qprice) AS BIGINT) AS qsum
         |FROM final WHERE qprice IS NOT NULL GROUP BY st
         |ORDER BY o_orderstatus""".stripMargin,
+    "q73_delta_history" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'create', CAST(0 AS BIGINT), TRUE),
+        |  (2, 'delta',
+        |   (SELECT count(*) FROM orders WHERE o_orderkey % 13 = 0), FALSE),
+        |  (3, 'delta',
+        |   (SELECT count(*) FROM orders WHERE o_orderkey % 17 = 0), TRUE),
+        |  (4, 'add_column', CAST(0 AS BIGINT), FALSE),
+        |  (5, 'optimize', CAST(0 AS BIGINT), TRUE),
+        |  (6, 'add_constraint', CAST(0 AS BIGINT), FALSE))
+        |  AS t(version, kind, delta_rows, checkpointed)
+        |ORDER BY version""".stripMargin,
     "q72_delta_constraint" ->
       """WITH base AS (
         |  SELECT p_partkey AS k,

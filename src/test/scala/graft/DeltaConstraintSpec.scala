@@ -62,6 +62,26 @@ class DeltaConstraintSpec extends SparkSpec {
       Map(1L -> 10L, 2L -> 500L, 3L -> 999L))
   }
 
+  test("history: kinds derive from artifacts, incl. the truncated anchor") {
+    import spark.implicits._
+    val root = freshRoot()
+    DeltaChain.create(root, Seq((1L, 10L)).toDF("k", "v"), Seq("k"),
+      checkpointEvery = 2)
+    DeltaChain.commitDelta(spark, root, Seq((2L, 20L)).toDF("k", "v")) // v2
+    DeltaChain.commitDelta(spark, root, Seq((3L, 30L)).toDF("k", "v")) // v3 + c3
+    DeltaChain.addConstraint(spark, root, "pos", "v > 0")              // v4
+    DeltaChain.dropConstraint(spark, root, "pos")                      // v5
+    def kinds() = DeltaChain.history(spark, root)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(kinds() === Map(1 -> "create", 2 -> "delta", 3 -> "delta",
+      4 -> "add_constraint", 5 -> "drop_constraint"))
+    // truncate at the checkpoint: v3's change record is reclaimed and
+    // the surviving manifest entry reads as the chain's anchor
+    DeltaChain.truncate(root, 3)
+    assert(kinds() === Map(3 -> "checkpoint_anchor",
+      4 -> "add_constraint", 5 -> "drop_constraint"))
+  }
+
   test("validateExisting refuses a constraint the current state violates") {
     import spark.implicits._
     val root = freshRoot()
