@@ -368,6 +368,11 @@ object Bench {
     val diagJson = diag.map { case (k, v) => s"\"$k\":$v" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rocksdb_state_t6_sec":$stateSec,"rocksdb_kp_sec":$stateKpSec,"curation_sec":$curationSec,"interp_sec":$interpSec,"pq_sec":$pqSec,"analytics_sec":$analyticsSec,"seq_analytics_sec":$seqAnalyticsSec,"lj2_early_sec":$lj2EarlySec,"lj2_sec":$lj2Sec,"ls3_sec":$ls3Sec,"lakehouse_sec":$lakehouseSec,"cdf_range_sec":$cdfRangeSec,"lj2_candidates":$lj2Cand,"ls3_fanout":$ls3Fanout,"probe_diag":$diagJson,"sf":"$sfDir"}""")
+    // Compact headline-only line LAST (VERDICT r15 item 6): the driver
+    // retains only the stdout TAIL, and r15's probe_diag pushed the
+    // q1–q9 seconds out of the retained window — this line is small
+    // and final, so the headline numbers always survive in-artifact.
+    println(s"""{"metric":"headline","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -210,7 +210,8 @@ object SparkEntry {
     graft.queries.SurfaceR14a,
     graft.queries.SurfaceR14b,
     graft.queries.SurfaceR14c,
-    graft.queries.SurfaceR15a)
+    graft.queries.SurfaceR15a,
+    graft.queries.SurfaceR16a)
 
   private def queryMaps: Seq[Map[String, (SparkSession, String) => DataFrame]] =
     batches.map(_.queries)

@@ -63,12 +63,30 @@ object DeltaChain {
   private val MetaName = "_graft_delta_meta"
   private val OpCol = "_op"
 
-  /** A metadata-only schema addition: the column exists from
-    * `version` on; rows stored before it backfill AT READ with
-    * `defaultSql` evaluated over the row's own columns (the
-    * Delta/Iceberg metadata-only ALTER contract — zero data rewritten
-    * at 100 TB). */
+  /** A metadata-only schema change, applied at READ to files stored
+    * before it (the Delta/Iceberg column-mapping contract — zero data
+    * rewritten at 100 TB). Events are totally ordered by version (each
+    * is its own commit), and a reader projects any stored file to any
+    * later version's shape by folding the events between the two. */
+  sealed trait SchemaEvent { def version: Int }
+
+  /** ADD COLUMN: the column exists from `version` on; rows stored
+    * before it backfill AT READ with `defaultSql` evaluated over the
+    * row's own columns. */
   final case class AddedColumn(version: Int, name: String, defaultSql: String)
+    extends SchemaEvent
+
+  /** DROP COLUMN: the column is gone from `version` on. Old versions
+    * keep the old shape (time travel below the drop still returns the
+    * column); a later re-add of the SAME name is a fresh incarnation —
+    * pre-drop values never leak into it. */
+  final case class DroppedColumn(version: Int, name: String)
+    extends SchemaEvent
+
+  /** RENAME COLUMN: `from` becomes `to` at `version` — values carry
+    * over; only the name moves. Old versions keep the old name. */
+  final case class RenamedColumn(version: Int, from: String, to: String)
+    extends SchemaEvent
 
   /** A CHECK constraint active from `version` on: every LATER
     * commit's upsert rows must satisfy `sql` (ANSI CHECK semantics —
@@ -81,35 +99,55 @@ object DeltaChain {
   final case class Meta(
       keys: Seq[String],
       checkpointEvery: Int,
-      addedCols: Seq[AddedColumn] = Seq.empty,
+      schemaEvents: Seq[SchemaEvent] = Seq.empty,
       partitionCols: Seq[String] = Seq.empty,
       constraints: Seq[Constraint] = Seq.empty,
-      constraintDrops: Seq[(Int, String)] = Seq.empty)
+      constraintDrops: Seq[(Int, String)] = Seq.empty,
+      kinds: Map[Int, String] = Map.empty) {
+    /** The additions view (streaming backfill + history need it). */
+    def addedCols: Seq[AddedColumn] =
+      schemaEvents.collect { case a: AddedColumn => a }
+  }
 
   private def metaPath(baseDir: String) = Paths.get(baseDir, MetaName)
 
   /** Table metadata: line 1 is `keys=<k1,k2>;every=<n>` (written once
-    * at create); each later line is one schema addition,
-    * `addcol<TAB>version<TAB>name<TAB>defaultSql` (tab-separated —
-    * column names cannot contain tabs and a default expression with a
-    * literal tab is rejected at [[addColumn]]). No JSON parser
-    * dependency, atomically replaced per change. */
+    * at create); each later line is one event, tab-separated (column
+    * names cannot contain tabs and a default expression with a
+    * literal tab is rejected at [[addColumn]]):
+    * `addcol<TAB>version<TAB>name<TAB>defaultSql`,
+    * `dropcol<TAB>version<TAB>name`,
+    * `renamecol<TAB>version<TAB>from<TAB>to`,
+    * `constraint<TAB>version<TAB>name<TAB>sql`,
+    * `dropconstraint<TAB>version<TAB>name`, or
+    * `kind<TAB>version<TAB>kind` (the operation KIND recorded at
+    * commit time for commits whose artifacts alone can't name it —
+    * optimize / restore; ADVICE r15). No JSON parser dependency,
+    * atomically replaced per change. */
   def meta(baseDir: String): Meta = {
     val lines = new String(Files.readAllBytes(metaPath(baseDir)),
       StandardCharsets.UTF_8).split("\n").map(_.trim).filter(_.nonEmpty)
     val fields = lines.head.split(";").map { f =>
       val Array(k, v) = f.split("=", 2); k -> v
     }.toMap
-    // ignore addcol lines bound to versions ABOVE the committed head —
-    // with [[addColumn]]'s manifest-first ordering such a line cannot
-    // normally exist, but a hand-edited or partially-restored meta
-    // file must not conjure a column no commit carries (ADVICE r14).
+    // ignore event lines bound to versions ABOVE the committed head —
+    // with the manifest-first ordering such a line cannot normally
+    // exist, but a hand-edited or partially-restored meta file must
+    // not conjure a column no commit carries (ADVICE r14).
     // `<= latest`, not manifest membership: truncate drops old
     // versions from the manifest while their columns live on.
     val latest = latestVersion(baseDir)
-    val added = lines.tail.filter(_.startsWith("addcol\t")).map { l =>
-      val Array(_, v, n, d) = l.split("\t", 4)
-      AddedColumn(v.toInt, n, d)
+    val events: Seq[SchemaEvent] = lines.tail.flatMap { l =>
+      if (l.startsWith("addcol\t")) {
+        val Array(_, v, n, d) = l.split("\t", 4)
+        Some(AddedColumn(v.toInt, n, d))
+      } else if (l.startsWith("dropcol\t")) {
+        val Array(_, v, n) = l.split("\t", 3)
+        Some(DroppedColumn(v.toInt, n))
+      } else if (l.startsWith("renamecol\t")) {
+        val Array(_, v, f, t) = l.split("\t", 4)
+        Some(RenamedColumn(v.toInt, f, t))
+      } else None
     }.toSeq.filter(_.version <= latest).sortBy(_.version)
     val parts = fields.get("parts").toSeq
       .flatMap(_.split(",").toSeq).filter(_.nonEmpty)
@@ -121,8 +159,12 @@ object DeltaChain {
       val Array(_, v, n) = l.split("\t", 3)
       (v.toInt, n)
     }.toSeq.filter(_._1 <= latest)
-    Meta(fields("keys").split(",").toSeq, fields("every").toInt, added, parts,
-      cons, droppedC)
+    val kinds = lines.tail.filter(_.startsWith("kind\t")).map { l =>
+      val Array(_, v, k) = l.split("\t", 3)
+      v.toInt -> k
+    }.toSeq.filter(_._1 <= latest).toMap
+    Meta(fields("keys").split(",").toSeq, fields("every").toInt, events, parts,
+      cons, droppedC, kinds)
   }
 
   /** The constraints the NEXT commit must enforce: per name, the
@@ -141,27 +183,76 @@ object DeltaChain {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Backfill `df` with every column added at-or-before `upTo` that
-    * its stored schema predates — defaults evaluate in version order,
-    * so a later addition may reference an earlier one. */
-  private def backfill(df: DataFrame, m: Meta, upTo: Int): DataFrame =
-    m.addedCols.filter(_.version <= upTo).foldLeft(df) { (d, ac) =>
-      if (d.columns.contains(ac.name)) d
-      else d.withColumn(ac.name, expr(ac.defaultSql))
-    }
+  /** Project a frame STORED at version `storedV` to the logical shape
+    * at `upTo`: fold every schema event in (storedV, upTo] in version
+    * order — an add backfills `defaultSql` over the frame's own
+    * (already-projected) columns, a drop removes the column (its
+    * values are destroyed, so a later re-add of the same name
+    * backfills fresh — pre-drop values never leak), a rename moves
+    * the values under the new name. Because the fold applies events
+    * in order, each add's default evaluates against the column NAMES
+    * as of its own version — a default authored before a later rename
+    * still resolves. */
+  private def projectTo(
+      df: DataFrame, m: Meta, storedV: Int, upTo: Int): DataFrame =
+    m.schemaEvents.filter(e => e.version > storedV && e.version <= upTo)
+      .foldLeft(df) { (d, e) =>
+        e match {
+          case AddedColumn(_, n, dflt) =>
+            if (d.columns.contains(n)) d else d.withColumn(n, expr(dflt))
+          case DroppedColumn(_, n)    => d.drop(n)
+          case RenamedColumn(_, f, t) => d.withColumnRenamed(f, t)
+        }
+      }
 
   /** The table's column list as of `version`: the latest checkpoint's
-    * stored columns plus any later metadata additions. */
+    * stored columns with every later metadata event folded in. */
   private def tableColsAt(
       spark: SparkSession,
       baseDir: String,
       m: Meta,
       version: Int): Seq[String] = {
     val cp = diskCheckpoints(baseDir).filter(_ <= version).max
-    val base = spark.read.parquet(checkpointDir(baseDir, cp)).columns.toSeq
-    base ++ m.addedCols
-      .filter(a => a.version <= version && !base.contains(a.name))
-      .map(_.name)
+    val base = checkpointSchema(spark, baseDir, cp).fieldNames.toSeq
+    m.schemaEvents.filter(e => e.version > cp && e.version <= version)
+      .foldLeft(base) { (cols, e) =>
+        e match {
+          case AddedColumn(_, n, _) =>
+            if (cols.contains(n)) cols else cols :+ n
+          case DroppedColumn(_, n)    => cols.filterNot(_ == n)
+          case RenamedColumn(_, f, t) => cols.map(c => if (c == f) t else c)
+        }
+      }
+  }
+
+  private val SchemaSidecar = "_graft_schema"
+
+  /** The checkpoint's stored schema — from the DDL sidecar written
+    * with it (authoritative: survives Hive partition-column type
+    * inference, readable even when the state was empty; ADVICE r15),
+    * falling back to the parquet footer for pre-sidecar checkpoints. */
+  private def checkpointSchema(
+      spark: SparkSession,
+      baseDir: String,
+      v: Int): org.apache.spark.sql.types.StructType = {
+    val p = Paths.get(checkpointDir(baseDir, v), SchemaSidecar)
+    if (Files.exists(p))
+      org.apache.spark.sql.types.StructType.fromDDL(
+        new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+    else spark.read.parquet(checkpointDir(baseDir, v)).schema
+  }
+
+  /** Read checkpoint `v` under its recorded schema — partition-column
+    * TYPES come from the sidecar, never from Hive dir-name inference
+    * (which would silently retype a numeric-looking string partition
+    * value, e.g. '01' -> 1, and corrupt replay; ADVICE r15). */
+  private def readCheckpoint(
+      spark: SparkSession, baseDir: String, v: Int): DataFrame = {
+    val p = Paths.get(checkpointDir(baseDir, v), SchemaSidecar)
+    if (Files.exists(p))
+      spark.read.schema(checkpointSchema(spark, baseDir, v))
+        .parquet(checkpointDir(baseDir, v))
+    else spark.read.parquet(checkpointDir(baseDir, v))
   }
 
   def versions(baseDir: String): Seq[Int] = VersionedTable.versions(baseDir)
@@ -214,10 +305,30 @@ object DeltaChain {
 
   private def writeCheckpoint(
       df: DataFrame, baseDir: String, v: Int, parts: Seq[String]): Unit = {
+    val dir = checkpointDir(baseDir, v)
     val w = df.write.mode("errorifexists")
-    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
-      .parquet(checkpointDir(baseDir, v))
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(dir)
+    // A partitioned write of an EMPTY state leaves no parquet footer at
+    // all (no partition dirs land) — the anchor would be unreadable for
+    // every later tableColsAt/readAsOf. Land one empty, UNpartitioned
+    // file carrying the full schema as the readable sentinel; the dir
+    // is immutable per version, so the mixed layout never accretes
+    // (ADVICE r15).
+    if (parts.nonEmpty && !hasParquetUnder(new java.io.File(dir)))
+      df.limit(0).coalesce(1).write.mode("append").parquet(dir)
+    // Schema sidecar: the authoritative read schema for this
+    // checkpoint — partition-column types survive the Hive round-trip
+    // (dir-name inference would retype '01' -> 1), and an empty
+    // sentinel stays typed. Written before the manifest publish, so a
+    // reader never resolves a checkpoint without it.
+    Files.write(Paths.get(dir, SchemaSidecar),
+      df.schema.toDDL.getBytes(StandardCharsets.UTF_8))
   }
+
+  private def hasParquetUnder(f: java.io.File): Boolean =
+    if (f.isDirectory)
+      Option(f.listFiles()).exists(_.exists(hasParquetUnder))
+    else f.getName.endsWith(".parquet")
 
   /** Commit a change batch as the next version. `delta` carries every
     * table column plus, optionally, a boolean `deleteCol`: true rows
@@ -328,11 +439,11 @@ object DeltaChain {
       tableCols: Seq[String],
       keys: Seq[String]): DataFrame = {
     val m = meta(baseDir)
-    val cp = backfill(spark.read.parquet(checkpointDir(baseDir, fromCp)), m, to)
+    val cp = projectTo(readCheckpoint(spark, baseDir, fromCp), m, fromCp, to)
       .select(tableCols.map(col) :+ lit("I").as(OpCol): _*)
       .withColumn("_seq", lit(fromCp))
     val deltas = ((fromCp + 1) to to).map { v =>
-      backfill(spark.read.parquet(deltaDir(baseDir, v)), m, to)
+      projectTo(spark.read.parquet(deltaDir(baseDir, v)), m, v, to)
         .select(tableCols.map(col) :+ col(OpCol): _*)
         .withColumn("_seq", lit(v))
     }
@@ -348,7 +459,7 @@ object DeltaChain {
       s"DeltaChain.readAsOf: version $version not in committed " +
         s"versions ${versions(baseDir).mkString("[", ",", "]")} of $baseDir")
     if (hasCheckpoint(baseDir, version))
-      spark.read.parquet(checkpointDir(baseDir, version))
+      readCheckpoint(spark, baseDir, version)
     else {
       // disk-based resolution: after truncate the anchor checkpoint
       // may outlive its manifest entry (see [[truncate]])
@@ -384,10 +495,10 @@ object DeltaChain {
     val m = meta(baseDir)
     ((fromVersion + 1) to toVersion)
       .map { v =>
-        // pre-addition deltas backfill like every other reader, so a
-        // window spanning a schema addition unions cleanly and the
+        // pre-event deltas project like every other reader, so a
+        // window spanning a schema change unions cleanly and the
         // consumer sees one schema (the window-end's)
-        backfill(spark.read.parquet(deltaDir(baseDir, v)), m, toVersion)
+        projectTo(spark.read.parquet(deltaDir(baseDir, v)), m, v, toVersion)
           .withColumn("_commit_version", lit(v))
       }
       .reduce(_.unionByName(_))
@@ -417,7 +528,8 @@ object DeltaChain {
     val dataCols = prev.columns.toSeq
     val old = prev.select(dataCols.map(c => col(c).as(s"__old_$c")): _*)
       .withColumn("__graft_in_prev", lit(true))
-    val d = backfill(spark.read.parquet(deltaDir(baseDir, version)), m, version)
+    val d = projectTo(
+      spark.read.parquet(deltaDir(baseDir, version)), m, version, version)
     val joinCond = m.keys.map(k => col(k) <=> col(s"__old_$k")).reduce(_ && _)
     val joined = d.join(old, joinCond, "left_outer")
     val present = col("__graft_in_prev").isNotNull
@@ -463,17 +575,43 @@ object DeltaChain {
     val next = current + 1
     // the empty change record keeps the every-version-has-d{v}
     // invariant and makes the optimize commit changelog-neutral
-    backfill(spark.read.parquet(checkpointDir(baseDir, lastCp)), m, current)
-      .where(lit(false))
-      .select(tableCols.map(col) :+ lit("U").as(OpCol): _*)
-      .coalesce(1)
-      .write.mode("errorifexists").parquet(deltaDir(baseDir, next))
+    writeEmptyChangeRecord(spark, baseDir, m, current, tableCols, next)
     writeCheckpoint(
       replay(spark, baseDir, lastCp, next, tableCols, m.keys)
         .coalesce(numFiles),
       baseDir, next, m.partitionCols)
     VersionedTable.publishManifest(baseDir, versions(baseDir) :+ next)
+    // kind recorded AT COMMIT, manifest-first (ADVICE r15): history()
+    // must never have to infer "optimize" from the empty-delta+
+    // checkpoint artifact shape — a legitimate zero-row data delta
+    // landing on the checkpoint cadence has the same artifacts
+    appendMetaLine(baseDir, s"kind\t$next\toptimize")
     next
+  }
+
+  /** A zero-row change record carrying exactly `tableCols` + `_op` —
+    * the schema-bearing `d{v}` every metadata-only commit writes
+    * (keeps the every-version-has-d{v} replay/changelog invariant). */
+  private def writeEmptyChangeRecord(
+      spark: SparkSession,
+      baseDir: String,
+      m: Meta,
+      current: Int,
+      tableCols: Seq[String],
+      next: Int,
+      transform: DataFrame => DataFrame = identity): Unit = {
+    val cp = diskCheckpoints(baseDir).max
+    transform(projectTo(readCheckpoint(spark, baseDir, cp), m, cp, current)
+        .where(lit(false)))
+      .select(tableCols.map(col) :+ lit("U").as(OpCol): _*)
+      .coalesce(1)
+      .write.mode("errorifexists").parquet(deltaDir(baseDir, next))
+  }
+
+  private def appendMetaLine(baseDir: String, line: String): Unit = {
+    val raw = new String(Files.readAllBytes(metaPath(baseDir)),
+      StandardCharsets.UTF_8)
+    rewriteMeta(baseDir, raw.stripSuffix("\n") + s"\n$line\n")
   }
 
   /** OPTIMIZE … ZORDER BY (x, y) for the delta form — [[optimize]]
@@ -498,17 +636,14 @@ object DeltaChain {
     require(Seq(xCol, yCol).forall(tableCols.contains),
       s"DeltaChain.optimizeClustered: ($xCol, $yCol) must be table columns")
     val next = current + 1
-    backfill(spark.read.parquet(checkpointDir(baseDir, lastCp)), m, current)
-      .where(lit(false))
-      .select(tableCols.map(col) :+ lit("U").as(OpCol): _*)
-      .coalesce(1)
-      .write.mode("errorifexists").parquet(deltaDir(baseDir, next))
+    writeEmptyChangeRecord(spark, baseDir, m, current, tableCols, next)
     writeCheckpoint(
       ZOrder.cluster(
         replay(spark, baseDir, lastCp, next, tableCols, m.keys),
         xCol, yCol, numFiles),
       baseDir, next, m.partitionCols)
     VersionedTable.publishManifest(baseDir, versions(baseDir) :+ next)
+    appendMetaLine(baseDir, s"kind\t$next\toptimize")
     next
   }
 
@@ -539,11 +674,11 @@ object DeltaChain {
     val m = meta(baseDir)
     val cpv = diskCheckpoints(baseDir).filter(_ <= fromVersion).max
     val tableCols = tableColsAt(spark, baseDir, m, toVersion)
-    val cp = backfill(spark.read.parquet(checkpointDir(baseDir, cpv)), m, toVersion)
+    val cp = projectTo(readCheckpoint(spark, baseDir, cpv), m, cpv, toVersion)
       .select(tableCols.map(col) :+ lit("I").as(OpCol): _*)
       .withColumn("_seq", lit(cpv))
     val all = ((cpv + 1) to toVersion).map { v =>
-      backfill(spark.read.parquet(deltaDir(baseDir, v)), m, toVersion)
+      projectTo(spark.read.parquet(deltaDir(baseDir, v)), m, v, toVersion)
         .select(tableCols.map(col) :+ col(OpCol): _*)
         .withColumn("_seq", lit(v))
     }.foldLeft(cp)(_.unionByName(_))
@@ -602,7 +737,6 @@ object DeltaChain {
       deleteCol: Option[String] = None,
       maxAttempts: Int = 5,
       publishWaitMs: Long = 10000L): (Int, Int) = {
-    val m = meta(baseDir)
     require(latestVersion(baseDir) > 0,
       s"DeltaChain.commitDeltaArbitrated: $baseDir has no v1 — create() first")
     // STAGE ONCE (VERDICT r14 item 3): unlike the snapshot form, whose
@@ -611,27 +745,37 @@ object DeltaChain {
     // on retry instead of re-writing them, so contention costs
     // attempts × (one rename), not attempts × |delta| of write
     // amplification (DeltaArbitrationSpec counts the staged bytes
-    // across a forced loss). The one event that invalidates staging is
-    // a concurrent schema addition changing the table's column list —
-    // detected per attempt and re-staged (the rare path).
+    // across a forced loss). The events that invalidate staging are a
+    // concurrent schema change altering the table's column list or a
+    // concurrent constraint add/drop changing what the write boundary
+    // must enforce — META IS RE-READ AT THE TOP OF EVERY ATTEMPT
+    // (ADVICE r15: a once-read meta let a loser's retry commit a
+    // staged delta without enforcing a constraint another writer
+    // added concurrently), and either change re-stages (the rare
+    // path).
     var attempt = 0
     var stagedCols: Seq[String] = Seq.empty
+    var stagedConstraints: Seq[Constraint] = Seq.empty
     var staging: java.nio.file.Path = null
     try {
       while (attempt < maxAttempts) {
         attempt += 1
+        val m = meta(baseDir)
         val current = latestVersion(baseDir)
         val lastCp = diskCheckpoints(baseDir).max
         val tableCols = tableColsAt(spark, baseDir, m, current)
+        val cons = activeConstraints(m)
         val next = current + 1
-        if (staging == null || stagedCols != tableCols) {
+        if (staging == null || stagedCols != tableCols ||
+            stagedConstraints != cons) {
           if (staging != null) deleteStagingRecursively(staging)
           val shaped = shapeAndValidate(delta, tableCols, deleteCol, m.keys,
-            "DeltaChain.commitDeltaArbitrated", activeConstraints(m))
+            "DeltaChain.commitDeltaArbitrated", cons)
           staging = Paths.get(baseDir,
             s".stage_d_${java.util.UUID.randomUUID().toString.take(12)}")
           shaped.write.mode("errorifexists").parquet(staging.toString)
           stagedCols = tableCols
+          stagedConstraints = cons
         }
         val marker = Paths.get(baseDir, s"_commit_v$next")
         val won =
@@ -708,7 +852,7 @@ object DeltaChain {
     // the empty change record: zero rows, widened schema — keeps the
     // replay/changelog invariant that every version v >= 2 has d{v}
     val cp = diskCheckpoints(baseDir).max
-    backfill(spark.read.parquet(checkpointDir(baseDir, cp)), m, current)
+    projectTo(readCheckpoint(spark, baseDir, cp), m, cp, current)
       .where(lit(false))
       .withColumn(name, expr(defaultSql))
       .select((curCols :+ name).map(col) :+ lit("U").as(OpCol): _*)
@@ -724,10 +868,105 @@ object DeltaChain {
     // re-running addColumn lands it at the next version); meta()'s
     // committed-version filter is the second line of defense.
     VersionedTable.publishManifest(baseDir, versions(baseDir) :+ next)
-    val raw = new String(Files.readAllBytes(metaPath(baseDir)),
-      StandardCharsets.UTF_8)
-    rewriteMeta(baseDir,
-      raw.stripSuffix("\n") + s"\naddcol\t$next\t$name\t$defaultSql\n")
+    appendMetaLine(baseDir, s"addcol\t$next\t$name\t$defaultSql")
+    next
+  }
+
+  /** Does `sql` reference column `name`? Word-boundary text test —
+    * conservative (a name inside a string literal also matches), which
+    * errs toward refusing a drop/rename, never toward breaking a
+    * stored expression. */
+  private def referencesColumn(sql: String, name: String): Boolean =
+    ("(?i)(?<![A-Za-z0-9_`])" + java.util.regex.Pattern.quote(name) +
+      "(?![A-Za-z0-9_`])").r.findFirstIn(sql).isDefined
+
+  /** Shared preconditions for DROP/RENAME COLUMN: the column must not
+    * be a key (replay groups by key names across ALL versions), a
+    * partition column (the checkpoint layout is keyed to it), a column
+    * an ACTIVE CHECK constraint tests (the constraint would silently
+    * stop binding — drop the constraint first, loudly), or a column a
+    * LIVE added column's read-time default references (the streaming
+    * feed re-evaluates those defaults under head names). */
+  private def requireDroppable(
+      m: Meta, curCols: Seq[String], name: String, who: String): Unit = {
+    require(curCols.contains(name),
+      s"$who: $name is not a current table column (${curCols.mkString(",")})")
+    require(!m.keys.contains(name),
+      s"$who: $name is a key column — keys are immutable for the chain's lifetime")
+    require(!m.partitionCols.contains(name),
+      s"$who: $name is a partition column — the checkpoint layout depends on it")
+    activeConstraints(m).foreach { c =>
+      require(!referencesColumn(c.sql, name),
+        s"$who: active CHECK constraint '${c.name}' (${c.sql}) references " +
+          s"$name — drop the constraint first")
+    }
+    // live added incarnations: the latest add of a currently-present
+    // column whose default the read path still evaluates
+    m.schemaEvents.collect { case a: AddedColumn => a }
+      .groupBy(_.name).values.map(_.maxBy(_.version))
+      .filter(a => curCols.contains(a.name) && a.name != name)
+      .foreach { a =>
+        require(!referencesColumn(a.defaultSql, name),
+          s"$who: added column ${a.name}'s read-time default " +
+            s"(${a.defaultSql}) references $name — pre-addition rows " +
+            "would no longer backfill")
+      }
+  }
+
+  /** ALTER TABLE DROP COLUMN, metadata-only (the Delta column-mapping
+    * contract): one empty change record (carrying the NARROWED schema)
+    * plus one metadata line — zero data rewritten at any table size.
+    * Old versions keep the old shape (time travel below the drop still
+    * returns the column); later commits MUST carry the narrowed list
+    * (shapeAndValidate rejects the dropped name by name); a later
+    * re-add of the SAME name is a fresh incarnation — pre-drop values
+    * never leak into it. Constraints or live read-time defaults that
+    * reference the column refuse the drop loudly. Returns the new
+    * version. */
+  def dropColumn(spark: SparkSession, baseDir: String, name: String): Int = {
+    val m = meta(baseDir)
+    val current = latestVersion(baseDir)
+    require(current > 0, s"DeltaChain.dropColumn: $baseDir has no v1 — create() first")
+    require(!name.contains("\t") && !name.contains("\n"),
+      "DeltaChain.dropColumn: tabs/newlines are the metadata separators")
+    val curCols = tableColsAt(spark, baseDir, m, current)
+    requireDroppable(m, curCols, name, "DeltaChain.dropColumn")
+    require(curCols.size > 1,
+      s"DeltaChain.dropColumn: $name is the only column of $baseDir")
+    val next = current + 1
+    writeEmptyChangeRecord(spark, baseDir, m, current,
+      curCols.filterNot(_ == name), next)
+    // manifest first, metadata line second — addColumn's crash ordering
+    VersionedTable.publishManifest(baseDir, versions(baseDir) :+ next)
+    appendMetaLine(baseDir, s"dropcol\t$next\t$name")
+    next
+  }
+
+  /** ALTER TABLE RENAME COLUMN, metadata-only: one empty change record
+    * (carrying the renamed schema) plus one metadata line — values
+    * carry over at read, zero data rewritten. Old versions keep the
+    * old name; later commits MUST use the new one. Same refusal set as
+    * [[dropColumn]] (a rename would silently unbind constraints and
+    * read-time defaults that name the column), plus the target name
+    * must be free. Returns the new version. */
+  def renameColumn(
+      spark: SparkSession, baseDir: String, from: String, to: String): Int = {
+    val m = meta(baseDir)
+    val current = latestVersion(baseDir)
+    require(current > 0, s"DeltaChain.renameColumn: $baseDir has no v1 — create() first")
+    require(Seq(from, to).forall(n => !n.contains("\t") && !n.contains("\n")),
+      "DeltaChain.renameColumn: tabs/newlines are the metadata separators")
+    require(from != to, "DeltaChain.renameColumn: from and to are the same name")
+    val curCols = tableColsAt(spark, baseDir, m, current)
+    requireDroppable(m, curCols, from, "DeltaChain.renameColumn")
+    require(!curCols.contains(to),
+      s"DeltaChain.renameColumn: $to already exists in $baseDir")
+    val next = current + 1
+    writeEmptyChangeRecord(spark, baseDir, m, current,
+      curCols.map(c => if (c == from) to else c), next,
+      _.withColumnRenamed(from, to))
+    VersionedTable.publishManifest(baseDir, versions(baseDir) :+ next)
+    appendMetaLine(baseDir, s"renamecol\t$next\t$from\t$to")
     next
   }
 
@@ -765,17 +1004,9 @@ object DeltaChain {
     }
     val next = current + 1
     val tableCols = tableColsAt(spark, baseDir, m, current)
-    val cp = diskCheckpoints(baseDir).max
-    backfill(spark.read.parquet(checkpointDir(baseDir, cp)), m, current)
-      .where(lit(false))
-      .select(tableCols.map(col) :+ lit("U").as(OpCol): _*)
-      .coalesce(1)
-      .write.mode("errorifexists").parquet(deltaDir(baseDir, next))
+    writeEmptyChangeRecord(spark, baseDir, m, current, tableCols, next)
     VersionedTable.publishManifest(baseDir, versions(baseDir) :+ next)
-    val raw = new String(Files.readAllBytes(metaPath(baseDir)),
-      StandardCharsets.UTF_8)
-    rewriteMeta(baseDir,
-      raw.stripSuffix("\n") + s"\nconstraint\t$next\t$name\t$sql\n")
+    appendMetaLine(baseDir, s"constraint\t$next\t$name\t$sql")
     next
   }
 
@@ -794,17 +1025,9 @@ object DeltaChain {
       s"DeltaChain.dropConstraint: no active constraint '$name' on $baseDir")
     val next = current + 1
     val tableCols = tableColsAt(spark, baseDir, m, current)
-    val cp = diskCheckpoints(baseDir).max
-    backfill(spark.read.parquet(checkpointDir(baseDir, cp)), m, current)
-      .where(lit(false))
-      .select(tableCols.map(col) :+ lit("U").as(OpCol): _*)
-      .coalesce(1)
-      .write.mode("errorifexists").parquet(deltaDir(baseDir, next))
+    writeEmptyChangeRecord(spark, baseDir, m, current, tableCols, next)
     VersionedTable.publishManifest(baseDir, versions(baseDir) :+ next)
-    val raw = new String(Files.readAllBytes(metaPath(baseDir)),
-      StandardCharsets.UTF_8)
-    rewriteMeta(baseDir,
-      raw.stripSuffix("\n") + s"\ndropconstraint\t$next\t$name\n")
+    appendMetaLine(baseDir, s"dropconstraint\t$next\t$name")
     next
   }
 
@@ -818,16 +1041,25 @@ object DeltaChain {
     * [[changelog]] vocabulary, streaming. Rows at-or-below
     * `fromVersion` are filtered out (the consumer's resume point).
     *
-    * Ordering contract: within the file source, files are picked up
-    * in (modification time, path) order, so versions arrive in commit
-    * order; a consumer that must NOT reorder (e.g. a replicating
-    * commit loop, t29) should still assert monotone versions per
-    * batch — fail loudly, never silently re-order. Schema additions:
-    * the stream carries the schema fixed AT START (as-of the head
-    * version when called) — pre-addition delta files backfill exactly
-    * like the batch readers; a consumer outliving a later addColumn
-    * restarts with the widened schema (the standard streaming-source
-    * schema-evolution stance). */
+    * Ordering contract (hardened, VERDICT r15 item 3): successive
+    * commits create their delta files strictly in commit order (d{v+1}
+    * only begins after v's publish), and each micro-batch takes EVERY
+    * new file the listing found — so a batch can carry several commits
+    * and a consumer replays them sorted by `_commit_version` (t29).
+    * The old per-file trigger delivered files in (mtime, path) order,
+    * where `d10 < d9` LEXICOGRAPHICALLY — two commits landing in the
+    * same mtime granule arrived out of order; whole-listing batches
+    * cannot split that pair. A consumer that must not reorder should
+    * still assert monotone versions across batches — a listing racing
+    * an in-flight commit can, rarely, defer one version to the next
+    * batch (fail loudly, never silently re-order). Schema changes: the
+    * stream carries the schema fixed AT START (as-of the head version
+    * when called) — files stored before a rename/drop/add project
+    * per-row to the head shape via their own `_commit_version` (the
+    * batch readers' file-level projection can't fire here: a wide
+    * declared schema NULL-surfaces missing columns instead of omitting
+    * them); a consumer outliving a later schema change restarts with
+    * the new shape (the standard streaming-source stance). */
   def readChangeFeedStream(
       spark: SparkSession,
       baseDir: String,
@@ -836,29 +1068,93 @@ object DeltaChain {
     val head = latestVersion(baseDir)
     require(head > 0, s"DeltaChain.readChangeFeedStream: $baseDir has no v1")
     val tableCols = tableColsAt(spark, baseDir, m, head)
-    // schema of the stored delta files as of the head (pre-addition
-    // files are narrower on disk; the reader backfills below)
+    val eventsDesc = m.schemaEvents.filter(_.version <= head).sortBy(-_.version)
+    // Types of the CURRENT physical columns — from the newest stored
+    // delta when one exists (it carries every current column + _op); a
+    // freshly created chain has only c1 on disk (ADVICE r15: the old
+    // head-delta read crashed here), so fall back to the checkpoint
+    // sidecar plus a string _op.
+    val headFields: Map[String, org.apache.spark.sql.types.DataType] = {
+      val dd = diskDeltas(baseDir)
+      if (dd.nonEmpty)
+        spark.read.parquet(deltaDir(baseDir, dd.max)).schema
+          .map(f => f.name -> f.dataType).toMap
+      else
+        checkpointSchema(spark, baseDir, diskCheckpoints(baseDir).max)
+          .map(f => f.name -> f.dataType).toMap +
+          (OpCol -> org.apache.spark.sql.types.StringType)
+    }
+    // Per head column: its PHYSICAL-NAME TIMELINE — (fromVersion,
+    // storedName) segments, newest first — plus (birthVersion,
+    // defaultSql) when the incarnation was born by an ADD. Walking the
+    // event log newest-first: a rename TO the current name opens a new
+    // segment and redirects the walk to the old name; an add OF the
+    // current name is the incarnation's birth — rows below it backfill
+    // the default, INCLUDING rows that physically carry a pre-drop
+    // column of the same name (destroyed values must never leak).
+    def timeline(c: String): (Seq[(Int, String)], Option[(Int, String)]) = {
+      var segs = List.empty[(Int, String)]
+      var name = c
+      var birth = Option.empty[(Int, String)]
+      eventsDesc.foreach { e =>
+        if (birth.isEmpty) e match {
+          case RenamedColumn(v, f, t) if t == name =>
+            segs :+= (v -> name); name = f
+          case AddedColumn(v, n, d) if n == name =>
+            birth = Some(v -> d)
+          case _ => ()
+        }
+      }
+      segs :+= (birth.map(_._1).getOrElse(1) -> name)
+      (segs, birth)
+    }
+    val lines = tableCols.map(c => c -> timeline(c)).toMap
+    // Declared read schema: every physical name any segment uses (old
+    // files carry old names; the reader NULL-fills whichever a given
+    // file lacks), each typed by the head column its segment feeds.
+    val physNames =
+      (tableCols.flatMap(c => lines(c)._1.map(_._2)) :+ OpCol).distinct
     val schema = org.apache.spark.sql.types.StructType(
-      spark.read.parquet(deltaDir(baseDir, head)).schema
-        .filter(f => tableCols.contains(f.name) || f.name == OpCol))
+      physNames.map { n =>
+        val t = tableCols.collectFirst {
+          case c if lines(c)._1.exists(_._2 == n) => headFields(c)
+        }.getOrElse(headFields(n))
+        org.apache.spark.sql.types.StructField(n, t)
+      })
     val raw = spark.readStream
       .schema(schema)
-      .option("maxFilesPerTrigger", "1")
       .parquet(s"$baseDir/d*")
-    val withVer = raw.withColumn("_commit_version",
-      regexp_extract(col("_metadata.file_path"), "/d(\\d+)/", 1).cast("int"))
-    // version-aware backfill: a pre-addition file read under the wide
-    // declared schema surfaces the added column as NULL (the parquet
-    // missing-column default), not as an absent column — so the batch
-    // readers' column-existence backfill can't fire here. The row's
-    // own `_commit_version` is the exact discriminator: rows committed
-    // BEFORE the addition evaluate the default over their own values,
-    // rows at-or-after keep what the writer stored (nulls included).
-    val backfilled = m.addedCols.filter(_.version <= head)
-      .foldLeft(withVer) { (d, ac) =>
-        d.withColumn(ac.name,
-          when(col("_commit_version") < ac.version, expr(ac.defaultSql))
-            .otherwise(col(ac.name)))
+    // version from the LAST /d<digits>/ path segment (the file's own
+    // parent dir) — an unanchored extract took the FIRST match, so a
+    // baseDir containing '/d7/' stamped every row 7 (ADVICE r15)
+    val ver = regexp_extract(
+      col("_metadata.file_path"), "/d(\\d+)/[^/]*$", 1).cast("int")
+    val withVer = raw.withColumn("_commit_version", ver)
+    // pass 1: segment-resolve each head column's RAW value per row —
+    // which physical name held it at the row's commit version (null
+    // below the incarnation's birth)
+    val segResolved = tableCols.foldLeft(withVer) { (d, c) =>
+      val raw0 = lines(c)._1.foldRight(
+        lit(null).cast(headFields(c)): org.apache.spark.sql.Column) {
+        case ((from, nm), acc) =>
+          when(col("_commit_version") >= from, col(nm)).otherwise(acc)
+      }
+      d.withColumn(s"__cfs_$c", raw0)
+    }
+    val logical = segResolved.select(
+      tableCols.map(c => col(s"__cfs_$c").as(c)) :+
+        col(OpCol) :+ col("_commit_version"): _*)
+    // pass 2, ascending birth order: pre-birth rows evaluate the
+    // read-time default over LOGICAL columns — pass 1 already
+    // version-resolved those, and rename/drop of a column a live
+    // default references is refused at write time, so add-time names
+    // ARE head names here
+    val backfilled = tableCols
+      .flatMap(c => lines(c)._2.map { case (bv, dflt) => (bv, c, dflt) })
+      .sortBy(_._1)
+      .foldLeft(logical) { case (df, (bv, c, dflt)) =>
+        df.withColumn(c,
+          when(col("_commit_version") < bv, expr(dflt)).otherwise(col(c)))
       }
     backfilled
       .where(col("_commit_version") > fromVersion)
@@ -879,8 +1175,18 @@ object DeltaChain {
     * follows log retention" coupling, made explicit. Returns the
     * retained versions. Time travel below the cut fails loudly in
     * [[readAsOf]]'s committed-versions check; [[changesAt]]/
-    * [[changelog]] windows reaching below it fail the same way. */
-  def truncate(baseDir: String, keepFrom: Int): Seq[Int] = {
+    * [[changelog]] windows reaching below it fail the same way.
+    *
+    * Staging janitor (VERDICT r15 item 5): truncate also sweeps
+    * `.stage_d_*` dirs older than `staleStagingMs` — a writer killed
+    * `-9` mid-arbitration leaks its staged delta forever otherwise
+    * (the `finally` cleanup only covers JVM-visible exits). The age
+    * gate keeps a LIVE writer's staging safe: its dir is at most one
+    * commit old. */
+  def truncate(
+      baseDir: String,
+      keepFrom: Int,
+      staleStagingMs: Long = 6L * 3600 * 1000): Seq[Int] = {
     val vs = versions(baseDir)
     require(vs.contains(keepFrom),
       s"DeltaChain.truncate: keepFrom $keepFrom not a committed version of $baseDir")
@@ -911,6 +1217,13 @@ object DeltaChain {
       .foreach(v => rm(checkpointDir(baseDir, v)))
     diskDeltas(baseDir).filter(_ <= anchorCp)
       .foreach(v => rm(deltaDir(baseDir, v)))
+    // orphaned-staging sweep: only dirs past the age gate die
+    val cutoff = System.currentTimeMillis() - staleStagingMs
+    Option(new java.io.File(baseDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith(".stage_d_") &&
+        f.lastModified() < cutoff)
+      .foreach(f => rm(f.getAbsolutePath))
     keep
   }
 
@@ -930,21 +1243,34 @@ object DeltaChain {
 
   /** DESCRIBE HISTORY for the delta form: one row per committed
     * version — number, OPERATION KIND (create / delta / add_column /
-    * add_constraint / drop_constraint / optimize), the change rows it
-    * carried, and whether a checkpoint landed. Kinds derive from the
-    * commit's own artifacts: v1 is create; metadata versions come from
-    * the meta lines; an EMPTY change record WITH a checkpoint is
-    * optimize (metadata commits never checkpoint; cadence checkpoints
-    * ride non-empty deltas); everything else is a data delta. Row
-    * counts are parquet-footer counts (metadata-only read), bytes are
-    * directory listings — at 100 TB this is a manifest walk, never a
-    * table scan ([[VersionedTable.history]]'s discipline). */
+    * drop_column / rename_column / add_constraint / drop_constraint /
+    * optimize / restore), the change rows it carried, and whether a
+    * checkpoint landed. Kinds come from the commits' OWN metadata:
+    * v1 is create, schema/constraint versions from their event lines,
+    * optimize/restore from the `kind` line their commit records
+    * (ADVICE r15: inferring "optimize" from the empty-delta+checkpoint
+    * artifact shape mislabeled a legitimate zero-row data delta that
+    * landed on the checkpoint cadence); everything else is a data
+    * delta, except a manifest version whose change record a truncate
+    * reclaimed (checkpoint_anchor). Row counts come from ONE multi-dir
+    * scan grouped by the path-extracted version — O(1) Spark jobs for
+    * any chain length (ADVICE r15: the per-version count() loop paid
+    * 10k job launches for a 10k-commit audit view); bytes are
+    * directory listings. At 100 TB this is a manifest walk plus one
+    * column-pruned scan of the (delta-sized) change records, never a
+    * table scan. */
   def history(spark: SparkSession, baseDir: String): DataFrame = {
     import spark.implicits._
     val m = meta(baseDir)
-    val addcols = m.addedCols.map(_.version).toSet
-    val conAdds = m.constraints.map(_.version).toSet
-    val conDrops = m.constraintDrops.map(_._1).toSet
+    val metaKind: Map[Int, String] =
+      m.schemaEvents.map {
+        case a: AddedColumn   => a.version -> "add_column"
+        case d: DroppedColumn => d.version -> "drop_column"
+        case r: RenamedColumn => r.version -> "rename_column"
+      }.toMap ++
+        m.constraints.map(_.version -> "add_constraint").toMap ++
+        m.constraintDrops.map { case (v, _) => v -> "drop_constraint" }.toMap ++
+        m.kinds
     // recursive: a partitioned checkpoint keeps its parquet one level
     // down inside the partition dirs
     def dirBytes(dir: String): Long = {
@@ -954,25 +1280,74 @@ object DeltaChain {
         else if (f.getName.endsWith(".parquet")) f.length() else 0L
       walk(new java.io.File(dir))
     }
-    versions(baseDir).map { v =>
+    val vs = versions(baseDir)
+    val withDelta =
+      vs.filter(v => Files.exists(Paths.get(deltaDir(baseDir, v))))
+    // one job counts every version's change rows: read all delta dirs,
+    // group by the file's own /d<version>/ segment; data columns are
+    // pruned away, so schema drift across rename/drop boundaries never
+    // touches the scan
+    val counts: Map[Int, Long] =
+      if (withDelta.isEmpty) Map.empty
+      else spark.read.parquet(withDelta.map(deltaDir(baseDir, _)): _*)
+        .select(regexp_extract(
+          col("_metadata.file_path"), "/d(\\d+)/[^/]*$", 1)
+          .cast("int").as("__v"))
+        .groupBy("__v").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    vs.map { v =>
       val hasDelta = Files.exists(Paths.get(deltaDir(baseDir, v)))
-      val deltaRows =
-        if (hasDelta) spark.read.parquet(deltaDir(baseDir, v)).count() else 0L
       val hasCp = hasCheckpoint(baseDir, v)
       val kind =
         if (v == 1) "create"
-        else if (addcols(v)) "add_column"
-        else if (conAdds(v)) "add_constraint"
-        else if (conDrops(v)) "drop_constraint"
-        // a manifest version whose change record a truncate reclaimed:
-        // only its checkpoint anchor survives
-        else if (!hasDelta && hasCp) "checkpoint_anchor"
-        else if (hasDelta && deltaRows == 0 && hasCp) "optimize"
-        else "delta"
-      (v, kind, deltaRows, hasCp, dirBytes(deltaDir(baseDir, v)),
-        dirBytes(checkpointDir(baseDir, v)))
+        else metaKind.getOrElse(v,
+          // a manifest version whose change record a truncate
+          // reclaimed: only its checkpoint anchor survives
+          if (!hasDelta && hasCp) "checkpoint_anchor" else "delta")
+      (v, kind, counts.getOrElse(v, 0L), hasCp,
+        dirBytes(deltaDir(baseDir, v)), dirBytes(checkpointDir(baseDir, v)))
     }.toDF("version", "kind", "delta_rows", "checkpointed",
       "delta_bytes", "checkpoint_bytes")
+  }
+
+  /** RESTORE TABLE t TO VERSION — rollback as a FORWARD commit
+    * (VERDICT r15 item 2): the state at `toVersion` becomes the new
+    * head by committing the DIFF between head and target as an
+    * ordinary delta, so history is PRESERVED (every version including
+    * the bad ones still time-travels), the changelog carries the
+    * restoring rows, and downstream incremental MVs (q66b/t30) keep
+    * folding straight through the restore. The delta is minimal —
+    * upserts for keys whose target row differs from (or is missing
+    * at) head, deletes for head keys the target lacks — so the commit
+    * costs ∝ |rows the rollback touches|, never table size. Data is
+    * restored UNDER THE CURRENT SCHEMA (the target state projects
+    * forward through any add/drop/rename between the two versions);
+    * constraints active at head validate the restoring rows like any
+    * other write — a restore that would violate one fails loudly with
+    * nothing committed. The commit records kind `restore` for the
+    * audit view. Returns the new version. */
+  def restore(spark: SparkSession, baseDir: String, toVersion: Int): Int = {
+    val m = meta(baseDir)
+    val current = latestVersion(baseDir)
+    require(versions(baseDir).contains(toVersion) && toVersion < current,
+      s"DeltaChain.restore: need a committed toVersion below the head " +
+        s"($current), got $toVersion of ${versions(baseDir).mkString("[", ",", "]")}")
+    val tableCols = tableColsAt(spark, baseDir, m, current)
+    val target = projectTo(
+        readAsOf(spark, baseDir, toVersion), m, toVersion, current)
+      .select(tableCols.map(col): _*)
+    val head = readAsOf(spark, baseDir, current)
+      .select(tableCols.map(col): _*)
+    val del = "__graft_restore_del"
+    val ups = target.exceptAll(head).withColumn(del, lit(false))
+    val dels = head.join(
+        target.select(m.keys.map(k => col(k).as(s"__r_$k")): _*),
+        m.keys.map(k => col(k) <=> col(s"__r_$k")).reduce(_ && _),
+        "left_anti")
+      .withColumn(del, lit(true))
+    val v = commitDelta(spark, baseDir, ups.unionByName(dels), Some(del))
+    appendMetaLine(baseDir, s"kind\t$v\trestore")
+    v
   }
 
   /** Per-commit storage census: version, kind, file count, bytes for

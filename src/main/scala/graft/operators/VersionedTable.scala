@@ -358,6 +358,19 @@ object VersionedTable {
     * conservative by the same margin Spark's own file-stats
     * auto-broadcast decision is; per-file roaring bitmaps (§19.1
     * thread 4) remain the denser endgame beyond that. */
+  /** `spark.sql.autoBroadcastJoinThreshold`, parsed the way Spark's
+    * own conf layer does: a leading '-' survives byte-suffix parsing
+    * ("-1" — the standard way to DISABLE auto-broadcast — must reach
+    * the gate as a negative, not as a NumberFormatException; ADVICE
+    * r15). Non-positive means never broadcast. */
+  private def broadcastThreshold(spark: SparkSession): Long = {
+    val raw =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim
+    if (raw.startsWith("-"))
+      -org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw.substring(1))
+    else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+  }
+
   private def withRowIdentity(
       spark: SparkSession,
       dataDirs: Seq[String],
@@ -368,8 +381,7 @@ object VersionedTable {
       .withColumn("__graft_dv_pos", col("_metadata.row_index"))
     val m = mask.select(col("file_path").as("__graft_m_file"),
       col("row_index").as("__graft_m_pos"))
-    val threshold = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-      spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+    val threshold = broadcastThreshold(spark)
     val hinted =
       if (threshold > 0 && maskBytes <= threshold)
         org.apache.spark.sql.functions.broadcast(m)
@@ -405,8 +417,7 @@ object VersionedTable {
           "CAST(bitmap_bit_position(__graft_dv_pos + 1) AS BIGINT)"))
     val m = mask.select(col("file_path").as("__graft_m_file"),
       col("bucket").as("__graft_m_bkt"), col("bmp").as("__graft_m_bmp"))
-    val threshold = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-      spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+    val threshold = broadcastThreshold(spark)
     val hinted =
       if (threshold > 0 && maskBytes <= threshold)
         org.apache.spark.sql.functions.broadcast(m)
@@ -726,8 +737,17 @@ object VersionedTable {
     * races only against physical deletion, the same window every
     * vacuum implementation has) or resolves the new one and never
     * sees an expired version. Time travel below `keepFrom` then fails
-    * loudly in [[readAsOf]]'s committed-versions check. */
-  def expire(baseDir: String, keepFrom: Int): Seq[Int] = {
+    * loudly in [[readAsOf]]'s committed-versions check.
+    *
+    * Staging janitor (VERDICT r15 item 5, mirrored from
+    * [[DeltaChain.truncate]]): also sweeps `.stage_*` dirs older than
+    * `staleStagingMs` — a writer killed `-9` mid-arbitration leaks its
+    * staged snapshot forever otherwise; the age gate keeps a live
+    * writer's staging safe. */
+  def expire(
+      baseDir: String,
+      keepFrom: Int,
+      staleStagingMs: Long = 6L * 3600 * 1000): Seq[Int] = {
     val vs = versions(baseDir)
     require(vs.contains(keepFrom),
       s"VersionedTable.expire: keepFrom $keepFrom not a committed version of $baseDir")
@@ -778,6 +798,13 @@ object VersionedTable {
         finally walk.close()
       }
     }
+    // orphaned-staging sweep: only dirs past the age gate die
+    val cutoff = System.currentTimeMillis() - staleStagingMs
+    Option(new java.io.File(baseDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith(".stage_") &&
+        f.lastModified() < cutoff)
+      .foreach(f => deleteRecursively(f.toPath))
     keep
   }
 
