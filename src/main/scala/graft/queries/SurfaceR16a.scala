@@ -159,11 +159,14 @@ object SurfaceR16a extends QueryBatch {
       base.where(k % 5 === 0 && k % 7 =!= 0)
         .withColumn("qbal", col("qbal") + 2000L),
       base.where(k % 7 === 0)).coalesce(1), Some("del"))               // v3
+    // synthetic inserts live past the table's own key space (a fixed
+    // shift collided with sf1's replica re-keying — 1-value readout)
+    val shift = base.agg(max("s_suppkey")).collect()(0).getLong(0) + 1L
     DeltaChain.commitDelta(s, root,
       base.where(k % 2 === 0)
         .withColumn("qbal", col("qbal") + 3000L)
         .unionByName(base.where(k % 97 === 0)
-          .withColumn("s_suppkey", col("s_suppkey") + 1000000L))
+          .withColumn("s_suppkey", col("s_suppkey") + lit(shift)))
         .coalesce(1))                                                  // v4
     val mv2 = DeltaChain.readAsOf(s, root, 2)
       .groupBy("s_nationkey")
@@ -197,11 +200,75 @@ object SurfaceR16a extends QueryBatch {
       .orderBy("s_suppkey")
   }
 
+  // ---- Q76: SQL-surface time travel (graft_chain relation) ----
+
+  /** Q76: [[org.apache.spark.sql.graft.GraftChainRelation]] — the SQL
+    * surface over the delta chain (VERDICT r15 item 7): plain SQL
+    * reads a versioned table via the `graft_chain`.`<dir>` relation,
+    * with Spark's own `VERSION AS OF` temporal clause (and a `@v`
+    * suffix form). The substituted plan IS readAsOf's — q71's chain
+    * shape repeated THROUGH SQL so the partitioned checkpoint's
+    * planning-time pruning provably survives the surface. REQUIRED
+    * in-key: (1) `VERSION AS OF 2` ≡ library readAsOf(2), except()
+    * both ways; (2) the versionless head read ≡ `VERSION AS OF 3` ≡
+    * the `@3` suffix form; (3) the partition-filtered SQL read carries
+    * PartitionFilters in its EXECUTED plan (pruning intact across the
+    * surface); (4) TIMESTAMP AS OF is refused loudly. Output: the SQL
+    * head state — the oracle pins every replayed row read through the
+    * SQL surface. */
+  val q76SqlTimeTravel: Q = (s, d) => {
+    val root = scratch("q76").getAbsolutePath
+    val base = orders(s, d).select(col("o_orderkey"),
+      expr("CAST(floor(o_totalprice * 100 + 5e-1) AS BIGINT)").as("qprice"),
+      col("o_orderstatus"))
+    val k = col("o_orderkey")
+    DeltaChain.create(root, base.coalesce(2), Seq("o_orderkey"),
+      checkpointEvery = 2, partitionBy = Seq("o_orderstatus"))
+    DeltaChain.commitDelta(s, root,
+      base.where(k % 7 === 0)
+        .withColumn("qprice", col("qprice") + 100L).coalesce(1))       // v2
+    DeltaChain.commitDelta(s, root,
+      base.where(k % 9 === 0)
+        .withColumn("qprice", col("qprice") + 200L).coalesce(1))       // v3 + c3
+    def sqlRead(suffix: String): DataFrame =
+      s.sql(s"SELECT o_orderkey, qprice, o_orderstatus " +
+        s"FROM graft_chain.`$root`$suffix")
+    // (1) VERSION AS OF ≡ the library read
+    val sqlV2 = sqlRead(" VERSION AS OF 2")
+    val libV2 = DeltaChain.readAsOf(s, root, 2)
+      .select("o_orderkey", "qprice", "o_orderstatus")
+    val d2 = sqlV2.exceptAll(libV2).count() + libV2.exceptAll(sqlV2).count()
+    require(d2 == 0, s"q76: SQL VERSION AS OF 2 diverges from readAsOf(2) ($d2 rows)")
+    // (2) head default ≡ explicit version ≡ suffix form
+    val head = sqlRead("")
+    val v3 = sqlRead(" VERSION AS OF 3")
+    val suf = s.sql(s"SELECT o_orderkey, qprice, o_orderstatus " +
+      s"FROM graft_chain.`$root@3`")
+    require(head.exceptAll(v3).count() + v3.exceptAll(head).count() == 0,
+      "q76: versionless head diverges from VERSION AS OF 3")
+    require(head.exceptAll(suf).count() + suf.exceptAll(head).count() == 0,
+      "q76: @3 suffix form diverges from VERSION AS OF 3")
+    // (3) partition pruning survives the SQL surface
+    val plan = s.sql(s"SELECT * FROM graft_chain.`$root` " +
+      "WHERE o_orderstatus = 'F'").queryExecution.executedPlan.toString
+    require(plan.contains("PartitionFilters") && plan.contains("o_orderstatus"),
+      "q76: partition filter not pushed through the SQL surface")
+    // (4) the unsupported travel axis is refused loudly
+    val refused =
+      try { s.sql(s"SELECT * FROM graft_chain.`$root` " +
+        "TIMESTAMP AS OF '2026-01-01'").collect(); false }
+      catch { case e: Throwable =>
+        e.getMessage != null && e.getMessage.contains("VERSION AS OF") }
+    require(refused, "q76: TIMESTAMP AS OF was not refused")
+    head.orderBy("o_orderkey")
+  }
+
   // ---- registry ----
 
   val queries: Map[String, Q] = Map(
     "q74_drop_rename_column" -> q74DropRenameColumn,
-    "q75_restore" -> q75Restore)
+    "q75_restore" -> q75Restore,
+    "q76_sql_time_travel" -> q76SqlTimeTravel)
 
   val oracleSql: Map[String, String] = Map(
     "q74_drop_rename_column" ->
@@ -218,6 +285,19 @@ object SurfaceR16a extends QueryBatch {
         |  CASE WHEN k % 17 = 0 THEN 'XX' ELSE 'NA' END AS c_mktsegment
         |FROM base
         |ORDER BY c_custkey""".stripMargin,
+    "q76_sql_time_travel" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 5e-1) AS BIGINT) AS q,
+        |    o_orderstatus AS st
+        |  FROM orders)
+        |SELECT k AS o_orderkey,
+        |  CASE WHEN k % 9 = 0 THEN q + 200
+        |       WHEN k % 7 = 0 THEN q + 100
+        |       ELSE q END AS qprice,
+        |  st AS o_orderstatus
+        |FROM base
+        |ORDER BY o_orderkey""".stripMargin,
     "q75_restore" ->
       """WITH base AS (
         |  SELECT s_suppkey AS k,

@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => CosineNormRewrite)
     ext.injectPlannerStrategy(_ => AsOfJoinNative.AsOfJoinStrategy)
+    ext.injectResolutionRule(session => GraftChainRelation(session))
   }
 }
 

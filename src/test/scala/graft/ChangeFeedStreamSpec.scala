@@ -77,4 +77,112 @@ class ChangeFeedStreamSpec extends SparkSpec {
     // addColumn change record is empty (zero rows).
     assert(rows === Set((2L, 20L, 40L, 2), (2L, 21L, 999L, 4)))
   }
+
+  test("a freshly created chain (head == 1) feeds empty, then live after a commit") {
+    import spark.implicits._
+    val root = freshRoot()
+    DeltaChain.create(root, Seq((1L, 10L)).toDF("k", "n"), Seq("k"),
+      checkpointEvery = 100)
+    // ADVICE r15: the old schema derivation read d{head}, which does
+    // not exist at head == 1 — this call used to crash
+    val empty = drain(
+      DeltaChain.readChangeFeedStream(spark, root, fromVersion = 1), "cfs_fresh")
+    assert(empty.isEmpty)
+    DeltaChain.commitDelta(spark, root, Seq((2L, 20L)).toDF("k", "n"))
+    val live = drain(
+      DeltaChain.readChangeFeedStream(spark, root, fromVersion = 1), "cfs_fresh2")
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getInt(r.fieldIndex("_commit_version")))).toSet
+    assert(live === Set((2L, 20L, 2)))
+  }
+
+  test("a baseDir containing /d<digits>/ does not poison the version stamp") {
+    import spark.implicits._
+    // ADVICE r15: the unanchored regex took the FIRST /d\d+/ match in
+    // the whole path, so this layout stamped every row version 7
+    val outer = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_cfs_d7_${java.util.UUID.randomUUID().toString.take(8)}/d7")
+    QueryGuard.deleteRecOnExit(outer.getParentFile)
+    val root = new java.io.File(outer, "tbl").getAbsolutePath
+    DeltaChain.create(root, Seq((1L, 10L)).toDF("k", "n"), Seq("k"),
+      checkpointEvery = 100)
+    DeltaChain.commitDelta(spark, root, Seq((2L, 20L)).toDF("k", "n")) // v2
+    DeltaChain.commitDelta(spark, root, Seq((3L, 30L)).toDF("k", "n")) // v3
+    val vers = drain(
+      DeltaChain.readChangeFeedStream(spark, root, fromVersion = 1), "cfs_d7")
+      .map(r => (r.getLong(0), r.getInt(r.fieldIndex("_commit_version")))).toSet
+    assert(vers === Set((2L, 2), (3L, 3)))
+  }
+
+  test("identical mtimes across the d9/d10 boundary still deliver monotone") {
+    import spark.implicits._
+    val root = freshRoot()
+    DeltaChain.create(root, Seq((1L, 0L)).toDF("k", "n"), Seq("k"),
+      checkpointEvery = 100)
+    (2 to 12).foreach { v =>
+      DeltaChain.commitDelta(spark, root, Seq((1L, v.toLong)).toDF("k", "n"))
+    }
+    // force the trap: every delta file in the SAME mtime granule, so a
+    // (mtime, path) order is purely lexicographic — d10 < d9 (VERDICT
+    // r15 item 3; the old per-file trigger delivered exactly that)
+    val t = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 60000)
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+    try walk.forEach(p => java.nio.file.Files.setLastModifiedTime(p, t))
+    finally walk.close()
+    // t29-style consumer: batches replay sorted by version and REQUIRE
+    // strict +1 monotonicity across the whole run
+    val applied = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val q = DeltaChain.readChangeFeedStream(spark, root, fromVersion = 1)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val vs = b.select("_commit_version").distinct()
+          .collect().map(_.getInt(0)).sorted
+        vs.foreach { v =>
+          val last = applied.lastOption.getOrElse(1)
+          require(v == last + 1,
+            s"feed delivered v$v after v$last — non-monotone")
+          applied += v
+        }
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000L), "monotone drain expired")
+    assert(applied.toSeq === (2 to 12).toSeq)
+  }
+
+  test("the feed projects across a rename: old-name rows surface under the new name") {
+    import spark.implicits._
+    val root = freshRoot()
+    DeltaChain.create(root, Seq((1L, 10L)).toDF("k", "n"), Seq("k"),
+      checkpointEvery = 100)
+    DeltaChain.commitDelta(spark, root, Seq((2L, 20L)).toDF("k", "n")) // v2 (old name)
+    DeltaChain.renameColumn(spark, root, "n", "m")                     // v3
+    DeltaChain.commitDelta(spark, root, Seq((3L, 30L)).toDF("k", "m")) // v4 (new name)
+    val rows = drain(
+      DeltaChain.readChangeFeedStream(spark, root, fromVersion = 1), "cfs_ren")
+      .map(r => (r.getLong(r.fieldIndex("k")), r.getLong(r.fieldIndex("m")),
+        r.getInt(r.fieldIndex("_commit_version")))).toSet
+    assert(rows === Set((2L, 20L, 2), (3L, 30L, 4)))
+  }
+
+  test("the feed never leaks pre-drop values into a re-added incarnation") {
+    import spark.implicits._
+    val root = freshRoot()
+    DeltaChain.create(root, Seq((1L, 10L, "old")).toDF("k", "n", "tag"),
+      Seq("k"), checkpointEvery = 100)
+    DeltaChain.commitDelta(spark, root,
+      Seq((2L, 20L, "preDrop")).toDF("k", "n", "tag"))                 // v2
+    DeltaChain.dropColumn(spark, root, "tag")                          // v3
+    DeltaChain.addColumn(spark, root, "tag", "'fresh'")                // v4
+    DeltaChain.commitDelta(spark, root,
+      Seq((3L, 30L, "stored")).toDF("k", "n", "tag"))                  // v5
+    val rows = drain(
+      DeltaChain.readChangeFeedStream(spark, root, fromVersion = 1), "cfs_leak")
+      .map(r => (r.getLong(r.fieldIndex("k")),
+        r.getString(r.fieldIndex("tag")),
+        r.getInt(r.fieldIndex("_commit_version")))).toSet
+    // v2's stored 'preDrop' is DESTROYED by the drop: the feed's head
+    // projection backfills the re-added incarnation's default instead
+    assert(rows === Set((2L, "fresh", 2), (3L, "stored", 5)))
+  }
 }

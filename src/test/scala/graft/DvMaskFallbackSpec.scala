@@ -60,6 +60,31 @@ class DvMaskFallbackSpec extends SparkSpec {
     }
   }
 
+  test("threshold '-1' (auto-broadcast disabled) takes the shuffled path, never crashes") {
+    import spark.implicits._
+    val root = freshRoot()
+    VersionedTable.create(root,
+      (1L to 1000L).map(k => (k, k * 2)).toDF("k", "v").repartition(2))
+    VersionedTable.deleteWhereDV(spark, root, col("k") % 4 === 0)
+    // ADVICE r15: '-1' — the standard disable value — used to throw
+    // NumberFormatException out of the byte-suffix parser, crashing
+    // every DV read AND write; it must parse as "never broadcast"
+    withThreshold("-1") {
+      val df = VersionedTable.readAsOf(spark, root, 2)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastExchange"),
+        s"threshold -1 must disable the mask broadcast; plan was:\n$p")
+      assert(df.select("k").collect().map(_.getLong(0)).toSet ===
+        (1L to 1000L).filterNot(_ % 4 == 0).toSet)
+      // the write path parses the same conf — a chained DV delete and
+      // a bitmap-mask commit must both survive '-1'
+      VersionedTable.deleteWhereDV(spark, root, col("k") % 9 === 0)
+    }
+    val got = VersionedTable.read(spark, root)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(got === (1L to 1000L).filterNot(k => k % 4 == 0 || k % 9 == 0).toSet)
+  }
+
   test("a DV write (chained delete) also survives the shuffled path") {
     import spark.implicits._
     val root = freshRoot()

@@ -122,4 +122,61 @@ class PartitionedChainSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("coarser"))
   }
+
+  test("numeric-looking STRING partition values survive the checkpoint round-trip") {
+    import spark.implicits._
+    val root = freshRoot()
+    // ADVICE r15: Hive partition-column type inference reads '01' back
+    // as the integer 1 — the schema sidecar must pin the written type
+    DeltaChain.create(root,
+      Seq((1L, 10L, "01"), (2L, 20L, "2"), (3L, 30L, "007"))
+        .toDF("k", "v", "code"),
+      Seq("k"), checkpointEvery = 2, partitionBy = Seq("code"))
+    DeltaChain.commitDelta(spark, root,
+      Seq((1L, 11L, "01")).toDF("k", "v", "code"))      // v2
+    DeltaChain.commitDelta(spark, root,
+      Seq((2L, 22L, "2")).toDF("k", "v", "code"))       // v3 -> checkpoint
+    // both the direct checkpoint read (v3) and the replay path (v2)
+    // must preserve the string values AND the string type
+    Seq(2, 3).foreach { v =>
+      val df = DeltaChain.readAsOf(spark, root, v)
+      assert(df.schema("code").dataType ===
+        org.apache.spark.sql.types.StringType,
+        s"v$v retyped the partition column: ${df.schema("code").dataType}")
+      val codes = df.select("k", "code").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(codes === Map(1L -> "01", 2L -> "2", 3L -> "007"),
+        s"v$v lost partition values: $codes")
+    }
+  }
+
+  test("a checkpoint of an EMPTY state keeps the chain readable") {
+    import spark.implicits._
+    val root = freshRoot()
+    // ADVICE r15: a partitioned write of zero rows lands no parquet
+    // footer at all — the anchor used to be unreadable
+    DeltaChain.create(root,
+      Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "v", "grp"),
+      Seq("k"), checkpointEvery = 2, partitionBy = Seq("grp"))
+    DeltaChain.commitDelta(spark, root,
+      Seq((1L, 0L, "a", true), (2L, 0L, "b", true))
+        .toDF("k", "v", "grp", "del"), Some("del"))     // v2 deletes ALL rows
+    DeltaChain.commitDelta(spark, root,
+      Seq((9L, 90L, "a")).toDF("k", "v", "grp"))        // v3 -> EMPTY-state cp? no:
+    // cadence fires at v3 (3-1 >= 2) with one live row; force the
+    // empty case directly: delete it and optimize (forced checkpoint
+    // of the now-empty state)
+    DeltaChain.commitDelta(spark, root,
+      Seq((9L, 0L, "a", true)).toDF("k", "v", "grp", "del"), Some("del")) // v4
+    DeltaChain.optimize(spark, root, numFiles = 1)      // v5: checkpoint of EMPTY
+    assert(DeltaChain.read(spark, root).count() === 0L)
+    assert(DeltaChain.readAsOf(spark, root, 3)
+      .select("k").collect().map(_.getLong(0)).toSet === Set(9L))
+    // the chain keeps working off the empty anchor
+    DeltaChain.commitDelta(spark, root,
+      Seq((5L, 50L, "b")).toDF("k", "v", "grp"))        // v6
+    val head = DeltaChain.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(head === Set((5L, 50L, "b")))
+  }
 }
