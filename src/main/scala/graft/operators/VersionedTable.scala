@@ -730,6 +730,39 @@ object VersionedTable {
     writeSnapshot(baseDir, current + 1, cur.withColumn(name, default))
   }
 
+  /** ALTER TABLE DROP COLUMN — full-snapshot form: commits the
+    * narrowed rewrite as the next version (this storage mode's ALTERs
+    * are rewrites by design, like [[addColumn]];
+    * [[DeltaChain.dropColumn]] is the metadata-only sibling at 100 TB).
+    * Earlier snapshots keep the column — time travel below the drop
+    * returns the old shape. */
+  def dropColumn(spark: SparkSession, baseDir: String, name: String): Int = {
+    val current = latestVersion(baseDir)
+    require(current > 0, s"VersionedTable.dropColumn: $baseDir has no v1 — create() first")
+    val cur = read(spark, baseDir)
+    require(cur.columns.contains(name),
+      s"VersionedTable.dropColumn: $name is not a column of $baseDir")
+    require(cur.columns.length > 1,
+      s"VersionedTable.dropColumn: $name is the only column of $baseDir")
+    writeSnapshot(baseDir, current + 1, cur.drop(name))
+  }
+
+  /** ALTER TABLE RENAME COLUMN — full-snapshot form: commits the
+    * renamed rewrite as the next version; values carry over, earlier
+    * snapshots keep the old name ([[DeltaChain.renameColumn]] is the
+    * metadata-only sibling). */
+  def renameColumn(
+      spark: SparkSession, baseDir: String, from: String, to: String): Int = {
+    val current = latestVersion(baseDir)
+    require(current > 0, s"VersionedTable.renameColumn: $baseDir has no v1 — create() first")
+    val cur = read(spark, baseDir)
+    require(cur.columns.contains(from),
+      s"VersionedTable.renameColumn: $from is not a column of $baseDir")
+    require(!cur.columns.contains(to),
+      s"VersionedTable.renameColumn: $to already exists in $baseDir")
+    writeSnapshot(baseDir, current + 1, cur.withColumnRenamed(from, to))
+  }
+
   /** VACUUM: drop every committed version strictly below `keepFrom`.
     * Publish-then-delete ordering — the manifest stops referencing the
     * expired versions ATOMICALLY before any data dir is removed, so a

@@ -249,10 +249,14 @@ object SurfaceR15a extends QueryBatch {
     * upsert/delete WITHOUT preimages (the delta files hold only what
     * the writer sent), so the consumer keeps a keyed REPLICA chain
     * (t29's fold) and derives each micro-batch's full CDF vocabulary
-    * by probing the replica's prior state with the batch as the
-    * broadcast side — [[DeltaChain.changesAt]] against the replica it
-    * is itself maintaining — then folds the enriched feed through
-    * [[IncrementalAgg.applyCountSumDelta]]. REQUIRED in-key: the
+    * by probing the replica's own prior state — ONE
+    * [[DeltaChain.changesRange]] pass over the batch's whole version
+    * span (§20.1 thread 5: since the feed delivers whole-listing
+    * batches, a trigger carries MANY commits, and the range fold costs
+    * O(batch) delta reads where a per-commit changesAt loop would pay
+    * the O(batch²) replay multiplication) — then folds the enriched
+    * feed through [[IncrementalAgg.applyCountSumDelta]] once per
+    * trigger. REQUIRED in-key: the
     * streamed MV equals the direct aggregate over the SOURCE head
     * (except() both ways) — feed completeness, replica fidelity, and
     * the signed fold proven in one check. Output: the MV, oracle-
@@ -303,23 +307,28 @@ object SurfaceR15a extends QueryBatch {
         try {
           val versions = snap.select("_commit_version").distinct()
             .collect().map(_.getInt(0)).sorted
+          val batchFrom = lastApplied.get()
           versions.foreach { v =>
             require(v == lastApplied.get() + 1,
               s"t30: feed delivered v$v after v${lastApplied.get()}")
-            // replicate the commit, THEN read its CDF (preimages from
-            // the replica's prior state — the broadcast-delta probe)
-            val rv = DeltaChain.commitDelta(s, repDir,
+            // replicate the commit (the replica IS the preimage store)
+            DeltaChain.commitDelta(s, repDir,
               snap.where(col("_commit_version") === v)
                 .withColumn("del", col("_change_type") === "delete")
                 .drop("_commit_version", "_change_type")
                 .coalesce(1),
               Some("del"))
-            val cdf = DeltaChain.changesAt(s, repDir, rv)
+            lastApplied.set(v)
+          }
+          // ONE range fold for the whole trigger: every commit the
+          // batch replicated, preimage-enriched in a single replay
+          if (versions.nonEmpty) {
+            val cdf = DeltaChain.changesRange(
+              s, repDir, batchFrom, lastApplied.get())
             mv.set(IncrementalAgg.applyCountSumDelta(
                 mv.get().toSeq.toDF("c_mktsegment", "n", "qsum"),
                 cdf, "c_mktsegment", "qbal")
               .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
-            lastApplied.set(v)
           }
         } finally { snap.unpersist(); () }
       }

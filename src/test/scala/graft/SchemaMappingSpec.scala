@@ -103,6 +103,27 @@ class SchemaMappingSpec extends SparkSpec {
     assert(DeltaChain.read(spark, root).columns.toSeq === Seq("k", "nn", "part"))
   }
 
+  test("snapshot-form parity: VersionedTable drop/rename rewrite, old versions keep shape") {
+    import spark.implicits._
+    import operators.VersionedTable
+    val root = freshRoot()
+    VersionedTable.create(root, Seq((1L, 10L, "a"), (2L, 20L, "b"))
+      .toDF("k", "n", "tag"))
+    VersionedTable.renameColumn(spark, root, "n", "m")    // v2 (rewrite)
+    VersionedTable.dropColumn(spark, root, "tag")         // v3 (rewrite)
+    assert(VersionedTable.read(spark, root).columns.toSeq === Seq("k", "m"))
+    assert(VersionedTable.readAsOf(spark, root, 1).columns.toSeq ===
+      Seq("k", "n", "tag"))
+    assert(VersionedTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === Map(1L -> 10L, 2L -> 20L))
+    assert(intercept[IllegalArgumentException] {
+      VersionedTable.renameColumn(spark, root, "m", "k")
+    }.getMessage.contains("already exists"))
+    assert(intercept[IllegalArgumentException] {
+      VersionedTable.dropColumn(spark, root, "nope")
+    }.getMessage.contains("not a column"))
+  }
+
   test("arbitrated loser re-reads meta: a concurrently added constraint binds the retry") {
     import spark.implicits._
     val root = freshRoot()
