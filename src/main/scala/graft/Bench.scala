@@ -365,9 +365,42 @@ object Bench {
       cdfDiag = Seq("chain_len" -> 8L, "delta_rows" -> committed,
         "range_ms" -> rangeMs, "per_version_ms" -> perVersionMs)
     }
+    // Probe 9 (round-16): RESTORE at bench SF — the rollback-as-
+    // forward-commit operator's cost must track the DIFF the rollback
+    // touches, never table size. Work counters: base rows, the
+    // restoring delta's rows (the diff) and its on-disk bytes — a
+    // restore that ever paid ∝ table would show here as a byte census
+    // jump at unchanged diff rows.
+    var restoreDiag: Seq[(String, Long)] = Seq.empty
+    val restoreSec = probe("restore", () => restoreDiag) {
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_bench_restore_${java.util.UUID.randomUUID().toString.take(8)}")
+      graft.QueryGuard.deleteRecOnExit(root)
+      val dir = root.getAbsolutePath
+      val base = graft.Tables.orders(spark, sfDir)
+        .select(org.apache.spark.sql.functions.col("o_orderkey"),
+          org.apache.spark.sql.functions.expr(
+            "CAST(floor(o_totalprice * 100 + 5e-1) AS BIGINT)").as("qprice"))
+      graft.operators.DeltaChain.create(dir, base, Seq("o_orderkey"),
+        checkpointEvery = 100)
+      Seq(13, 17).foreach { m =>
+        graft.operators.DeltaChain.commitDelta(spark, dir, base
+          .where(org.apache.spark.sql.functions.col("o_orderkey") % m === 0)
+          .withColumn("qprice",
+            org.apache.spark.sql.functions.col("qprice") + m.toLong))
+      }
+      val v = graft.operators.DeltaChain.restore(spark, dir, 2)
+      val d = new java.io.File(s"$dir/d$v")
+      val files = Option(d.listFiles())
+        .map(_.filter(f => f.isFile && f.getName.endsWith(".parquet")))
+        .getOrElse(Array.empty[java.io.File])
+      restoreDiag = Seq("base_rows" -> base.count(),
+        "restore_delta_rows" -> spark.read.parquet(d.getAbsolutePath).count(),
+        "restore_delta_bytes" -> files.map(_.length()).sum)
+    }
     val diagJson = diag.map { case (k, v) => s"\"$k\":$v" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rocksdb_state_t6_sec":$stateSec,"rocksdb_kp_sec":$stateKpSec,"curation_sec":$curationSec,"interp_sec":$interpSec,"pq_sec":$pqSec,"analytics_sec":$analyticsSec,"seq_analytics_sec":$seqAnalyticsSec,"lj2_early_sec":$lj2EarlySec,"lj2_sec":$lj2Sec,"ls3_sec":$ls3Sec,"lakehouse_sec":$lakehouseSec,"cdf_range_sec":$cdfRangeSec,"lj2_candidates":$lj2Cand,"ls3_fanout":$ls3Fanout,"probe_diag":$diagJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rocksdb_state_t6_sec":$stateSec,"rocksdb_kp_sec":$stateKpSec,"curation_sec":$curationSec,"interp_sec":$interpSec,"pq_sec":$pqSec,"analytics_sec":$analyticsSec,"seq_analytics_sec":$seqAnalyticsSec,"lj2_early_sec":$lj2EarlySec,"lj2_sec":$lj2Sec,"ls3_sec":$ls3Sec,"lakehouse_sec":$lakehouseSec,"cdf_range_sec":$cdfRangeSec,"restore_sec":$restoreSec,"lj2_candidates":$lj2Cand,"ls3_fanout":$ls3Fanout,"probe_diag":$diagJson,"sf":"$sfDir"}""")
     // Compact headline-only line LAST (VERDICT r15 item 6): the driver
     // retains only the stdout TAIL, and r15's probe_diag pushed the
     // q1–q9 seconds out of the retained window — this line is small
