@@ -1325,7 +1325,10 @@ object DeltaChain {
     * constraints active at head validate the restoring rows like any
     * other write — a restore that would violate one fails loudly with
     * nothing committed. The commit records kind `restore` for the
-    * audit view. Returns the new version. */
+    * audit view (written after the publish, the addColumn crash
+    * ordering: a crash between the two leaves a correct restore
+    * commit labeled `delta` — an audit-label blemish, never a data
+    * defect). Returns the new version. */
   def restore(spark: SparkSession, baseDir: String, toVersion: Int): Int = {
     val m = meta(baseDir)
     val current = latestVersion(baseDir)

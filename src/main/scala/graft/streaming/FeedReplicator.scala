@@ -1,0 +1,106 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.DeltaChain
+
+/** Packaged change-feed replication consumer (SURVEY §21.1 thread 3 —
+  * the wait-for-contiguous upgrade over t29's fail-loudly stance).
+  *
+  * [[DeltaChain.readChangeFeedStream]] delivers whole-listing batches,
+  * so commits arrive in order in practice; the one residual window is
+  * a listing racing an in-flight commit, which can defer ONE version
+  * to the next batch — and in pathological cases deliver v+1's file
+  * in an earlier batch than v's. A bare foreachBatch replicator must
+  * then either fail (t29's REQUIRE) or corrupt order. This consumer
+  * HEALS instead: a version that arrives before its predecessor is
+  * spilled to a side dir (one small parquet dir per pending version —
+  * never driver memory, cost ∝ the gap), and every successful apply
+  * drains the spill until the next gap. Liveness stays loud: a gap
+  * older than `maxPendingBatches` applies is an error naming the
+  * missing version — silence is never an option, only bounded
+  * patience.
+  *
+  * Usage (the t29 shape):
+  * {{{
+  *   val rep = new FeedReplicator(spark, repDir, spillDir)
+  *   feed.writeStream.foreachBatch { (b, _) => rep.applyBatch(b); () }
+  *     .trigger(Trigger.AvailableNow()).start()
+  * }}}
+  *
+  * Reference: /root/reference is empty (SURVEY.md §0.1); public
+  * contract shape: Delta CDF consumer patterns (apply-in-commit-order
+  * with at-least-once batches).
+  */
+final class FeedReplicator(
+    spark: SparkSession,
+    repDir: String,
+    spillDir: String,
+    maxPendingBatches: Int = 3) {
+
+  private var applied = DeltaChain.latestVersion(repDir)
+  private var gapAge = 0
+
+  /** Last source version applied to the replica. */
+  def lastApplied: Int = applied
+
+  private def pendingPath(v: Int) = Paths.get(spillDir, s"v$v")
+
+  private def commitOne(df: DataFrame): Unit = {
+    DeltaChain.commitDelta(spark, repDir,
+      df.withColumn("del", col("_change_type") === "delete")
+        .drop("_commit_version", "_change_type")
+        .coalesce(1),
+      Some("del"))
+    applied += 1
+  }
+
+  private def drainSpill(): Unit = {
+    while (Files.exists(pendingPath(applied + 1))) {
+      val p = pendingPath(applied + 1)
+      commitOne(spark.read.parquet(p.toString))
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
+  /** Apply one micro-batch: in-order versions commit immediately,
+    * early arrivals spill, and the spill drains whenever the gap
+    * closes. Returns the last applied version. */
+  def applyBatch(batch: DataFrame): Int = {
+    val snap = batch.persist()
+    try {
+      val versions = snap.select("_commit_version").distinct()
+        .collect().map(_.getInt(0)).sorted
+      var progressed = false
+      versions.foreach { v =>
+        if (v <= applied) {
+          // at-least-once redelivery of an applied version: drop it
+        } else if (v == applied + 1) {
+          commitOne(snap.where(col("_commit_version") === v))
+          drainSpill()
+          progressed = true
+        } else if (!Files.exists(pendingPath(v))) {
+          snap.where(col("_commit_version") === v)
+            .coalesce(1)
+            .write.mode("errorifexists").parquet(pendingPath(v).toString)
+        }
+      }
+      if (progressed || versions.isEmpty) gapAge = 0
+      else {
+        gapAge += 1
+        if (gapAge > maxPendingBatches)
+          throw new IllegalStateException(
+            s"FeedReplicator: v${applied + 1} still missing after $gapAge " +
+              s"batches (pending: ${versions.mkString(",")}) — the source " +
+              "chain may have been truncated below the resume point")
+      }
+      applied
+    } finally { snap.unpersist(); () }
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.functions._
+
+/** Laws for [[graft.streaming.FeedReplicator]] — the
+  * wait-for-contiguous change-feed consumer (SURVEY §21.1 thread 3).
+  * Out-of-order and redelivered batches HEAL (early versions spill,
+  * the gap drains on close), a never-closing gap fails loudly naming
+  * the missing version, and the end-to-end streamed path reproduces
+  * the source exactly.
+  */
+class FeedReplicatorSpec extends SparkSpec {
+  import operators.DeltaChain
+  import streaming.FeedReplicator
+
+  private def fresh(tag: String): String = {
+    val f = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_frep_${tag}_${java.util.UUID.randomUUID().toString.take(8)}")
+    QueryGuard.deleteRecOnExit(f)
+    f.getAbsolutePath
+  }
+
+  private def mkSource(root: String): Unit = {
+    import spark.implicits._
+    DeltaChain.create(root, Seq((1L, 10L), (2L, 20L)).toDF("k", "n"),
+      Seq("k"), checkpointEvery = 100)
+    DeltaChain.commitDelta(spark, root,
+      Seq((1L, 11L, false), (2L, 0L, true)).toDF("k", "n", "del"), Some("del"))
+    DeltaChain.commitDelta(spark, root,
+      Seq((3L, 30L)).toDF("k", "n"))
+    DeltaChain.commitDelta(spark, root,
+      Seq((1L, 12L)).toDF("k", "n"))
+  }
+
+  test("out-of-order and redelivered batches heal; replica converges exactly") {
+    import spark.implicits._
+    val src = fresh("src"); val rep = fresh("rep"); val spill = fresh("spill")
+    mkSource(src)
+    DeltaChain.create(rep, Seq((1L, 10L), (2L, 20L)).toDF("k", "n"),
+      Seq("k"), checkpointEvery = 100)
+    val r = new FeedReplicator(spark, rep, spill)
+    def feedAt(v: Int) = DeltaChain.changelog(spark, src, v - 1, v)
+    // v3 arrives FIRST (the pathological listing race), then v2 closes
+    // the gap (draining v3), then v4; v2 is also REDELIVERED after
+    assert(r.applyBatch(feedAt(3)) === 1) // spilled, nothing applied
+    assert(r.applyBatch(feedAt(2)) === 3) // applies v2, drains v3
+    assert(r.applyBatch(feedAt(2)) === 3) // redelivery: dropped
+    assert(r.applyBatch(feedAt(4)) === 4)
+    val srcHead = DeltaChain.read(spark, src)
+    val repHead = DeltaChain.read(spark, rep)
+    assert(srcHead.exceptAll(repHead).count() +
+      repHead.exceptAll(srcHead).count() === 0)
+  }
+
+  test("a gap that never closes fails loudly naming the missing version") {
+    import spark.implicits._
+    val src = fresh("src2"); val rep = fresh("rep2"); val spill = fresh("spill2")
+    mkSource(src)
+    DeltaChain.create(rep, Seq((1L, 10L), (2L, 20L)).toDF("k", "n"),
+      Seq("k"), checkpointEvery = 100)
+    val r = new FeedReplicator(spark, rep, spill, maxPendingBatches = 2)
+    def feedAt(v: Int) = DeltaChain.changelog(spark, src, v - 1, v)
+    r.applyBatch(feedAt(3))
+    r.applyBatch(feedAt(3))
+    val e = intercept[IllegalStateException] { r.applyBatch(feedAt(3)) }
+    assert(e.getMessage.contains("v2"))
+  }
+
+  test("end-to-end: the streamed feed through the replicator == the source head") {
+    import spark.implicits._
+    val src = fresh("src3"); val rep = fresh("rep3")
+    val spill = fresh("spill3"); val ck = fresh("ck3")
+    mkSource(src)
+    DeltaChain.create(rep, Seq((1L, 10L), (2L, 20L)).toDF("k", "n"),
+      Seq("k"), checkpointEvery = 100)
+    val r = new FeedReplicator(spark, rep, spill)
+    val q = DeltaChain.readChangeFeedStream(spark, src, fromVersion = 1)
+      .writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        r.applyBatch(b); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000L), "replicator drain expired")
+    assert(r.lastApplied === DeltaChain.latestVersion(src))
+    val srcHead = DeltaChain.read(spark, src)
+    val repHead = DeltaChain.read(spark, rep)
+    assert(srcHead.exceptAll(repHead).count() +
+      repHead.exceptAll(srcHead).count() === 0)
+  }
+}
