@@ -995,6 +995,17 @@ object DeltaChain {
       "DeltaChain.addConstraint: tabs/newlines are the metadata separators")
     require(!activeConstraints(m).exists(_.name == name),
       s"DeltaChain.addConstraint: '$name' is already active on $baseDir")
+    // the predicate must RESOLVE against the current schema — catch a
+    // mis-spelled column at ADD time, not at the next writer's commit
+    // (analysis only; no job runs unless validateExisting)
+    try readAsOf(spark, baseDir, current).where(expr(sql))
+      .queryExecution.analyzed
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"DeltaChain.addConstraint: '$name' ($sql) does not resolve " +
+            s"against the table's columns: ${e.getMessage}")
+    }
     if (validateExisting) {
       val bad = readAsOf(spark, baseDir, current)
         .where(expr(sql) <=> lit(false)).count()

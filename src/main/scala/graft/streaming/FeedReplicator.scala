@@ -91,7 +91,13 @@ final class FeedReplicator(
             .write.mode("errorifexists").parquet(pendingPath(v).toString)
         }
       }
-      if (progressed || versions.isEmpty) gapAge = 0
+      // the patience clock only runs while something is actually
+      // WAITING: a pure-redelivery batch (every version <= applied,
+      // nothing spilled) is not a gap
+      val pendingExists =
+        Option(new java.io.File(spillDir).listFiles()).exists(
+          _.exists(f => f.isDirectory && f.getName.matches("v\\d+")))
+      if (progressed || !pendingExists) gapAge = 0
       else {
         gapAge += 1
         if (gapAge > maxPendingBatches)

@@ -51,6 +51,8 @@ case class GraftChainRelation(session: SparkSession)
         (raw.take(i), Some(raw.drop(i + 1).toInt))
       case _ => (raw, None)
     }
+    require(graft.operators.DeltaChain.versions(path).nonEmpty,
+      s"graft_chain: no delta chain at '$path' (no committed manifest)")
     val v = version.orElse(suffixV)
       .getOrElse(graft.operators.DeltaChain.latestVersion(path))
     graft.operators.DeltaChain.readAsOf(session, path, v)

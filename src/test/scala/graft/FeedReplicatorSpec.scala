@@ -53,6 +53,21 @@ class FeedReplicatorSpec extends SparkSpec {
       repHead.exceptAll(srcHead).count() === 0)
   }
 
+  test("pure redelivery never runs the patience clock") {
+    import spark.implicits._
+    val src = fresh("src4"); val rep = fresh("rep4"); val spill = fresh("spill4")
+    mkSource(src)
+    DeltaChain.create(rep, Seq((1L, 10L), (2L, 20L)).toDF("k", "n"),
+      Seq("k"), checkpointEvery = 100)
+    val r = new FeedReplicator(spark, rep, spill, maxPendingBatches = 1)
+    def feedAt(v: Int) = DeltaChain.changelog(spark, src, v - 1, v)
+    assert(r.applyBatch(feedAt(2)) === 2)
+    // redeliver v2 more times than the patience bound: nothing is
+    // pending, so the bound must never trip
+    (1 to 4).foreach(_ => assert(r.applyBatch(feedAt(2)) === 2))
+    assert(r.applyBatch(feedAt(3)) === 3)
+  }
+
   test("a gap that never closes fails loudly naming the missing version") {
     import spark.implicits._
     val src = fresh("src2"); val rep = fresh("rep2"); val spill = fresh("spill2")

@@ -96,6 +96,10 @@ class SchemaMappingSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       DeltaChain.renameColumn(spark, root, "n2", "n")
     }.getMessage.contains("already exists"))
+    // a constraint whose predicate can't resolve is refused at ADD time
+    assert(intercept[IllegalArgumentException] {
+      DeltaChain.addConstraint(spark, root, "bad", "no_such_col > 0")
+    }.getMessage.contains("does not resolve"))
     // dropping the added column itself is fine — its default dies with it
     DeltaChain.dropColumn(spark, root, "n2")
     // ... after which the base column is rename-able again
