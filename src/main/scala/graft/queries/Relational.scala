@@ -82,11 +82,19 @@ object Relational extends QueryBatch {
       .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
       .agg(count(lit(1)).as("n_custs"))
 
-  /** A5: rollup over returnflag × linestatus. */
+  /** A5: rollup over returnflag × linestatus. The exact groups
+    * PRE-AGGREGATE first: rollup plans as Expand (3 projections per
+    * input row) feeding the hash agg, so the naive form pushes 3x the
+    * scan's rows through aggregation — pre-aggregating to the 6 exact
+    * groups first (one shuffle, map-side combine) leaves Expand 6
+    * rows to triple. sum/count re-aggregate losslessly (quantity sums
+    * are integer-exact in doubles), so the result is identical. */
   val q5Rollup: Q = (s, d) =>
     lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("q"), count(lit(1)).as("n"))
       .rollup("l_returnflag", "l_linestatus")
-      .agg(r4(sum("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+      .agg(r4(sum("q")).as("sum_qty"), sum("n").as("n_rows"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
   /** T1 batch + F8: 1-hour tumbling event window + JSON extraction. */

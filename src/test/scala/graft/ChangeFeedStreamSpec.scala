@@ -165,6 +165,27 @@ class ChangeFeedStreamSpec extends SparkSpec {
     assert(rows === Set((2L, 20L, 2), (3L, 30L, 4)))
   }
 
+  test("a rename CHAIN (a->b->c) resolves every vintage to the head name") {
+    import spark.implicits._
+    val root = freshRoot()
+    DeltaChain.create(root, Seq((1L, 10L)).toDF("k", "a"), Seq("k"),
+      checkpointEvery = 100)
+    DeltaChain.commitDelta(spark, root, Seq((2L, 20L)).toDF("k", "a")) // v2 as 'a'
+    DeltaChain.renameColumn(spark, root, "a", "b")                     // v3
+    DeltaChain.commitDelta(spark, root, Seq((3L, 30L)).toDF("k", "b")) // v4 as 'b'
+    DeltaChain.renameColumn(spark, root, "b", "c")                     // v5
+    DeltaChain.commitDelta(spark, root, Seq((4L, 40L)).toDF("k", "c")) // v6 as 'c'
+    val rows = drain(
+      DeltaChain.readChangeFeedStream(spark, root, fromVersion = 1), "cfs_chain")
+      .map(r => (r.getLong(r.fieldIndex("k")), r.getLong(r.fieldIndex("c")),
+        r.getInt(r.fieldIndex("_commit_version")))).toSet
+    assert(rows === Set((2L, 20L, 2), (3L, 30L, 4), (4L, 40L, 6)))
+    // and the batch range feed agrees on the window-end schema
+    val batch = DeltaChain.changesRange(spark, root, 1, 6)
+    assert(batch.columns.contains("c") &&
+      !batch.columns.contains("a") && !batch.columns.contains("b"))
+  }
+
   test("the feed never leaks pre-drop values into a re-added incarnation") {
     import spark.implicits._
     val root = freshRoot()
