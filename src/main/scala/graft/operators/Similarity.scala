@@ -26,7 +26,14 @@ object Similarity {
       k: Int,
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
+    // spread the streamed side over the cluster before the nested-loop
+    // join: pair-scan work is ∝ |q|·|c|, not bytes, so byte-sized scan
+    // splits under-provision it (a small parquet file = ONE task running
+    // the whole quadratic loop). Explicit numPartitions survives AQE
+    // coalescing and scales with cores.
+    val spread = queries.sparkSession.sparkContext.defaultParallelism
     val q = queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
+      .repartition(spread)
     val c = corpus.select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cos").desc, col("c_id").asc)
@@ -48,7 +55,9 @@ object Similarity {
       k: Int,
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
+    // streamed-side spread: same rationale as bruteForceTopK
     val q = queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
+      .repartition(queries.sparkSession.sparkContext.defaultParallelism)
     val c = corpus.select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
     q.join(broadcast(c), col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),

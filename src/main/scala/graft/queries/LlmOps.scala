@@ -142,7 +142,10 @@ object LlmOps extends QueryBatch {
     val docs = documents(s, d)
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val dfreq = toks.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
+    // df derives from tf — one row per (doc_id, tok) after the groupBy,
+    // so count(*) per tok ≡ count(DISTINCT doc_id); saves the second
+    // explode+distinct corpus pass (same rewrite as ls3Weights)
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(dfreq, "tok")
       .crossJoin(broadcast(n))

@@ -200,15 +200,33 @@ object SurfaceR8 extends QueryBatch {
     * Ranking cuts on the r8-rounded cosine with an id tiebreak (§5.3). */
   val ls3TfidfTopk: Q = (s, d) => {
     val w = org.apache.spark.sql.expressions.Window
-    val wts = ls3Weights(s, d)
+    // the postings table feeds THREE consumers (norms, query side,
+    // corpus side); without a materialization Catalyst re-derives the
+    // whole explode→tf→idf pipeline per consumer (24 scans of
+    // documents in the static plan). One eager localCheckpoint pins a
+    // single computation — guide §5's persist-when-reused rule, same
+    // mechanism as Components/PrefixSum.
+    val wts = ls3Weights(s, d).localCheckpoint(true)
     val norms = wts.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
-    val dots = wts.where(col("doc_id") % 53 === 0).as("q")
-      .join(wts.as("c"),
+    // Pair generation is arranged so NOTHING pair-scale ever crosses an
+    // exchange (guide §2.3/§2.4): the QUERY postings (1/53 of docs —
+    // query-batch-sized at any corpus scale) broadcast; the corpus
+    // postings cluster by doc_id ONCE (a postings-scale shuffle that
+    // replaces the old tok-keyed join exchange — 31 hot keys, skew by
+    // construction). The join output is then already clustered by
+    // c.doc_id, which satisfies groupBy(q_id, c_id)'s distribution, so
+    // the per-pair dot aggregate runs WITHOUT re-shuffling the ~8.4M
+    // fanout rows (the old plan exchanged the pair-scale partials).
+    val dots = broadcast(wts.where(col("doc_id") % 53 === 0).as("q"))
+      .join(wts.repartition(col("doc_id")).as("c"),
         col("q.tok") === col("c.tok") && col("q.doc_id") =!= col("c.doc_id"))
       .groupBy(col("q.doc_id").as("q_id"), col("c.doc_id").as("c_id"))
       .agg(sum(col("q.w") * col("c.w")).as("dot"))
     dots
-      .join(norms.select(col("doc_id").as("q_id"), col("nrm").as("nrm_q")), "q_id")
+      // query-side norms are query-batch-sized → broadcast; corpus-side
+      // norms join on c_id, which reuses dots' doc_id clustering (only
+      // the doc-scale norms table exchanges, never the pair-scale dots)
+      .join(broadcast(norms.select(col("doc_id").as("q_id"), col("nrm").as("nrm_q"))), "q_id")
       .join(norms.select(col("doc_id").as("c_id"), col("nrm").as("nrm_c")), "c_id")
       .select(col("q_id"), col("c_id"),
         Orc.rN(col("dot") / (col("nrm_q") * col("nrm_c")), 8).as("cos8"))
@@ -226,7 +244,12 @@ object SurfaceR8 extends QueryBatch {
     val docs = documents(s, d)
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val dfreq = toks.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
+    // df per token derives from tf — (doc_id, tok) is unique after the
+    // tf groupBy, so count(*) per tok ≡ count(DISTINCT doc_id). The old
+    // toks.distinct() pipeline re-scanned and re-shuffled the whole
+    // corpus to recompute what tf already holds (guide §1.2: don't
+    // compute things twice); values are identical by construction.
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(dfreq, "tok").crossJoin(broadcast(n))
       .where(col("df") * 10 <= col("n_docs") * 9)
@@ -267,7 +290,10 @@ object SurfaceR8 extends QueryBatch {
     val docs = documents(s, d)
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val dfreq = toks.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
+    // df derives from tf — one row per (doc_id, tok) after the groupBy,
+    // so count(*) per tok ≡ count(DISTINCT doc_id); saves the second
+    // explode+distinct corpus pass (same rewrite as ls3Weights)
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val stats = docs.agg(count(lit(1)).as("n_docs"),
       avg(size(split(col("text"), " "))).as("avgdl"))
     val dl = docs.select(col("doc_id"),

@@ -33,11 +33,19 @@ object SurfaceR8e extends QueryBatch {
         expr("unix_micros(ts)").as("tu"),
         expr("CAST(floor(value * 1e4 + 5e-1) AS BIGINT)").as("q"))
     val w = Window.partitionBy("event_type").orderBy(col("tu"), col("event_id"))
-    val lagged = (1 to 5).map { k =>
-      e.withColumn("lag", lit(k.toLong))
-        .withColumn("y", lag(col("q"), k).over(w))
-        .where(col("y").isNotNull)
-    }.reduce(_ unionAll _)
+    // all five lags from ONE window pass (guide §2.4: operations keyed
+    // the same way share one exchange+sort): the old per-lag union
+    // re-scanned events and re-sorted the per-type window five times.
+    // posexplode unstacks the lag columns; rows are identical to the
+    // five-branch union (same (event_type, lag, q, y) multiset).
+    val withLags = e.select(
+      col("event_type") +: col("q") +:
+        (1 to 5).map(k => lag(col("q"), k).over(w).as(s"_y$k")): _*)
+    val lagged = withLags
+      .select(col("event_type"), col("q"),
+        posexplode(array((1 to 5).map(k => col(s"_y$k")): _*)).as(Seq("p", "y")))
+      .where(col("y").isNotNull)
+      .withColumn("lag", (col("p") + 1).cast("long"))
     val sums = lagged.groupBy("event_type", "lag")
       .agg(count(lit(1)).as("n"),
         sum("q").as("sx"), sum("y").as("sy"),
