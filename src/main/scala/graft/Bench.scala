@@ -202,6 +202,14 @@ object Bench {
         stateKpDiag = dg :+ ("state_partitions" -> 4L)
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
+    // (Round-17 note: a changelog-checkpointing variant of this probe
+    // was measured and REMOVED — the probe's AvailableNow single-batch
+    // shape always pays the batch-1 full snapshot, so changelog mode
+    // read SLOWER (commit 1117 ms vs kp's 415 ms at identical work
+    // counters) while the lever it exists to show only appears from
+    // batch 2 on. The partition-count lever (kp) remains the measured
+    // RocksDB story; changelog checkpointing stays a documented
+    // production config, not a bench probe.)
     // Probe 2: the curation ladder a training pipeline actually runs —
     // quality scoring, contamination, mixing, chunk dedup — timed as one
     // pass at the bench SF so the cost of the round-6 surface is

@@ -355,9 +355,21 @@ object DeltaChain {
     // metadata-only additions — one metadata read, never a replay
     val tableCols = tableColsAt(spark, baseDir, m, current)
     val next = current + 1
-    val shaped = shapeAndValidate(delta, tableCols, deleteCol, m.keys,
+    // STAGE ONCE, validate from the staged files, atomically rename into
+    // place: the caller's delta lineage is computed exactly once (the
+    // old validate-then-write order ran it twice — once for the
+    // validation aggregate, once for the write). A failed validation
+    // deletes the staging dir and throws with nothing committed; a
+    // crash in between leaves only a janitor-swept `.stage_d_*` dir.
+    val shaped = shape(delta, tableCols, deleteCol, "DeltaChain.commitDelta")
+    val staging = Paths.get(baseDir,
+      s".stage_d_${java.util.UUID.randomUUID().toString.take(12)}")
+    shaped.write.mode("errorifexists").parquet(staging.toString)
+    try validateStaged(spark, staging.toString, m.keys,
       "DeltaChain.commitDelta", activeConstraints(m))
-    shaped.write.mode("errorifexists").parquet(deltaDir(baseDir, next))
+    catch { case t: Throwable => deleteStagingRecursively(staging); throw t }
+    Files.move(staging, Paths.get(deltaDir(baseDir, next)),
+      StandardCopyOption.ATOMIC_MOVE)
     if (next - lastCp >= m.checkpointEvery) {
       // materialize by replaying from the last checkpoint INCLUDING the
       // just-written delta dir (readable before publish — the manifest,
@@ -369,19 +381,14 @@ object DeltaChain {
     next
   }
 
-  /** Shape a caller delta to (table columns + `_op`) and enforce the
-    * ANSI-MERGE write-boundary preconditions, both fail-loudly:
-    * unique key tuples per commit (a duplicate would tie on `_seq`
-    * and replay one of the two nondeterministically) and non-null
-    * keys (the replay window GROUPS null keys — legal — but a caller
-    * deleting "key = null" almost always holds a data bug). */
-  private def shapeAndValidate(
+  /** Shape a caller delta to (table columns + `_op`) — the PLAN-TIME
+    * half of the write boundary: exact column-set checks fail before
+    * any data is computed. */
+  private def shape(
       delta: DataFrame,
       tableCols: Seq[String],
       deleteCol: Option[String],
-      keys: Seq[String],
-      who: String,
-      constraints: Seq[Constraint] = Seq.empty): DataFrame = {
+      who: String): DataFrame = {
     require(tableCols.forall(delta.columns.contains),
       s"$who: delta must carry every table column " +
         s"(${tableCols.mkString(",")}); has ${delta.columns.mkString(",")}")
@@ -399,7 +406,31 @@ object DeltaChain {
       case Some(d) => when(col(d), lit("D")).otherwise(lit("U"))
       case None    => lit("U")
     }
-    val shaped = delta.select(tableCols.map(col) :+ op.as(OpCol): _*)
+    delta.select(tableCols.map(col) :+ op.as(OpCol): _*)
+  }
+
+  /** Enforce the ANSI-MERGE write-boundary preconditions over a STAGED
+    * delta dir, fail-loudly: unique key tuples per commit (a duplicate
+    * would tie on `_seq` and replay one of the two
+    * nondeterministically), non-null keys (the replay window GROUPS
+    * null keys — legal — but a caller deleting "key = null" almost
+    * always holds a data bug), and every active CHECK constraint.
+    *
+    * Runs AFTER the staging write (guide §1.2: the caller's delta
+    * lineage is computed ONCE — the old validate-then-write order
+    * recomputed an arbitrary upstream plan twice per commit). Reading
+    * the staged parquet back prunes to keys + constraint columns +
+    * `_op`, so validation cost is ∝ staged key/constraint bytes, not
+    * the delta's full compute. The caller deletes the staging dir on
+    * failure — nothing is committed (the manifest, not dir existence,
+    * is the reader-visibility point, and `.stage_d_*` dirs are
+    * janitor-swept). */
+  private def validateStaged(
+      spark: SparkSession,
+      stagedDir: String,
+      keys: Seq[String],
+      who: String,
+      constraints: Seq[Constraint] = Seq.empty): Unit = {
     // ONE validation aggregate carries the key checks AND every active
     // CHECK constraint's violation count (ANSI semantics: NULL passes,
     // only FALSE violates; delete rows are exempt — they carry the
@@ -407,7 +438,7 @@ object DeltaChain {
     val conCounts: Seq[org.apache.spark.sql.Column] = constraints.map { c =>
       count(when(col(OpCol) === "U" && (expr(c.sql) <=> lit(false)), 1))
     }
-    val counted = shaped
+    val counted = spark.read.parquet(stagedDir)
       .agg(count(lit(1)), countDistinct(keys.head, keys.tail: _*) +:
         count(when(keys.map(col(_).isNull).reduce(_ || _), 1)) +:
         conCounts: _*)
@@ -423,7 +454,6 @@ object DeltaChain {
         s"$who: $violations delta row(s) violate CHECK constraint " +
           s"'${c.name}' (${c.sql}) — nothing was committed")
     }
-    shaped
   }
 
   /** Checkpoint `fromCp` + deltas (fromCp, to] → the exact state at
@@ -682,6 +712,24 @@ object DeltaChain {
         .select(tableCols.map(col) :+ col(OpCol): _*)
         .withColumn("_seq", lit(v))
     }.foldLeft(cp)(_.unionByName(_))
+      // Prune to keys actually touched INSIDE the emission window
+      // before the one shuffle (guide §2.3): a key with no record in
+      // (fromVersion, toVersion] emits nothing and supplies a preimage
+      // to nothing — checkpoint/pre-window rows exist here only to
+      // carry preimages for keys that ARE touched. The semi-join keeps
+      // every record of every touched key (lag() per key unchanged →
+      // output identical, q66b's in-key set-equivalence REQUIRE
+      // re-verifies it), while the window sort/shuffle now carries
+      // bytes ∝ rows touched in the window, never ∝ table size. AQE
+      // broadcasts the touched-key set when it is small (the common
+      // CDC case); when it is table-sized the semi-join degrades to
+      // the shuffle we were paying anyway.
+      .join(
+        ((fromVersion + 1) to toVersion).map { v =>
+          projectTo(spark.read.parquet(deltaDir(baseDir, v)), m, v, toVersion)
+            .select(m.keys.map(col): _*)
+        }.reduce(_.unionByName(_)).distinct(),
+        m.keys, "left_semi")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(m.keys.map(col): _*).orderBy(col("_seq"))
     val prevCols = tableCols.map(c => lag(col(c), 1).over(w).as(s"__prev_$c"))
@@ -769,11 +817,18 @@ object DeltaChain {
         if (staging == null || stagedCols != tableCols ||
             stagedConstraints != cons) {
           if (staging != null) deleteStagingRecursively(staging)
-          val shaped = shapeAndValidate(delta, tableCols, deleteCol, m.keys,
-            "DeltaChain.commitDeltaArbitrated", cons)
+          // stage once, then validate from the staged files (same
+          // single-compute order as commitDelta): the delta lineage
+          // runs once; the validation aggregate reads back only keys +
+          // constraint columns + _op. The finally-block cleans staging
+          // when validation throws.
+          val shaped = shape(delta, tableCols, deleteCol,
+            "DeltaChain.commitDeltaArbitrated")
           staging = Paths.get(baseDir,
             s".stage_d_${java.util.UUID.randomUUID().toString.take(12)}")
           shaped.write.mode("errorifexists").parquet(staging.toString)
+          validateStaged(spark, staging.toString, m.keys,
+            "DeltaChain.commitDeltaArbitrated", cons)
           stagedCols = tableCols
           stagedConstraints = cons
         }
@@ -875,10 +930,14 @@ object DeltaChain {
   /** Does `sql` reference column `name`? Word-boundary text test —
     * conservative (a name inside a string literal also matches), which
     * errs toward refusing a drop/rename, never toward breaking a
-    * stored expression. */
+    * stored expression. Backtick is deliberately NOT in the boundary
+    * classes: a quoted identifier (`name`) must match like a bare one
+    * (ADVICE r16 — with backtick in the class, a constraint written
+    * as `qbal` > 0 slipped past the fail-closed drop/rename check and
+    * left an unresolvable stored expression behind). */
   private def referencesColumn(sql: String, name: String): Boolean =
-    ("(?i)(?<![A-Za-z0-9_`])" + java.util.regex.Pattern.quote(name) +
-      "(?![A-Za-z0-9_`])").r.findFirstIn(sql).isDefined
+    ("(?i)(?<![A-Za-z0-9_])" + java.util.regex.Pattern.quote(name) +
+      "(?![A-Za-z0-9_])").r.findFirstIn(sql).isDefined
 
   /** Shared preconditions for DROP/RENAME COLUMN: the column must not
     * be a key (replay groups by key names across ALL versions), a
@@ -1127,10 +1186,22 @@ object DeltaChain {
       (tableCols.flatMap(c => lines(c)._1.map(_._2)) :+ OpCol).distinct
     val schema = org.apache.spark.sql.types.StructType(
       physNames.map { n =>
-        val t = tableCols.collectFirst {
-          case c if lines(c)._1.exists(_._2 == n) => headFields(c)
-        }.getOrElse(headFields(n))
-        org.apache.spark.sql.types.StructField(n, t)
+        // ALL head columns whose timeline stores under this physical
+        // name must agree on the type: original `a` renamed away plus
+        // a fresh `a` added with a DIFFERENT type would otherwise read
+        // old files under whichever incarnation matched first —
+        // parquet read errors or silently corrupt values (ADVICE r16).
+        // Schema evolution does not support type changes; refuse loudly.
+        val owners = tableCols.filter(c => lines(c)._1.exists(_._2 == n))
+        val types = owners.map(headFields).distinct
+        require(types.size <= 1,
+          s"DeltaChain.readChangeFeedStream: physical column '$n' is " +
+            s"stored by incarnations with conflicting types " +
+            s"(${owners.mkString(",")}: ${types.mkString(" vs ")}) — " +
+            "schema evolution does not support type changes, so old " +
+            "files cannot be read under one declared type")
+        org.apache.spark.sql.types.StructField(
+          n, types.headOption.getOrElse(headFields(n)))
       })
     val raw = spark.readStream
       .schema(schema)
@@ -1347,18 +1418,55 @@ object DeltaChain {
       s"DeltaChain.restore: need a committed toVersion below the head " +
         s"($current), got $toVersion of ${versions(baseDir).mkString("[", ",", "]")}")
     val tableCols = tableColsAt(spark, baseDir, m, current)
-    val target = projectTo(
-        readAsOf(spark, baseDir, toVersion), m, toVersion, current)
-      .select(tableCols.map(col): _*)
-    val head = readAsOf(spark, baseDir, current)
-      .select(tableCols.map(col): _*)
+    // Changelog inversion (guide §2.3 "shuffle fewer bytes"; VERDICT
+    // r16's filed asymptotic soft spot): the restoring delta depends
+    // ONLY on keys touched in (toVersion, current] — an untouched key
+    // is identical in both states by definition. The old form computed
+    // two full readAsOf states and diffed them with exceptAll + an
+    // anti-join: ~five table-scale shuffles (exceptAll hashes FULL
+    // rows of both states) to find a diff that is usually tiny. Here
+    // ONE pass over the same artifacts (anchor checkpoint + deltas —
+    // exactly what the two readAsOf calls already required, so no new
+    // fallback window is needed) is semi-join-pruned to touched keys
+    // BEFORE its only shuffle, then a single per-key aggregate
+    // recovers both endpoint states: the latest record at-or-below
+    // toVersion is the key's state at toVersion (absent when none or
+    // deleted), the latest record overall is its state at head. Rows
+    // emitted are EXACTLY the old form's: upsert the toVersion row
+    // where it differs from (or is missing at) head; delete head keys
+    // the target lacks. Shuffled bytes ∝ rows touched since
+    // toVersion, never table size; the checkpoint is scanned (not
+    // shuffled) once.
+    val cpv = diskCheckpoints(baseDir).filter(_ <= toVersion).max
+    val pay = struct(tableCols.map(col): _*)
+    val cp = projectTo(readCheckpoint(spark, baseDir, cpv), m, cpv, current)
+      .select(tableCols.map(col) :+ lit("I").as(OpCol): _*)
+      .withColumn("_seq", lit(cpv))
+    val all = ((cpv + 1) to current).map { v =>
+      projectTo(spark.read.parquet(deltaDir(baseDir, v)), m, v, current)
+        .select(tableCols.map(col) :+ col(OpCol): _*)
+        .withColumn("_seq", lit(v))
+    }.foldLeft(cp)(_.unionByName(_))
+    val touched = ((toVersion + 1) to current).map { v =>
+      projectTo(spark.read.parquet(deltaDir(baseDir, v)), m, v, current)
+        .select(m.keys.map(col): _*)
+    }.reduce(_.unionByName(_)).distinct()
+    val grouped = all.join(touched, m.keys, "left_semi")
+      .groupBy(m.keys.map(col): _*)
+      .agg(
+        max_by(struct(col(OpCol).as("op"), pay.as("p")),
+          when(col("_seq") <= toVersion, col("_seq"))).as("o"),
+        max_by(struct(col(OpCol).as("op"), pay.as("p")),
+          col("_seq")).as("h"))
+    val oldPresent = col("o").isNotNull && col("o.op") =!= "D"
+    val newPresent = col("h").isNotNull && col("h.op") =!= "D"
     val del = "__graft_restore_del"
-    val ups = target.exceptAll(head).withColumn(del, lit(false))
-    val dels = head.join(
-        target.select(m.keys.map(k => col(k).as(s"__r_$k")): _*),
-        m.keys.map(k => col(k) <=> col(s"__r_$k")).reduce(_ && _),
-        "left_anti")
-      .withColumn(del, lit(true))
+    val ups = grouped
+      .where(oldPresent && (!newPresent || !(col("o.p") <=> col("h.p"))))
+      .select(col("o.p.*")).withColumn(del, lit(false))
+    val dels = grouped
+      .where(!oldPresent && newPresent)
+      .select(col("h.p.*")).withColumn(del, lit(true))
     val v = commitDelta(spark, baseDir, ups.unionByName(dels), Some(del))
     appendMetaLine(baseDir, s"kind\t$v\trestore")
     v

@@ -50,22 +50,34 @@ final class FeedReplicator(
   private def pendingPath(v: Int) = Paths.get(spillDir, s"v$v")
 
   private def commitOne(df: DataFrame): Unit = {
-    DeltaChain.commitDelta(spark, repDir,
+    val v = DeltaChain.commitDelta(spark, repDir,
       df.withColumn("del", col("_change_type") === "delete")
         .drop("_commit_version", "_change_type")
         .coalesce(1),
       Some("del"))
+    // source/replica numbering must stay aligned — if the replica's
+    // head ever drifts (an external writer, or a replica seeded at a
+    // different version), silently incrementing `applied` would drop
+    // wrong batches as "redelivery" (ADVICE r16). Fail by name instead.
+    require(v == applied + 1,
+      s"FeedReplicator: replica $repDir advanced to v$v but the consumer " +
+        s"expected v${applied + 1} — replica head drifted from the source " +
+        "numbering (external writer, or seeded at a different version)")
     applied += 1
+  }
+
+  private def deleteRec(p: java.nio.file.Path): Unit = {
+    val walk = Files.walk(p)
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => Files.deleteIfExists(f))
+    finally walk.close()
   }
 
   private def drainSpill(): Unit = {
     while (Files.exists(pendingPath(applied + 1))) {
       val p = pendingPath(applied + 1)
       commitOne(spark.read.parquet(p.toString))
-      val walk = Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => Files.deleteIfExists(f))
-      finally walk.close()
+      deleteRec(p)
     }
   }
 
@@ -85,10 +97,25 @@ final class FeedReplicator(
           commitOne(snap.where(col("_commit_version") === v))
           drainSpill()
           progressed = true
-        } else if (!Files.exists(pendingPath(v))) {
-          snap.where(col("_commit_version") === v)
-            .coalesce(1)
-            .write.mode("errorifexists").parquet(pendingPath(v).toString)
+        } else {
+          // spill atomically: write to a temp dir, rename into place —
+          // a crash mid-write must never leave a partial v$N dir that
+          // a later Files.exists guard would trust and drainSpill would
+          // silently commit truncated (ADVICE r16). An existing dir
+          // WITHOUT parquet's _SUCCESS marker is such a partial — it is
+          // deleted and rewritten from this redelivery.
+          val p = pendingPath(v)
+          if (Files.exists(p) && !Files.exists(p.resolve("_SUCCESS")))
+            deleteRec(p)
+          if (!Files.exists(p)) {
+            val tmp = Paths.get(spillDir,
+              s".tmp_v${v}_${java.util.UUID.randomUUID().toString.take(8)}")
+            snap.where(col("_commit_version") === v)
+              .coalesce(1)
+              .write.mode("errorifexists").parquet(tmp.toString)
+            Files.move(tmp, p,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          }
         }
       }
       // the patience clock only runs while something is actually

@@ -206,4 +206,23 @@ class ChangeFeedStreamSpec extends SparkSpec {
     // projection backfills the re-added incarnation's default instead
     assert(rows === Set((2L, "fresh", 2), (3L, "stored", 5)))
   }
+
+  test("conflicting types for one physical name across timelines refuse loudly") {
+    import spark.implicits._
+    val root = freshRoot()
+    DeltaChain.create(root, Seq((1L, 10L)).toDF("k", "n"),
+      Seq("k"), checkpointEvery = 100)
+    DeltaChain.commitDelta(spark, root, Seq((2L, 20L)).toDF("k", "n")) // v2
+    // original LONG `n` renamed away (old files still store LONGs under
+    // the physical name `n`), then a FRESH `n` added as STRING: the two
+    // incarnations now share the physical name with different types —
+    // no single declared read schema can serve both (ADVICE r16: the
+    // first-match type silently corrupted whichever lost)
+    DeltaChain.renameColumn(spark, root, "n", "m")                     // v3
+    DeltaChain.addColumn(spark, root, "n", "CAST(m AS STRING)")        // v4
+    val e = intercept[IllegalArgumentException] {
+      DeltaChain.readChangeFeedStream(spark, root, fromVersion = 1)
+    }
+    assert(e.getMessage.contains("conflicting types"))
+  }
 }

@@ -82,6 +82,43 @@ class FeedReplicatorSpec extends SparkSpec {
     assert(e.getMessage.contains("v2"))
   }
 
+  test("a crash-partial spill dir is healed from redelivery, never committed truncated") {
+    import spark.implicits._
+    val src = fresh("src5"); val rep = fresh("rep5"); val spill = fresh("spill5")
+    mkSource(src)
+    DeltaChain.create(rep, Seq((1L, 10L), (2L, 20L)).toDF("k", "n"),
+      Seq("k"), checkpointEvery = 100)
+    // simulate a crash mid-spill: a v3 dir EXISTS but has no _SUCCESS
+    // and holds truncated content (ADVICE r16 — the old exists-guard
+    // trusted it and drainSpill silently committed the partial rows)
+    val partial = new java.io.File(spill, "v3")
+    assert(partial.mkdirs())
+    java.nio.file.Files.write(partial.toPath.resolve("part-00000.parquet"),
+      Array[Byte](1, 2, 3))
+    val r = new FeedReplicator(spark, rep, spill)
+    def feedAt(v: Int) = DeltaChain.changelog(spark, src, v - 1, v)
+    r.applyBatch(feedAt(3)) // redelivery must REPLACE the partial spill
+    assert(r.applyBatch(feedAt(2)) === 3) // gap closes, v3 drains complete
+    assert(DeltaChain.readAsOf(spark, rep, 3)
+      .where(col("k") === 3L).select("n").collect().map(_.getLong(0)).toSeq
+      === Seq(30L))
+  }
+
+  test("replica head drift fails loudly instead of silently misaligning versions") {
+    import spark.implicits._
+    val src = fresh("src6"); val rep = fresh("rep6"); val spill = fresh("spill6")
+    mkSource(src)
+    DeltaChain.create(rep, Seq((1L, 10L), (2L, 20L)).toDF("k", "n"),
+      Seq("k"), checkpointEvery = 100)
+    val r = new FeedReplicator(spark, rep, spill)
+    def feedAt(v: Int) = DeltaChain.changelog(spark, src, v - 1, v)
+    assert(r.applyBatch(feedAt(2)) === 2)
+    // an EXTERNAL writer advances the replica behind the consumer's back
+    DeltaChain.commitDelta(spark, rep, Seq((9L, 90L)).toDF("k", "n"))
+    val e = intercept[IllegalArgumentException] { r.applyBatch(feedAt(3)) }
+    assert(e.getMessage.contains("drifted"))
+  }
+
   test("end-to-end: the streamed feed through the replicator == the source head") {
     import spark.implicits._
     val src = fresh("src3"); val rep = fresh("rep3")

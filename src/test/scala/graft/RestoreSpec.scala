@@ -80,6 +80,33 @@ class RestoreSpec extends SparkSpec {
     assert(stateOf(root, 3) === Map(1L -> 5L))
   }
 
+  test("changelog-inverted restore: roundtrips and self-cancelling keys stay out of the delta") {
+    import spark.implicits._
+    val root = freshRoot()
+    DeltaChain.create(root,
+      (1L to 50L).map(k => (k, k * 10)).toDF("k", "n"),
+      Seq("k"), checkpointEvery = 100)
+    // k=1 value ROUNDTRIP (changed then changed back — touched, but
+    // identical at head, so exceptAll semantics exclude it); k=2 a
+    // real change; k=60 inserted then deleted (absent both ends)
+    DeltaChain.commitDelta(spark, root,
+      Seq((1L, 111L), (2L, 222L), (60L, 600L)).toDF("k", "n")) // v2
+    DeltaChain.commitDelta(spark, root,
+      Seq((1L, 10L)).toDF("k", "n"))                           // v3: roundtrip closes
+    DeltaChain.commitDelta(spark, root,
+      Seq((60L, 0L)).toDF("k", "n").withColumn("del", lit(true)), // v4: 60 gone
+      Some("del"))
+    val v5 = DeltaChain.restore(spark, root, 1)
+    assert(stateOf(root, v5) === (1L to 50L).map(k => k -> k * 10).toMap)
+    // minimality under the changelog inversion: ONLY k=2 needs an
+    // upsert — the roundtripped k=1 and the self-cancelled k=60 were
+    // touched in the window but are identical-or-absent at both ends
+    val delta = spark.read.parquet(s"$root/d$v5")
+    assert(delta.count() === 1L,
+      s"restore delta carried ${delta.count()} rows; the diff is 1")
+    assert(delta.select("k").collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
   test("restore below a schema change restores the DATA under the current shape") {
     import spark.implicits._
     val root = freshRoot()

@@ -107,6 +107,25 @@ class SchemaMappingSpec extends SparkSpec {
     assert(DeltaChain.read(spark, root).columns.toSeq === Seq("k", "nn", "part"))
   }
 
+  test("a backtick-quoted constraint reference refuses drop/rename like a bare one") {
+    import spark.implicits._
+    val root = freshRoot()
+    DeltaChain.create(root, Seq((1L, 10L)).toDF("k", "n"),
+      Seq("k"), checkpointEvery = 100)
+    // ADVICE r16: with backtick in referencesColumn's boundary classes,
+    // a constraint written with a quoted identifier slipped past the
+    // fail-closed check and left an unresolvable stored expression
+    DeltaChain.addConstraint(spark, root, "n_pos_quoted", "`n` > 0")
+    assert(intercept[IllegalArgumentException] {
+      DeltaChain.dropColumn(spark, root, "n")
+    }.getMessage.contains("n_pos_quoted"))
+    assert(intercept[IllegalArgumentException] {
+      DeltaChain.renameColumn(spark, root, "n", "m")
+    }.getMessage.contains("n_pos_quoted"))
+    // the table stays fully readable after the refusals
+    assert(DeltaChain.read(spark, root).count() === 1L)
+  }
+
   test("snapshot-form parity: VersionedTable drop/rename rewrite, old versions keep shape") {
     import spark.implicits._
     import operators.VersionedTable
