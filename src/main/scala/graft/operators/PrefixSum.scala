@@ -33,7 +33,7 @@ object PrefixSum {
       df: DataFrame,
       sortCols: Seq[String],
       valueCol: String,
-      numPartitions: Int = 32,
+      numPartitions: Int = 0,
       outCol: String = "running_total"): DataFrame =
     withRunningTotals(df, sortCols, Seq(valueCol -> outCol), numPartitions)
 
@@ -45,9 +45,16 @@ object PrefixSum {
       df: DataFrame,
       sortCols: Seq[String],
       valueOutCols: Seq[(String, String)],
-      numPartitions: Int = 32): DataFrame = {
+      numPartitions: Int = 0): DataFrame = {
     require(valueOutCols.nonEmpty,
       "withRunningTotals needs at least one (valueCol, outCol) pair")
+    // numPartitions <= 0 = scale-adaptive (guide §2: derive partitioning
+    // from the deployment, not a constant tuned for one box): the old
+    // fixed 32 over-partitioned small runs and under-partitioned big
+    // ones. Results are partition-count-independent for the documented
+    // total-order sort-key contract.
+    val parts = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sparkContext.defaultParallelism
     // Temp columns are keyed by INDEX, not by the value column's name —
     // a duplicated value column (two series over the same input) or a
     // caller column that happens to be named like a temp would otherwise
@@ -61,7 +68,7 @@ object PrefixSum {
     // ranks. An eager localCheckpoint pins one materialization that
     // both consumers read — correctness must not depend on
     // ReuseExchange firing.
-    val ranged = df.repartitionByRange(numPartitions, sortCols.map(col): _*)
+    val ranged = df.repartitionByRange(parts, sortCols.map(col): _*)
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint(true)
     val partSums = idx.map { case ((v, _), i) => sum(v).as(s"_n_$i") }

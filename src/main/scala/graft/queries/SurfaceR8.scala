@@ -168,9 +168,13 @@ object SurfaceR8 extends QueryBatch {
     val e = Tables.events(s, d).select(col("event_type"), col("value"))
     val med = e.groupBy("event_type")
       .agg(Orc.rN(expr("percentile(value, 0.5D)"), 8).as("med"))
+    // dev feeds TWO sequential aggregates (the mad percentile, then the
+    // fence counts) — one eager materialization instead of re-running
+    // the events scan + broadcast join per consumer (guide §5)
     val dev = e.join(broadcast(med), "event_type")
       .select(col("event_type"), col("med"),
         abs(col("value") - col("med")).as("adev"))
+      .localCheckpoint(true)
     val mad = dev.groupBy("event_type")
       .agg(Orc.rN(expr("percentile(adev, 0.5D)"), 8).as("mad"))
     dev.join(broadcast(mad), "event_type")

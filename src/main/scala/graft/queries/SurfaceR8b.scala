@@ -38,9 +38,14 @@ object SurfaceR8b extends QueryBatch {
     val o = orders(s, d)
       .withColumn("od_day", expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"))
       .join(lastShip, col("o_orderkey") === col("l_orderkey"))
-    val deltas = o.select(col("od_day").as("day"), lit(1L).as("delta"))
-      .unionAll(o.select((greatest(col("ls_day"), col("od_day")) + 1L).as("day"),
-        lit(-1L).as("delta")))
+    // both sweep-line deltas from ONE pass over the join (guide §1.2):
+    // the old unionAll re-ran the lineitem agg + orders join for each
+    // branch; exploding a 2-struct array emits the identical multiset
+    val deltas = o.select(explode(array(
+        struct(col("od_day").as("day"), lit(1L).as("delta")),
+        struct((greatest(col("ls_day"), col("od_day")) + 1L).as("day"),
+          lit(-1L).as("delta")))).as("e"))
+      .select(col("e.day").as("day"), col("e.delta").as("delta"))
     val daily = deltas.groupBy("day").agg(sum("delta").as("net"))
     val w = graft.Windows.bounded(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -83,13 +83,18 @@ object SurfaceR8e extends QueryBatch {
         expr("CAST(floor(l_extendedprice * (1e0 - l_discount) * 1e4 + 5e-1) AS BIGINT)")
           .as("qrev"))
       .groupBy("l_partkey").agg(sum("qrev").as("rev"))
-    val tot = byPart.agg(sum("rev").as("total"))
     val share = col("cum").cast("double") / col("total").cast("double")
-    graft.operators.PrefixSum.withRunningTotal(
+    // the grand total IS the last inclusive running total — deriving it
+    // from PrefixSum's (checkpointed) output instead of a second
+    // byPart aggregation saves a full lineitem scan + hash agg
+    // (guide §1.2); integer sums make the two forms bit-identical
+    val ranked = graft.operators.PrefixSum.withRunningTotal(
         byPart.withColumn("negrev", -col("rev")),
         sortCols = Seq("negrev", "l_partkey"), valueCol = "rev",
         outCol = "cum")
       .drop("negrev")
+    val tot = ranked.agg(max("cum").as("total"))
+    ranked
       .crossJoin(broadcast(tot))
       .withColumn("cls",
         when(share <= lit(0.5), "A").when(share <= lit(0.8), "B").otherwise("C"))
