@@ -39,7 +39,7 @@ object GlobalRowId {
   def withRowId(
       df: DataFrame,
       key: String,
-      numPartitions: Int = 32,
+      numPartitions: Int = 0,
       outCol: String = "rowid"): DataFrame =
     withRowIdCols(df, Seq(key), numPartitions, outCol)
 
@@ -50,14 +50,19 @@ object GlobalRowId {
   def withRowIdCols(
       df: DataFrame,
       keys: Seq[String],
-      numPartitions: Int = 32,
+      numPartitions: Int = 0,
       outCol: String = "rowid"): DataFrame = {
+    // numPartitions <= 0 = scale-adaptive (same rationale as PrefixSum:
+    // derive from the deployment, not a constant tuned for one box);
+    // rowids are partition-count-independent for unique keys
+    val parts = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sparkContext.defaultParallelism
     // Eagerly materialized for the same reason as PrefixSum: the
     // offsets subtree and the rank subtree must see ONE boundary
     // sample, not two — ReuseExchange usually dedupes the range
     // shuffle, but correctness must not hinge on it (a divergent
     // resample was observed on PrefixSum's identical structure).
-    val ranged = df.repartitionByRange(numPartitions, keys.map(col): _*)
+    val ranged = df.repartitionByRange(parts, keys.map(col): _*)
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint(true)
     val offsets = ranged

@@ -50,22 +50,28 @@ object Upsert {
   /** Apply a CDC changelog: keep, per key, the payload of the
     * highest-`seqCol` change whose `opCol` is not `"D"` — i.e. replay
     * INSERT/UPDATE/DELETE in sequence order and materialize the final
-    * table. One window pass keyed by the primary key (the same shuffle
-    * a MERGE would pay), cost ∝ changelog size, never the history:
-    * the standard compaction step for ingesting a Debezium-style feed.
-    * Ties on (key, seq) are broken by preferring the later op in
-    * `opCol` descending ('U' > 'I' > 'D' is NOT assumed — pass unique
-    * seqs per key; the tiebreak only pins determinism). */
+    * table. ONE hash aggregate keyed by the primary key (the same
+    * shuffle a MERGE would pay, minus the per-partition SORT the old
+    * row_number window form also paid): `max_by` over the (seq, op)
+    * struct picks the same winning record lexicographically, and hash
+    * aggregation partial-aggregates map-side and never sorts — the
+    * replay path under every DeltaChain readAsOf rides this. Cost ∝
+    * changelog size, never the history: the standard compaction step
+    * for ingesting a Debezium-style feed. Ties on (key, seq) break by
+    * the later op ('U' > 'I' > 'D' is NOT assumed — pass unique seqs
+    * per key; the tiebreak only pins determinism). */
   def applyCdc(
       changes: DataFrame,
       keys: Seq[String],
       seqCol: String,
       opCol: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(seqCol).desc, col(opCol).desc)
+    val all = changes.columns.toSeq
     changes
-      .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1 && col(opCol) =!= "D")
-      .drop("_rn", seqCol, opCol)
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(struct(all.map(col): _*),
+        struct(col(seqCol), col(opCol))).as("_w"))
+      .select(col("_w.*"))
+      .where(col(opCol) =!= "D")
+      .drop(seqCol, opCol)
   }
 }
