@@ -52,9 +52,13 @@ object TextOps {
       val slice = (0 until rowsPerBand).map(i => col(s"h${b * rowsPerBand + i}"))
       struct(lit(b).as("band"), xxhash64(slice: _*).as("key"))
     }
+    // banded feeds BOTH sides of the bucket self-join — one eager
+    // materialization instead of running the shingle→signature→band
+    // pipeline twice (guide §5)
     val banded = sigs
       .select(col("_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .localCheckpoint(true)
     val a = banded.select(col("_id").as("a_id"), col("band"), col("key"))
     val b = banded.select(col("_id").as("b_id"), col("band"), col("key"))
     a.join(b, Seq("band", "key"))

@@ -54,7 +54,10 @@ object SurfaceR13d extends QueryBatch {
   /** Flagged gram start positions: grams whose exact text occurs in
     * ≥2 DISTINCT documents. */
   private def flaggedPositions(s: SparkSession, d: String): DataFrame = {
-    val g = grams(s, d)
+    // grams feeds BOTH the duplicate-gram aggregate and the join back
+    // against itself — one eager materialization instead of running
+    // the explode + per-doc lead window twice (guide §5)
+    val g = grams(s, d).localCheckpoint(true)
     val dup = g.groupBy("g")
       .agg(countDistinct(col("doc_id")).as("df"))
       .where(col("df") >= 2)

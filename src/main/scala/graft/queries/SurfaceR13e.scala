@@ -135,8 +135,12 @@ object SurfaceR13e extends QueryBatch {
       .select((col("k") + 2000000L).as("k"),
         expr("substring(nm, 1, length(nm) - 1)").as("nm"),
         col("nat"), col("bal"))
+    // corpus (itself a 3-branch union re-scanning customer per branch)
+    // feeds the join's BOTH sides plus the vertex set — materialize
+    // once instead of 9 customer scans (guide §5)
     val corpus = base.unionByName(dirty1).unionByName(dirty2)
       .withColumn("blk", expr("substring(nm, 10, 7)"))
+      .localCheckpoint(true)
     val l = corpus.select(col("k").as("k1"), col("nm").as("nm1"),
       col("nat").as("nat1"), col("bal").as("bal1"), col("blk"))
     val r = corpus.select(col("k").as("k2"), col("nm").as("nm2"),
