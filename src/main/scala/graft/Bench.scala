@@ -151,6 +151,94 @@ object Bench {
       force(graft.queries.SurfaceR8c.lj2PrefixJaccard(spark, sfDir))
     }
 
+    // Probe 10 (round-18, VERDICT r17 item 1): the sf0.1 fixtures are
+    // single-row-group single files, so every scan stage is ONE task at
+    // any core count — the driver's 8-vs-32-core scaling block reads ≈1
+    // for the scan-bound queries by fixture construction, not by plan
+    // property (guide §2.5 input skew: one unsplittable input). The
+    // fixtures themselves are read-only and cannot be regenerated, so
+    // this probe DERIVES a multi-file scale-up (30×) from the bench SF
+    // inside this run (ScaleUp's replication — lineitem + events, the
+    // tables behind the three scan-bound headline shapes) at a layout
+    // of exactly `copies` files per table, identical at every core
+    // count (see the no-repartition note below), so the 8- and 32-core
+    // runs scan the same bytes and their ratio measures PARALLELISM,
+    // not layout. It then times q1/q6/q7 against it. Everything is computed
+    // from the parquet inputs within this invocation — the derived
+    // decade lives in a temp dir deleted on exit, never reused across
+    // runs. Inner walls are bracketed per query so the generation cost
+    // (untimed setup in spirit, timed here for honesty) is separable
+    // from the measurements.
+    var scaleDiag: Seq[(String, Long)] = Seq.empty
+    val scaleSec = probe("scaleup", () => scaleDiag) {
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_bench_scale_${java.util.UUID.randomUUID().toString.take(8)}")
+      graft.QueryGuard.deleteRecOnExit(root)
+      val dir = root.getAbsolutePath
+      // 30 copies, not 10: at 10× (6M lineitem rows) the per-task work
+      // is still smaller than task-scheduling overhead and the
+      // 8-vs-32-core ratio reads ≈1 for the wrong reason (measured this
+      // round: q1 726 ms at 8 cores vs 788 ms at 32). At 30× (18M rows)
+      // the compute term dominates and the ratio measures parallelism.
+      // The union is written WITHOUT a repartition: each source copy is
+      // one scan split (the fixture is a single small file), so the
+      // output is exactly `copies` files at ANY core count — a
+      // deterministic multi-file layout with no shuffle paid in gen.
+      val copies = 30
+      val tg = System.nanoTime()
+      graft.ScaleUp.scaledLineitem(spark, sfDir, copies)
+        .write.parquet(s"$dir/lineitem.parquet")
+      graft.ScaleUp.scaledEvents(spark, sfDir, copies)
+        .write.parquet(s"$dir/events.parquet")
+      // Settle the page cache before timing: gen just dirtied ~370 MB,
+      // and its ASYNC writeback (virtio in this sandbox) otherwise
+      // overlaps the timed queries — measured as 27–74% system CPU
+      // during the q6 window and readings 1.6–2× the isolated-ProbeOne
+      // band at identical work. One blocking sync drains it inside
+      // gen's own bracket, so the query walls time queries.
+      try new ProcessBuilder("sync").start().waitFor()
+      catch { case _: Exception => () }
+      val genMs = (System.nanoTime() - tg) / 1000000L
+      // median of 3 — this box's load canaries show 1.3–3× transient
+      // host noise (documented r17), which at these 0.5–3 s walls can
+      // swamp the 8-vs-32-core ratio the probe exists to measure
+      def timed(name: String): Long = {
+        val runs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          force(SparkEntry.queries(name)(spark, dir))
+          (System.nanoTime() - t0) / 1000000L
+        }
+        runs.sorted.apply(1)
+      }
+      // q9 leg at 10× embeddings (20k vectors → ~200M candidate pairs,
+      // ~20 CPU-seconds of codegen dot products): the scan shapes above
+      // turn out to be allocation/page-fault-bound on this sandbox
+      // (23–49% SYSTEM time during q6's window, flat 8-vs-32 warm
+      // bands), so the honest core-count witness is the one headline
+      // kernel whose work is CPU-bound — the q9 pair loop, which is
+      // also exactly the operator the r17 streamed-side repartition
+      // exists to spread. Isolated medians this round: 14.05 s at 8
+      // cores vs 4.53 s at 32 (3.1×). Two runs, min reported: at these
+      // walls host-noise bursts only ever ADD time.
+      graft.ScaleUp.scaledEmbeddings(spark, sfDir, 10)
+        .write.parquet(s"$dir/embeddings.parquet")
+      def timedMin2(name: String): Long = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        force(SparkEntry.queries(name)(spark, dir))
+        (System.nanoTime() - t0) / 1000000L
+      }.min
+      scaleDiag = Seq(
+        "gen_ms" -> genMs,
+        "q1_ms" -> timed("q1_scan_agg"),
+        "q6_ms" -> timed("q6_event_window_json"),
+        "q7_ms" -> timed("q7_sort_limit"),
+        "q9_ms" -> timedMin2("q9_cosine_selfjoin"),
+        "files_per_table" -> copies.toLong,
+        "li_rows" -> spark.read.parquet(s"$dir/lineitem.parquet").count(),
+        "ev_rows" -> spark.read.parquet(s"$dir/events.parquet").count(),
+        "emb_rows" -> spark.read.parquet(s"$dir/embeddings.parquet").count())
+    }
+
     // Probe: T6 stateful streaming against the RocksDB state store at
     // bench SF — off-heap state is the 100 TB configuration, and its
     // cost should be measured, not assumed, before any scale claim.
@@ -370,8 +458,16 @@ object Bench {
         force(graft.operators.DeltaChain.changesAt(spark, dir, v))
       }
       val perVersionMs = (System.nanoTime() - t2) / 1000000L
+      // Round-18 (VERDICT r17 item 3): which arm changesRange's
+      // cardinality-guarded touched-key prune took, reported next to
+      // the timing it explains. This probe's window rewrites ~70% of
+      // the base, so the guard should read 0 here (prune skipped); a 1
+      // would mean the guard regressed and range_ms carries the
+      // double-read overhead again.
+      val pruned = graft.operators.DeltaChain.rangePruneActive(dir, 1, 9)
       cdfDiag = Seq("chain_len" -> 8L, "delta_rows" -> committed,
-        "range_ms" -> rangeMs, "per_version_ms" -> perVersionMs)
+        "range_ms" -> rangeMs, "per_version_ms" -> perVersionMs,
+        "prune_active" -> (if (pruned) 1L else 0L))
     }
     // Probe 9 (round-16): RESTORE at bench SF — the rollback-as-
     // forward-commit operator's cost must track the DIFF the rollback
@@ -397,6 +493,13 @@ object Bench {
           .withColumn("qprice",
             org.apache.spark.sql.functions.col("qprice") + m.toLong))
       }
+      // Round-18 (VERDICT r17 item 6): the bytes this restore must scan
+      // (anchor checkpoint + every delta since it — captured BEFORE the
+      // restore commits so the restoring delta is not self-counted).
+      // restore's touched-key union re-reads history since the anchor;
+      // this counter makes that ∝-history-length cost a measured number
+      // round over round instead of an assumption.
+      val scanBytes = graft.operators.DeltaChain.restoreScanBytes(dir, 2)
       val v = graft.operators.DeltaChain.restore(spark, dir, 2)
       val d = new java.io.File(s"$dir/d$v")
       val files = Option(d.listFiles())
@@ -404,11 +507,12 @@ object Bench {
         .getOrElse(Array.empty[java.io.File])
       restoreDiag = Seq("base_rows" -> base.count(),
         "restore_delta_rows" -> spark.read.parquet(d.getAbsolutePath).count(),
-        "restore_delta_bytes" -> files.map(_.length()).sum)
+        "restore_delta_bytes" -> files.map(_.length()).sum,
+        "restore_scan_bytes" -> scanBytes)
     }
     val diagJson = diag.map { case (k, v) => s"\"$k\":$v" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rocksdb_state_t6_sec":$stateSec,"rocksdb_kp_sec":$stateKpSec,"curation_sec":$curationSec,"interp_sec":$interpSec,"pq_sec":$pqSec,"analytics_sec":$analyticsSec,"seq_analytics_sec":$seqAnalyticsSec,"lj2_early_sec":$lj2EarlySec,"lj2_sec":$lj2Sec,"ls3_sec":$ls3Sec,"lakehouse_sec":$lakehouseSec,"cdf_range_sec":$cdfRangeSec,"restore_sec":$restoreSec,"lj2_candidates":$lj2Cand,"ls3_fanout":$ls3Fanout,"probe_diag":$diagJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rocksdb_state_t6_sec":$stateSec,"rocksdb_kp_sec":$stateKpSec,"curation_sec":$curationSec,"interp_sec":$interpSec,"pq_sec":$pqSec,"analytics_sec":$analyticsSec,"seq_analytics_sec":$seqAnalyticsSec,"lj2_early_sec":$lj2EarlySec,"lj2_sec":$lj2Sec,"ls3_sec":$ls3Sec,"lakehouse_sec":$lakehouseSec,"cdf_range_sec":$cdfRangeSec,"restore_sec":$restoreSec,"scaleup_sec":$scaleSec,"lj2_candidates":$lj2Cand,"ls3_fanout":$ls3Fanout,"probe_diag":$diagJson,"sf":"$sfDir"}""")
     // Compact headline-only line LAST (VERDICT r15 item 6): the driver
     // retains only the stdout TAIL, and r15's probe_diag pushed the
     // q1–q9 seconds out of the retained window — this line is small

@@ -35,6 +35,41 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.ScaleUp [srcDir] [outDir] [copies]
   */
 object ScaleUp {
+  private def replicated(base: DataFrame, copies: Int)(
+      shift: (DataFrame, Int) => DataFrame): DataFrame =
+    (0 until copies).map(c => shift(base, c)).reduce(_ unionByName _)
+
+  /** The lineitem decade transform, exposed for the bench's scale probe
+    * (the probe derives a multi-file decade per run; /root/testdata is
+    * read-only). Same strides as the CLI path below. */
+  def scaledLineitem(spark: SparkSession, srcDir: String, copies: Int): DataFrame =
+    replicated(Tables.lineitem(spark, srcDir), copies) { (t, c) =>
+      t.withColumn("l_orderkey", col("l_orderkey") + lit(c * 10000000L))
+        .withColumn("l_partkey", col("l_partkey") + lit(c * 1000000L))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(c * 1000000L))
+    }
+
+  /** The events decade transform, exposed for the bench's scale probe. */
+  def scaledEvents(spark: SparkSession, srcDir: String, copies: Int): DataFrame =
+    replicated(Tables.events(spark, srcDir), copies) { (t, c) =>
+      t.withColumn("event_id", col("event_id") + lit(c * 100000000L))
+        .withColumn("user_id", col("user_id") + lit(c * 1000000L))
+    }
+
+  /** The embeddings transform (norm-preserving diagonal ±1 rotation per
+    * copy — see the construction note above), exposed for the bench's
+    * scale probe: q9's pair loop is the one headline kernel whose work
+    * is CPU-bound enough (O(n²·dim)) to demonstrate core-count scaling. */
+  def scaledEmbeddings(spark: SparkSession, srcDir: String, copies: Int): DataFrame =
+    replicated(Tables.embeddings(spark, srcDir), copies) { (t, c) =>
+      if (c == 0) t
+      else t.withColumn("vec_id", col("vec_id") + lit(c * 100000000L))
+        .withColumn("embedding",
+          expr(s"""transform(embedding, (x, j) ->
+            CASE WHEN ((int($c) >> (j % 4)) & 1) = 1
+              THEN -x ELSE x END)"""))
+    }
+
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outDir = args.lift(1).getOrElse("target/sf1")
@@ -82,17 +117,10 @@ object ScaleUp {
       t.withColumn("o_orderkey", col("o_orderkey") + lit(c * O))
         .withColumn("o_custkey", col("o_custkey") + lit(c * C))
     }, "orders")
-    write(replicate(Tables.lineitem(spark, srcDir)) { (t, c) =>
-      t.withColumn("l_orderkey", col("l_orderkey") + lit(c * O))
-        .withColumn("l_partkey", col("l_partkey") + lit(c * P))
-        .withColumn("l_suppkey", col("l_suppkey") + lit(c * S))
-    }, "lineitem")
+    write(scaledLineitem(spark, srcDir, copies), "lineitem")
     // events via the shim (ts normalized to TIMESTAMP micros; the
     // round-trip re-enters Tables.events through its default branch)
-    write(replicate(Tables.events(spark, srcDir)) { (t, c) =>
-      t.withColumn("event_id", col("event_id") + lit(c * E))
-        .withColumn("user_id", col("user_id") + lit(c * U))
-    }, "events")
+    write(scaledEvents(spark, srcDir, copies), "events")
     write(replicate(Tables.documents(spark, srcDir)) { (t, c) =>
       if (c == 0) t
       else t.withColumn("doc_id", col("doc_id") + lit(c * D))
@@ -101,14 +129,7 @@ object ScaleUp {
             tok => when(length(tok) > 0, concat(tok, lit(s"x$c"))).otherwise(tok))))
         .withColumn("n_chars", length(col("text")))
     }, "documents")
-    write(replicate(Tables.embeddings(spark, srcDir)) { (t, c) =>
-      if (c == 0) t
-      else t.withColumn("vec_id", col("vec_id") + lit(c * V))
-        .withColumn("embedding",
-          expr(s"""transform(embedding, (x, j) ->
-            CASE WHEN ((int($c) >> (j % 4)) & 1) = 1
-              THEN -x ELSE x END)"""))
-    }, "embeddings")
+    write(scaledEmbeddings(spark, srcDir, copies), "embeddings")
 
     System.err.println(s"[scaleup] done: $copies copies of $srcDir -> $outDir")
     spark.stop()

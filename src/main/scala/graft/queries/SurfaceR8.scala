@@ -213,24 +213,47 @@ object SurfaceR8 extends QueryBatch {
     val wts = ls3Weights(s, d).localCheckpoint(true)
     val norms = wts.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     // Pair generation is arranged so NOTHING pair-scale ever crosses an
-    // exchange (guide §2.3/§2.4): the QUERY postings (1/53 of docs —
-    // query-batch-sized at any corpus scale) broadcast; the corpus
-    // postings cluster by doc_id ONCE (a postings-scale shuffle that
-    // replaces the old tok-keyed join exchange — 31 hot keys, skew by
-    // construction). The join output is then already clustered by
-    // c.doc_id, which satisfies groupBy(q_id, c_id)'s distribution, so
-    // the per-pair dot aggregate runs WITHOUT re-shuffling the ~8.4M
-    // fanout rows (the old plan exchanged the pair-scale partials).
-    val dots = broadcast(wts.where(col("doc_id") % 53 === 0).as("q"))
+    // exchange (guide §2.3/§2.4): the QUERY postings (1/53 of docs)
+    // broadcast; the corpus postings cluster by doc_id ONCE (a
+    // postings-scale shuffle that replaces the old tok-keyed join
+    // exchange — 31 hot keys, skew by construction). The join output is
+    // then already clustered by c.doc_id, which satisfies
+    // groupBy(q_id, c_id)'s distribution, so the per-pair dot aggregate
+    // runs WITHOUT re-shuffling the ~8.4M fanout rows (the old plan
+    // exchanged the pair-scale partials).
+    //
+    // The broadcast hint is SIZE-GATED (VERDICT r17 "what's wrong" #1 /
+    // ADVICE r17): the query side is 1/53 of ALL postings — it grows
+    // with the corpus, so an unconditional hint would force the build at
+    // any scale, bypassing autoBroadcastJoinThreshold (~2 TB of build
+    // side at 100 TB → driver OOM). wts is already materialized by the
+    // localCheckpoint, so counting the query side is one cheap
+    // column-pruned pass; 128 bytes/posting deliberately over-estimates
+    // the in-memory relation (long + short token + double) so the gate
+    // errs toward NOT broadcasting. Under the session threshold → the
+    // r17 plan exactly (broadcast + doc_id clustering, zero pair-scale
+    // exchange). Over it → no hint: the planner's shuffle join on tok is
+    // the scale-safe fallback (the pair aggregate then pays its own
+    // exchange — slower, never OOM).
+    val qSide = wts.where(col("doc_id") % 53 === 0)
+    val bcLimit = broadcastThresholdBytes(s)
+    val qFits = bcLimit > 0 && qSide.count() * 128L <= bcLimit
+    def gated(df: DataFrame): DataFrame = if (qFits) broadcast(df) else df
+    val dots = gated(qSide).as("q")
       .join(wts.repartition(col("doc_id")).as("c"),
         col("q.tok") === col("c.tok") && col("q.doc_id") =!= col("c.doc_id"))
       .groupBy(col("q.doc_id").as("q_id"), col("c.doc_id").as("c_id"))
       .agg(sum(col("q.w") * col("c.w")).as("dot"))
     dots
-      // query-side norms are query-batch-sized → broadcast; corpus-side
-      // norms join on c_id, which reuses dots' doc_id clustering (only
-      // the doc-scale norms table exchanges, never the pair-scale dots)
-      .join(broadcast(norms.select(col("doc_id").as("q_id"), col("nrm").as("nrm_q"))), "q_id")
+      // query-side norms: pre-filtered to the query batch (doc_id % 53 —
+      // the same predicate that defines qSide, so the inner join on q_id
+      // is unchanged) and gated by the SAME decision: norm rows are one
+      // per doc ≤ query postings rows, so qFits implies they fit too.
+      // Corpus-side norms join on c_id, which reuses dots' doc_id
+      // clustering (only the doc-scale norms table exchanges, never the
+      // pair-scale dots).
+      .join(gated(norms.where(col("doc_id") % 53 === 0)
+        .select(col("doc_id").as("q_id"), col("nrm").as("nrm_q"))), "q_id")
       .join(norms.select(col("doc_id").as("c_id"), col("nrm").as("nrm_c")), "c_id")
       .select(col("q_id"), col("c_id"),
         Orc.rN(col("dot") / (col("nrm_q") * col("nrm_c")), 8).as("cos8"))
@@ -239,6 +262,19 @@ object SurfaceR8 extends QueryBatch {
       .where(col("rn") <= 3)
       .select(col("q_id"), col("c_id"), col("rn"), Orc.r4(col("cos8")).as("cos"))
       .orderBy("q_id", "rn")
+  }
+
+  /** The session's broadcast-join threshold in bytes — the size-gate
+    * bound for [[ls3TfidfTopk]]'s query-side hint. Read from the same
+    * conf the planner honours so an operator-forced broadcast can never
+    * exceed what the deployment already allows for planner-chosen ones
+    * (-1 = broadcasts disabled → the gate never fires). */
+  private def broadcastThresholdBytes(s: SparkSession): Long = {
+    val v = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try v.toLong catch {
+      case _: NumberFormatException =>
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v)
+    }
   }
 
   /** Shared postings builder for [[ls3TfidfTopk]] and its fanout

@@ -44,25 +44,45 @@ final class FeedReplicator(
   private var applied = DeltaChain.latestVersion(repDir)
   private var gapAge = 0
 
+  // A crash between writing a spill temp dir and its atomic move leaks
+  // an orphan .tmp_v* forever — no other janitor covers spillDir
+  // (DeltaChain's sweep is scoped to .stage_d_* under the table dir).
+  // Swept at construction: any .tmp_v* present when a consumer starts
+  // is by definition a dead writer's residue (live temps exist only
+  // inside one applyBatch call on this consumer), and the spilled
+  // version is re-deliverable at-least-once, so deletion is always
+  // safe (ADVICE r17).
+  Option(new java.io.File(spillDir).listFiles()).foreach(_.foreach { f =>
+    if (f.isDirectory && f.getName.startsWith(".tmp_v"))
+      deleteRec(f.toPath)
+  })
+
   /** Last source version applied to the replica. */
   def lastApplied: Int = applied
 
   private def pendingPath(v: Int) = Paths.get(spillDir, s"v$v")
 
   private def commitOne(df: DataFrame): Unit = {
+    // source/replica numbering must stay aligned — if the replica's
+    // head ever drifts (an external writer, or a replica seeded at a
+    // different version), silently incrementing `applied` would drop
+    // wrong batches as "redelivery" (ADVICE r16). Checked BEFORE the
+    // commit (ADVICE r17): the post-commit form detected the same drift
+    // one batch late, after already committing onto the foreign head at
+    // a misaligned version. Drift now fails with the replica unmutated.
+    val head = DeltaChain.latestVersion(repDir)
+    require(head == applied,
+      s"FeedReplicator: replica $repDir is at v$head but the consumer " +
+        s"has applied v$applied — replica head drifted from the source " +
+        "numbering (external writer, or seeded at a different version)")
     val v = DeltaChain.commitDelta(spark, repDir,
       df.withColumn("del", col("_change_type") === "delete")
         .drop("_commit_version", "_change_type")
         .coalesce(1),
       Some("del"))
-    // source/replica numbering must stay aligned — if the replica's
-    // head ever drifts (an external writer, or a replica seeded at a
-    // different version), silently incrementing `applied` would drop
-    // wrong batches as "redelivery" (ADVICE r16). Fail by name instead.
     require(v == applied + 1,
       s"FeedReplicator: replica $repDir advanced to v$v but the consumer " +
-        s"expected v${applied + 1} — replica head drifted from the source " +
-        "numbering (external writer, or seeded at a different version)")
+        s"expected v${applied + 1} — concurrent writer raced this commit")
     applied += 1
   }
 

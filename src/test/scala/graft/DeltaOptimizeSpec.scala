@@ -162,6 +162,42 @@ class DeltaOptimizeSpec extends SparkSpec {
     assert(tail === tailPer)
   }
 
+  test("changesRange's prune guard: both arms taken, outputs identical (r18)") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, String, Int)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3))).toSet
+    def perVersion(root: String, vs: Range): Set[(Long, Long, String, Int)] =
+      vs.flatMap { v =>
+        rows(DeltaChain.changesAt(spark, root, v)
+          .withColumn("_commit_version", org.apache.spark.sql.functions.lit(v)))
+      }.toSet
+    // CDC shape: big base, tiny window → the touched-key prune is active
+    val cdc = freshRoot()
+    DeltaChain.create(cdc,
+      spark.range(0L, 1000L).selectExpr("id AS k", "id * 10 AS n"),
+      Seq("k"), checkpointEvery = 100)
+    DeltaChain.commitDelta(spark, cdc, Seq((7L, 71L), (8L, 81L)).toDF("k", "n"))
+    DeltaChain.commitDelta(spark, cdc, Seq((7L, 72L)).toDF("k", "n"))
+    assert(DeltaChain.rangePruneActive(cdc, 1, 3),
+      "tiny window over a big base must keep the touched-key prune")
+    assert(rows(DeltaChain.changesRange(spark, cdc, 1, 3)) === perVersion(cdc, 2 to 3))
+    // rewrite shape: the window touches most of the table → guard skips
+    // the prune (its delta re-read + semi-join would cost more than the
+    // full-width window it exists to avoid), output identical
+    val rw = freshRoot()
+    DeltaChain.create(rw,
+      spark.range(0L, 1000L).selectExpr("id AS k", "id * 10 AS n"),
+      Seq("k"), checkpointEvery = 100)
+    DeltaChain.commitDelta(spark, rw,
+      spark.range(0L, 1000L).selectExpr("id AS k", "id * 10 + 1 AS n"))
+    DeltaChain.commitDelta(spark, rw,
+      spark.range(0L, 1000L).selectExpr("id AS k", "id * 10 + 2 AS n"))
+    assert(!DeltaChain.rangePruneActive(rw, 1, 3),
+      "table-scale window must skip the prune — it is pure overhead there")
+    assert(rows(DeltaChain.changesRange(spark, rw, 1, 3)) === perVersion(rw, 2 to 3))
+  }
+
   test("changesRange spanning a schema addition backfills pre-addition rows") {
     import spark.implicits._
     val root = freshRoot()

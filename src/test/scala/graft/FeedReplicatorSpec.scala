@@ -117,6 +117,31 @@ class FeedReplicatorSpec extends SparkSpec {
     DeltaChain.commitDelta(spark, rep, Seq((9L, 90L)).toDF("k", "n"))
     val e = intercept[IllegalArgumentException] { r.applyBatch(feedAt(3)) }
     assert(e.getMessage.contains("drifted"))
+    // ADVICE r17: drift must be detected BEFORE committing — the old
+    // post-commit require had already committed one batch onto the
+    // foreign head (v4) by the time it fired. The replica head must
+    // still be the external writer's v3, with no v4 delta on disk.
+    assert(DeltaChain.latestVersion(rep) === 3)
+    assert(!new java.io.File(rep, "d4").exists())
+  }
+
+  test("stale spill temp dirs from a dead writer are swept at construction") {
+    import spark.implicits._
+    val src = fresh("src7"); val rep = fresh("rep7"); val spill = fresh("spill7")
+    mkSource(src)
+    DeltaChain.create(rep, Seq((1L, 10L), (2L, 20L)).toDF("k", "n"),
+      Seq("k"), checkpointEvery = 100)
+    // a crash between the spill write and its atomic move leaves an
+    // orphan .tmp_v* dir no janitor covered (ADVICE r17) — simulate one
+    val stale = new java.io.File(spill, ".tmp_v3_deadbeef")
+    assert(new java.io.File(stale, "part-00000.parquet").getParentFile.mkdirs())
+    java.nio.file.Files.write(stale.toPath.resolve("part-00000.parquet"),
+      Array[Byte](1, 2, 3))
+    val r = new FeedReplicator(spark, rep, spill)
+    assert(!stale.exists(), "construction must sweep dead .tmp_v* residue")
+    // and the consumer still works end to end afterwards
+    def feedAt(v: Int) = DeltaChain.changelog(spark, src, v - 1, v)
+    assert(r.applyBatch(feedAt(2)) === 2)
   }
 
   test("end-to-end: the streamed feed through the replicator == the source head") {

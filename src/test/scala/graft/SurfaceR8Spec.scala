@@ -341,6 +341,22 @@ class SurfaceR8Spec extends SparkSpec {
     assert(got1 == best, s"ls3 top-1 for doc $q0 is $got1, dense recompute says $best")
   }
 
+  test("ls3: the size-gated broadcast's fallback arm is result-identical (r18)") {
+    // the r17 plan force-broadcast the query-side postings (1/53 of ALL
+    // postings — corpus-proportional); r18 gates the hint on the
+    // session's own broadcast threshold. Closing the gate (threshold -1
+    // also disables planner auto-broadcast) must drive the scale-safe
+    // shuffle-join arm to the IDENTICAL result.
+    val gated = SurfaceR8.ls3TfidfTopk(spark, sfDir).collect().toSeq
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val fallback = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      SurfaceR8.ls3TfidfTopk(spark, sfDir).collect().toSeq
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(gated === fallback,
+      "ls3 gate arms diverge: broadcast and shuffle-join plans must agree")
+  }
+
   // ---- Q21: gaps-and-islands ----
 
   test("q21: streak lengths are consistent with each user's day set") {
